@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.functions.Exact._
+import graft.sources.Tables._
+
+/** Time-window operators over the `events` table — SURVEY.md §2.H.
+  *
+  * The reference has no streaming surface (ingestion is an idempotent
+  * batch re-run, `etl_cricsheet_to_mongo.py:131-145`); these are the
+  * declared extension hooks, built on the exact primitives Structured
+  * Streaming uses (`window`, `session_window`, `from_json`) so the same
+  * aggregations run unchanged under `readStream` with a watermark (see
+  * graft.streaming). Verified here in batch mode, where the semantics
+  * are identical.
+  *
+  * Scale posture: window() is a projection (stays in whole-stage
+  * codegen) + hash agg — no shuffle beyond the group-by; session
+  * windows shuffle once on user_id. Event-time bucketing is
+  * epoch-aligned arithmetic, so bucket boundaries are
+  * partition-independent.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows per event type: count + exact sum. */
+  val q17Tumbling: QueryDef = sql(
+    "q17_events_tumbling",
+    """SELECT make_timestamp(CAST(3600000000 * (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS BIGINT)) AS bucket,
+      |       event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""") { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** Sliding 10-minute windows every 5 minutes (each event lands in two
+    * windows — Spark explodes the window set; the oracle reproduces the
+    * expansion with an explicit 2-element unnest).
+    */
+  val q18Sliding: QueryDef = sql(
+    "q18_events_sliding",
+    """WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
+      |w AS (SELECT unnest([
+      |        make_timestamp(CAST(300000000 * (epoch_us(tsu) // 300000000) AS BIGINT)),
+      |        make_timestamp(CAST(300000000 * (epoch_us(tsu) // 300000000) AS BIGINT)) - INTERVAL 5 MINUTE
+      |      ]) AS wstart, tsu, value FROM x)
+      |SELECT wstart, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w
+      |WHERE tsu >= wstart AND tsu < wstart + INTERVAL 10 MINUTE
+      |GROUP BY 1
+      |ORDER BY 1""") { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"))
+  }
+
+  /** Session windows with a 30-minute inactivity gap per user. A session
+    * breaks exactly when the gap to the previous event exceeds the
+    * timeout; the oracle is the classic gaps-and-islands rewrite.
+    * (user_id, ts) is unique in the data, so the island assignment is
+    * deterministic.
+    */
+  val q19Session: QueryDef = sql(
+    "q19_events_session",
+    """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
+      |y AS (SELECT user_id, tsu, value,
+      |  CASE WHEN lag(tsu) OVER w IS NULL
+      |         OR tsu - lag(tsu) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+      |z AS (SELECT user_id, tsu, value,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM y)
+      |SELECT user_id, min(tsu) AS session_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM z
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""") { (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Embedded-JSON parsing (C10 `json.load` analogue for string columns):
+    * `from_json` on the `props` payload, aggregated per event type. The
+    * oracle extracts the integer with a regex so it does not depend on a
+    * DuckDB JSON extension being loadable offline.
+    */
+  val q20JsonProps: QueryDef = sql(
+    "q20_events_json",
+    """SELECT event_type,
+      |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (s, d) =>
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+      .getField("k").cast("long")
+    events(s, d)
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).cast("long").as("sum_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  def all: Seq[QueryDef] = Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps)
+}
