@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.{noOracle, sql}
+import graft.functions.Exact._
+import graft.sources.Tables._
+
+/** Property-graph operators — reference surface SURVEY.md §2.G
+  * (`neo4j_loader.py` + `cypher_queries.cypher`).
+  *
+  * The reference materializes a Neo4j graph (Player/Team/Match nodes,
+  * FACED/PLAYED edges) and queries it in Cypher. Here the graph IS a pair
+  * of DataFrames — `nodes(node)` and `edges(src, dst, props…)` — built
+  * with the same semantics the loader encodes: MERGE-by-key = dropDuplicates
+  * on the edge key (G4), node MERGE = distinct union of endpoint columns
+  * (G2), GDS graph projection = the edge DataFrame itself (G8). Over the
+  * driver's star schema the "FACED" analog is customer→supplier: one edge
+  * per lineitem (ball), with quantity/price as edge properties.
+  *
+  * Scale posture: node/edge builders are distinct-aggregations (partial
+  * dedup before shuffle); PageRank is the one iterative operator — each
+  * step is edge⋈rank join (shuffle-hash on src; rank table ≪ edges, so
+  * AQE broadcasts while it fits) + hash agg on dst, with localCheckpoint
+  * every few iterations to truncate lineage growth.
+  */
+object GraphOps {
+
+  /** FACED-analog edge list with properties: one row per lineitem,
+    * src = customer node, dst = supplier node
+    * (cf. `neo4j_loader.py:58-68` — one FACED edge per ball with
+    * runs/isWicket properties).
+    */
+  def facedEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"),
+        col("l_returnflag").as("flag"))
+
+  /** Node table: distinct endpoints of the edge list (G2 MERGE-node
+    * semantics; uniqueness-by-construction replaces the Neo4j unique
+    * constraint, `neo4j_loader.py:28-30`).
+    */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+
+  /** PageRank over (src, dst) edges — `gds.pageRank` equivalent
+    * (`cypher_queries.cypher:27-34`). Fixed iteration count for
+    * determinism; dangling-node mass is not redistributed (matches the
+    * simplified GDS default behavior). The rank table stays node-sized
+    * (≪ edges), so each iteration's join broadcasts while small and
+    * degrades gracefully to shuffle-hash at scale; localCheckpoint every
+    * 4 iterations truncates the growing lineage.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select("src", "dst").distinct().cache()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val eDeg = e.join(outDeg, "src").cache()
+    val ns = nodes(e).cache()
+    val n = ns.count()
+    var ranks = ns.withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      val contribs = eDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("msg"))
+      ranks = ns
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
+      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+    }
+    e.unpersist(); eDeg.unpersist(); ns.unpersist()
+    ranks
+  }
+
+  /** Node inventory by type — G2 MERGE-node dedup, verified relationally. */
+  val q21GraphNodes: QueryDef = sql(
+    "q21_graph_nodes",
+    """WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+      |SELECT substr(node, 1, 1) AS node_type, count(*) AS n_nodes
+      |FROM n GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    nodes(facedEdges(s, d))
+      .groupBy(substring(col("node"), 1, 1).as("node_type"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("node_type"))
+  }
+
+  /** Per-node aggregation over incoming edges — E7/D2 graph agg
+    * (`cypher_queries.cypher:11-16`: all bowlers faced, grouped by node):
+    * edge count, exact property sum, distinct-partner count, top-k.
+    */
+  val q22GraphDegree: QueryDef = sql(
+    "q22_graph_degree",
+    """SELECT 's' || CAST(l_suppkey AS VARCHAR) AS node,
+      |       count(*) AS n_edges,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |       count(DISTINCT o_custkey) AS n_partners
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1
+      |ORDER BY n_edges DESC, node LIMIT 10""") { (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sumd2(col("l_quantity")).as("total_qty"),
+        countDistinct(col("o_custkey")).as("n_partners"))
+      .orderBy(col("n_edges").desc, col("node"))
+      .limit(10)
+  }
+
+  /** Point matchup lookup — D1 two-key edge filter + E4 global agg
+    * (`cypher_queries.cypher:4-8` batter-vs-bowler head-to-head).
+    * Parameterized (B12): the query entry binds defaults.
+    */
+  def matchup(s: SparkSession, d: String, custkey: Long, suppkey: Long): DataFrame =
+    facedEdges(s, d)
+      .filter(col("src") === s"c$custkey" && col("dst") === s"s$suppkey")
+      .agg(
+        count(lit(1)).as("n_interactions"),
+        sumd2(col("qty")).as("total_qty"),
+        sum(when(col("flag") === "R", 1).otherwise(0)).cast("long").as("n_returned"))
+
+  val q23GraphMatchup: QueryDef = sql(
+    "q23_graph_matchup",
+    """SELECT count(*) AS n_interactions,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey = 10 AND l_suppkey = 5""") { (s, d) =>
+    matchup(s, d, 10, 5)
+  }
+
+  /** PageRank top-20 — G9. Not ANSI-SQL-expressible (iterative); the
+    * driver records a rows-only check, and a golden ScalaTest pins exact
+    * values on a fixed small graph. Ranks rounded to 9 digits so output
+    * is stable across partition-order float summation.
+    */
+  val q24PageRank: QueryDef = noOracle("q24_graph_pagerank") { (s, d) =>
+    pageRank(facedEdges(s, d))
+      .select(col("node"), round(col("rank"), 9).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(q21GraphNodes, q22GraphDegree, q23GraphMatchup, q24PageRank)
+}
