@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.sources.Tables._
+
+/** Text / document operators for large-scale training-data pipelines:
+  * exact + near dedup (MinHash-LSH, SimHash), n-gram Jaccard similarity,
+  * token statistics, quality scoring, language-ID heuristics, and
+  * rolling-hash fingerprints — all over the `documents` table.
+  *
+  * Cross-engine determinism: every hash routes through
+  * `md5(token) → first 15 hex digits → int64` — a construction both
+  * Spark (`conv(substr(md5(t),1,15),16,10)`) and ANSI-ish SQL
+  * (`CAST('0x'||substr(md5(t),1,15) AS BIGINT)`) evaluate identically,
+  * so MinHash signatures, SimHash bits, and fingerprints hash-match the
+  * oracle exactly. Everything stays in built-in higher-order functions
+  * (transform/filter/aggregate/array_*) — no UDFs, so whole-stage
+  * codegen applies end-to-end.
+  *
+  * Scale posture (100 TB of documents):
+  *  - dedup groups by a 128-bit content hash, never by raw text (shuffle
+  *    keys stay 16 bytes);
+  *  - near-dup candidate generation is LSH banding (shuffle per band
+  *    signature), never all-pairs;
+  *  - exact-Jaccard pair generation goes through the inverted token
+  *    index (join on token), so only documents sharing a token meet;
+  *  - per-doc scoring ops are pure map-side projections (no shuffle).
+  */
+object TextOps {
+
+  private val P = 2147483647L // 2^31 - 1
+  private val FpMod = 1000000007L
+
+  /** md5-derived 60-bit token hash — identical in Spark and the oracle. */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** whitespace tokens of trimmed text (data is single-space joined). */
+  private def toks(c: Column): Column = split(trim(c), " ")
+
+  /** (j, a, b) MinHash permutation constants — fixed seed, mirrored
+    * literally in the oracle SQL. */
+  private val perms: Seq[(Int, Long, Long)] = Seq(
+    (0, 1373158607L, 239081663L), (1, 53710185L, 1592467581L),
+    (2, 590620973L, 525901256L), (3, 479341425L, 299655412L),
+    (4, 1581559893L, 220106707L), (5, 1453201079L, 1590571865L),
+    (6, 1915941033L, 1171165722L), (7, 186699715L, 1268073012L),
+    (8, 906070221L, 68252793L), (9, 63989049L, 201209005L),
+    (10, 469521479L, 499635468L), (11, 1085242217L, 1292825378L),
+    (12, 56985563L, 1205264595L), (13, 427000597L, 1537640408L),
+    (14, 1395616197L, 1506083910L), (15, 1170252925L, 900911954L))
+
+  private val permsSqlValues: String = perms
+    .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+
+  /** Exact deduplication via content hash — group by md5(text), the
+    * at-scale pattern (16-byte shuffle keys instead of raw documents).
+    */
+  val q25DedupExact: QueryDef = sql(
+    "q25_dedup_exact",
+    """WITH g AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS copies
+      |           FROM documents GROUP BY 1)
+      |SELECT count(*) AS n_groups,
+      |       CAST(sum(copies) AS BIGINT) AS n_docs,
+      |       CAST(sum(copies - 1) AS BIGINT) AS n_dupes,
+      |       min(keep_id) AS first_keep
+      |FROM g""") { (s, d) =>
+    documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("copies")).cast("long").as("n_docs"),
+        sum(col("copies") - 1).cast("long").as("n_dupes"),
+        min(col("keep_id")).as("first_keep"))
+  }
+
+  /** MinHash + LSH near-duplicate detection: distinct word shingles →
+    * 16 minhashes ((a*h+b) mod p over md5-derived token hashes) → 4
+    * bands of 4 → candidate pairs share a band signature → verified with
+    * exact Jaccard ≥ 0.5. The banding join is the scale path: candidates
+    * meet on 4 band-signature shuffle keys, never all-pairs.
+    */
+  private val minHashOracle: String =
+    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk
+      |           FROM documents WHERE doc_id < 1000),
+      |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $P AS hv FROM t),
+      |perms(j, a, b) AS (VALUES $permsSqlValues),
+      |mh AS (SELECT doc_id, j, j // 4 AS band, min((a * hv + b) % $P) AS m
+      |       FROM h CROSS JOIN perms GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS s
+      |        FROM mh GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |         FROM sig x JOIN sig y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id),
+      |j AS (SELECT d1, d2,
+      |        CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.tk, b.tk))) AS jac
+      |      FROM cand JOIN d a ON a.doc_id = d1 JOIN d b ON b.doc_id = d2)
+      |SELECT d1, d2, round(jac, 6) AS jaccard
+      |FROM j WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin.trim
+
+  val q26MinHashLsh: QueryDef =
+    QueryDef("q26_minhash_lsh", (s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      val tokens = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+      val hashed = tokens.select(col("doc_id"), (tokHash(col("tok")) % P).as("hv"))
+      val permRows = perms.map { case (j, a, b) =>
+        org.apache.spark.sql.Row(j, a, b)
+      }
+      val permSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "j INT, a BIGINT, b BIGINT")
+      val permDf = s.createDataFrame(
+        s.sparkContext.parallelize(permRows, 1), permSchema)
+      val mh = hashed.crossJoin(broadcast(permDf))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min((col("a") * col("hv") + col("b")) % P).as("m"))
+        .withColumn("band", (col("j") / 4).cast("int"))
+      val sig = mh.groupBy(col("doc_id"), col("band"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("j"), col("m")))),
+            x => x.getField("m").cast("string")), ",").as("s"))
+      val x = sig.as("x")
+      val y = sig.as("y")
+      val cand = x.join(y,
+          col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val a = docs.select(col("doc_id").as("d1"), col("tk").as("tka"))
+      val b = docs.select(col("doc_id").as("d2"), col("tk").as("tkb"))
+      cand.join(a, "d1").join(b, "d2")
+        .withColumn("jac",
+          size(array_intersect(col("tka"), col("tkb"))).cast("double") /
+            size(array_union(col("tka"), col("tkb"))))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }, Some(minHashOracle))
+
+  /** Exact n-gram (word) Jaccard pairs through the inverted token index:
+    * documents only meet on shared tokens — the feasible pair-generation
+    * route at scale — then |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  val q27JaccardPairs: QueryDef = sql(
+    "q27_jaccard_pairs",
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk
+      |           FROM documents WHERE doc_id < 300),
+      |sz AS (SELECT doc_id, len(tk) AS n FROM d),
+      |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |j AS (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
+      |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+      |SELECT d1, d2, round(jac, 6) AS jaccard
+      |FROM j WHERE jac >= 0.6 ORDER BY d1, d2""") { (s, d) =>
+    val docs = documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+    val sz = docs.select(col("doc_id"), size(col("tk")).as("n"))
+    val t = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+    val a = t.as("a")
+    val b = t.as("b")
+    val inter = a.join(b,
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= 0.6)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** 48-bit SimHash fingerprints: per-token md5-derived bits, weighted by
+    * token count, sign-aggregated per bit position. Pure
+    * projection+agg — no pairwise work; hamming-distance bucketing over
+    * these is the near-dup scale path.
+    */
+  val q28SimHash: QueryDef = sql(
+    "q28_simhash",
+    s"""WITH t AS (SELECT doc_id, tok, count(*) AS cnt
+      |           FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |                 FROM documents) GROUP BY 1, 2),
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv, cnt FROM t),
+      |b AS (SELECT doc_id, i,
+      |        CASE WHEN sum(CASE WHEN (hv >> i) & 1 = 1 THEN cnt ELSE -cnt END) > 0
+      |             THEN 1 ELSE 0 END AS bit
+      |      FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS i)
+      |      GROUP BY doc_id, i)
+      |SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS simhash
+      |FROM b GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    val t = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val h = t.select(col("doc_id"), tokHash(col("tok")).as("hv"), col("cnt"))
+    h.crossJoin(broadcast(
+        s.range(0, 48).select(col("id").cast("int").as("i"))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(when(
+        sum(when(expr("(hv >> i) & 1 = 1"), col("cnt")).otherwise(-col("cnt"))) > 0,
+        1).otherwise(0).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit") * expr("shiftleft(CAST(1 AS BIGINT), i)"))
+        .cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language token statistics: whitespace tokens, regex (BPE-ish)
+    * tokens, character and alpha-character counts — map-side projections
+    * aggregated once.
+    */
+  val q29TokenStats: QueryDef = sql(
+    "q29_token_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_re_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(regexp_replace(text, '[^a-z]', '', 'g'))) AS BIGINT) AS sum_alpha
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""") { (s, d) =>
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text")))).cast("long").as("sum_ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))))
+          .cast("long").as("sum_re_tokens"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        sum(length(regexp_replace(col("text"), "[^a-z]", "")))
+          .cast("long").as("sum_alpha"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-document quality scoring: token count, stopword ratio, average
+    * word length, combined into a deterministic [0,1] score. All double
+    * arithmetic on identical inputs → identical outputs.
+    */
+  val q30QualityScore: QueryDef = sql(
+    "q30_quality_score",
+    """WITH x AS (
+      |  SELECT doc_id,
+      |    len(string_split(trim(text), ' ')) AS n_tokens,
+      |    len(list_filter(string_split(trim(text), ' '),
+      |        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, n_tokens,
+      |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |  round(0.4 * least(1.0, n_tokens / 20.0)
+      |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+      |      + 0.3 * least(1.0, (CAST(n_alpha AS DOUBLE) / n_tokens) / 8.0), 6) AS quality
+      |FROM x ORDER BY doc_id""") { (s, d) =>
+    val stopSet = Seq("the", "a", "of", "and", "to")
+    val tk = toks(col("text"))
+    documents(s, d).filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        size(tk).as("n_tokens"),
+        size(filter(tk, t => t.isInCollection(stopSet))).as("n_stop"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        round(
+          lit(0.4) * least(lit(1.0), col("n_tokens") / 20.0) +
+            lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+            lit(0.3) * least(lit(1.0),
+              (col("n_alpha").cast("double") / col("n_tokens")) / 8.0),
+          6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic (marker-token rules) scored against the
+    * labelled `lang` column — a confusion-matrix-shaped aggregate.
+    * Deterministic CASE logic, identical in both engines.
+    */
+  val q31LangId: QueryDef = sql(
+    "q31_lang_id",
+    """WITH x AS (
+      |  SELECT lang,
+      |    CASE WHEN text LIKE '%the %' OR text LIKE '% the %' THEN 'en'
+      |         WHEN text LIKE '% le %' OR text LIKE '% la %' THEN 'fr'
+      |         WHEN text LIKE '% der %' OR text LIKE '% die %' THEN 'de'
+      |         ELSE 'unk' END AS predicted
+      |  FROM documents)
+      |SELECT lang, predicted, count(*) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    documents(s, d)
+      .select(col("lang"),
+        when(col("text").like("%the %") || col("text").like("% the %"), "en")
+          .when(col("text").like("% le %") || col("text").like("% la %"), "fr")
+          .when(col("text").like("% der %") || col("text").like("% die %"), "de")
+          .otherwise("unk").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Rolling polynomial fingerprint: fold (acc*131 + tokenHash) mod p
+    * over the token sequence — order-sensitive (unlike the set-based
+    * hashes above), computed with the `aggregate` higher-order function
+    * so it stays codegen-compatible and shuffle-free.
+    */
+  val q32Fingerprint: QueryDef = sql(
+    "q32_fingerprint",
+    s"""SELECT doc_id,
+      |  list_reduce(
+      |    list_concat([CAST(0 AS BIGINT)],
+      |      list_transform(string_split(trim(text), ' '),
+      |        t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % $FpMod)),
+      |    (acc, h) -> (acc * 131 + h) % $FpMod) AS fp
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""") { (s, d) =>
+    documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        aggregate(
+          transform(toks(col("text")), t => tokHash(t) % FpMod),
+          lit(0L),
+          (acc, h) => (acc * 131 + h) % FpMod).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
+    q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint)
+}
