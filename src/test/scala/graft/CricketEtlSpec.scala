@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.CricketEtl
+
+/** Unit tests for the ETL normalization — the reference's completely
+  * untested v1.0.0/v1.1.0 polymorphism (`etl_cricsheet_to_mongo.py:79-89`,
+  * see SURVEY.md §5) plus the graph builders and analytics pipelines.
+  */
+class CricketEtlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def writeDir(files: (String, String)*): String = {
+    val dir = Files.createTempDirectory("cricket")
+    files.foreach { case (name, content) =>
+      Files.writeString(dir.resolve(name), content)
+    }
+    dir.toString
+  }
+
+  private val v11Match =
+    """{
+      |  "meta": {"data_version": "1.1.0"},
+      |  "info": {
+      |    "match_id": "m001",
+      |    "dates": ["2023-03-01"],
+      |    "team_type": "international", "match_type": "T20",
+      |    "gender": "male",
+      |    "teams": ["India", "New Zealand"],
+      |    "venue": "Eden Gardens", "city": "Kolkata",
+      |    "outcome": {"winner": "India", "by": {"runs": 20}}
+      |  },
+      |  "innings": [
+      |    {"innings": 1, "team": "India", "overs": [
+      |      {"over": 0, "deliveries": [
+      |        {"batter": "V Kohli", "non_striker": "RG Sharma",
+      |         "bowler": "TG Southee", "ball": 1,
+      |         "runs": {"batter": 4, "extras": 0, "total": 4},
+      |         "wickets": []},
+      |        {"batter": "V Kohli", "non_striker": "RG Sharma",
+      |         "bowler": "TG Southee", "ball": 2,
+      |         "runs": {"batter": 0, "extras": 1},
+      |         "wickets": [{"kind": "bowled", "player_out": "V Kohli"}]}
+      |      ]}
+      |    ]}
+      |  ]
+      |}""".stripMargin
+
+  private val v10Match =
+    """{
+      |  "meta": {"data_version": "1.0.0"},
+      |  "info": {
+      |    "registry": {"match": "m002"},
+      |    "dates": ["not-a-date"],
+      |    "teams": ["Australia", "England"],
+      |    "city": "Sydney",
+      |    "outcome": {"winner": "England", "by": {"wickets": 3}}
+      |  },
+      |  "innings": [
+      |    {"number": 1, "team": "Australia", "overs": [
+      |      {"over": 0, "deliveries": [
+      |        {"striker": "S Smith", "nonStriker": "D Warner",
+      |         "bowler": "J Anderson",
+      |         "runs": 6,
+      |         "wicket": {"kind": "caught", "player_out": "S Smith"}}
+      |      ]}
+      |    ]}
+      |  ]
+      |}""".stripMargin
+
+  private val noIdMatch =
+    """{
+      |  "info": {
+      |    "dates": ["2020-01-05"],
+      |    "city": "Perth",
+      |    "teams": ["A", "B"],
+      |    "outcome": {"result": "no result"}
+      |  },
+      |  "innings": []
+      |}""".stripMargin
+
+  test("v1.1.0: normalize + flatten with runs dict, wickets array, total default") {
+    val dir = writeDir("a.json" -> v11Match)
+    val raw = CricketEtl.readMatches(spark, dir)
+    val m = CricketEtl.normalizeMatches(raw).collect().head
+    assert(m.getAs[String]("_id") == "m001")
+    assert(m.getAs[String]("source_version") == "1.1.0")
+    val outcome = m.getStruct(m.fieldIndex("outcome"))
+    assert(outcome.getAs[String]("result") == "India won by 20 runs")
+    assert(m.getAs[java.sql.Timestamp]("date") != null)
+
+    val d = CricketEtl.deliveries(raw).orderBy("ball").collect()
+    assert(d.length == 2)
+    val b1 = d(0)
+    assert(b1.getAs[String]("batter") == "V Kohli")
+    assert(b1.getAs[Long]("runs_total") == 4)
+    assert(b1.getAs[Int]("is_boundary") == 1)
+    assert(b1.getAs[Int]("is_dot") == 0)
+    // empty wickets array stays empty (Python `or` falls through)
+    assert(b1.getSeq[Any](b1.fieldIndex("wickets")).isEmpty)
+    val b2 = d(1)
+    // runs.total missing → batter + extras (`etl:86`)
+    assert(b2.getAs[Long]("runs_total") == 1)
+    assert(b2.getAs[Int]("is_dot") == 0)
+    assert(b2.getSeq[Any](b2.fieldIndex("wickets")).length == 1)
+  }
+
+  test("v1.0.0: striker/nonStriker spellings, scalar runs, dict wicket, bad date") {
+    val dir = writeDir("b.json" -> v10Match)
+    val raw = CricketEtl.readMatches(spark, dir)
+    val m = CricketEtl.normalizeMatches(raw).collect().head
+    // registry.match id fallback (`etl:31`)
+    assert(m.getAs[String]("_id") == "m002")
+    // unparseable date → null (`etl:34-37`)
+    assert(m.getAs[java.sql.Timestamp]("date") == null)
+    val outcome = m.getStruct(m.fieldIndex("outcome"))
+    assert(outcome.getAs[String]("result") == "England won by 3 wickets")
+
+    val d = CricketEtl.deliveries(raw).collect().head
+    assert(d.getAs[String]("batter") == "S Smith")
+    assert(d.getAs[String]("nonStriker") == "D Warner")
+    assert(d.getAs[Int]("innings") == 1) // `number` fallback (`etl:74`)
+    // scalar runs → batter_runs, extras 0, total = batter+extras (`etl:84-86`)
+    assert(d.getAs[Long]("runs_batter") == 6)
+    assert(d.getAs[Long]("runs_extras") == 0)
+    assert(d.getAs[Long]("runs_total") == 6)
+    assert(d.getAs[Int]("is_boundary") == 1)
+    // dict wicket → singleton array (`etl:87-89`)
+    val w = d.getSeq[org.apache.spark.sql.Row](d.fieldIndex("wickets"))
+    assert(w.length == 1 && w.head.getAs[String]("kind") == "caught")
+  }
+
+  test("_id falls back to city-date when no match id exists (`etl:52`)") {
+    val dir = writeDir("c.json" -> noIdMatch)
+    val raw = CricketEtl.readMatches(spark, dir)
+    val m = CricketEtl.normalizeMatches(raw).collect().head
+    assert(m.getAs[String]("_id") == "Perth-2020-01-05")
+    val outcome = m.getStruct(m.fieldIndex("outcome"))
+    assert(outcome.getAs[String]("result") == "no result")
+    // no innings → no deliveries
+    assert(CricketEtl.deliveries(raw).count() == 0)
+  }
+
+  test("graph builders: players dedup, faced-edge MERGE key, last-wins props") {
+    val dir = writeDir("a.json" -> v11Match, "b.json" -> v10Match)
+    val raw = CricketEtl.readMatches(spark, dir)
+    val deliv = CricketEtl.deliveries(raw)
+    val players = CricketEtl.players(deliv).as[String].collect().sorted
+    assert(players.toSeq ==
+      Seq("J Anderson", "S Smith", "TG Southee", "V Kohli"))
+
+    val faced = CricketEtl.facedEdges(deliv, lit(0))
+    // 3 deliveries, distinct (match, innings, over, ball, batter, bowler)
+    assert(faced.count() == 3)
+    // v1.0.0 ball is missing → coalesced to -1 (`neo4j_loader.py:64`)
+    assert(faced.filter(col("ball") === -1).count() == 1)
+    assert(faced.filter(col("isWicket") === 1).count() == 2)
+
+    // duplicate MERGE key keeps the last write (`SET`, `neo4j_loader.py:66-68`)
+    val dup = deliv.withColumn("ord", col("runs_total"))
+    val last = CricketEtl.facedEdges(
+      dup.withColumn("ball", lit(9)), col("ord"))
+    assert(last.count() == 2) // one per (match, batter, bowler) now
+  }
+
+  test("matchNodes first-non-null-wins per property (`neo4j_loader.py:38-42`)") {
+    val m = Seq(
+      ("m1", null.asInstanceOf[String], "T20", 1L),
+      ("m1", "India", "ODI", 2L))
+      .toDF("_id", "winner", "match_type", "ord")
+      .select(col("_id"),
+        struct(col("match_type"), lit(null).cast("string").as("gender")).as("info"),
+        struct(col("winner")).as("outcome"),
+        lit(null).cast("timestamp").as("date"), col("ord"))
+    val nodes = CricketEtl.matchNodes(m, col("ord")).collect().head
+    assert(nodes.getAs[String]("type") == "T20")   // first row wins
+    assert(nodes.getAs[String]("winner") == "India") // first NON-NULL wins
+  }
+
+  test("playedEdges explodes and dedups team-match membership") {
+    val dir = writeDir("a.json" -> v11Match)
+    val raw = CricketEtl.readMatches(spark, dir)
+    val played = CricketEtl.playedEdges(CricketEtl.normalizeMatches(raw))
+    val rows = played.as[(String, String)].collect().toSet
+    assert(rows == Set(("m001", "India"), ("m001", "New Zealand")))
+  }
+
+  test("analytics pipelines reproduce the reference pipeline semantics") {
+    val dir = writeDir("a.json" -> v11Match, "b.json" -> v10Match)
+    val deliv = CricketEtl.deliveries(CricketEtl.readMatches(spark, dir))
+
+    val top = CricketEtl.runsByBatter(deliv, 10).collect()
+    assert(top.head.getAs[String]("batter") == "S Smith")
+    assert(top.head.getAs[Long]("runs") == 6)
+    val kohli = top.find(_.getAs[String]("batter") == "V Kohli").get
+    assert(kohli.getAs[Long]("runs") == 4)
+    assert(kohli.getAs[Long]("balls") == 2)
+    assert(kohli.getAs[Double]("strikeRate") == 200.0)
+
+    val wkts = CricketEtl.wicketsByBowler(deliv, 10).collect()
+    assert(wkts.map(r => r.getAs[String]("bowler") -> r.getAs[Long]("wickets"))
+      .toMap == Map("TG Southee" -> 1L, "J Anderson" -> 1L))
+
+    val h2h = CricketEtl.headToHead(deliv, "V Kohli", "TG Southee").collect().head
+    assert(h2h.getAs[Long]("balls") == 2)
+    assert(h2h.getAs[Long]("runs") == 5)
+    assert(h2h.getAs[Long]("outs") == 1)
+
+    val faced = CricketEtl.facedEdges(deliv, lit(0))
+    val pr = CricketEtl.pageRankPlayers(faced, 5).collect()
+    assert(pr.nonEmpty)
+    // bowlers receive rank from batters in the FACED direction
+    assert(pr.head.getAs[String]("node") == "TG Southee" ||
+      pr.head.getAs[String]("node") == "J Anderson")
+  }
+
+  test("partnership proxy counts ordered co-facing pairs (Cypher c)") {
+    val faced = Seq(
+      ("A", "X", "T1"), ("A", "X", "T1"), ("B", "X", "T1"), ("C", "Y", "T1"))
+      .toDF("src", "dst", "team")
+    val p = CricketEtl.partnerships(faced, "T1", minCo = 1, limit = 10).collect()
+    // A faced X twice, B once → pairs (A,B) and (B,A) with 2 edge-pairs each
+    val m = p.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("co_appearances")).toMap
+    assert(m(("A", "B")) == 2 && m(("B", "A")) == 2)
+  }
+}
