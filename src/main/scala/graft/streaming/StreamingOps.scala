@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface — SURVEY.md §2.H.
+  *
+  * The reference has no streaming (ingestion is an idempotent batch
+  * re-run); this module is the declared extension: the same event
+  * aggregations the batch queries verify (graft.operators.EventOps) run
+  * unchanged over an unbounded source with a watermark. Batch-verified
+  * semantics + streaming execution is exactly Structured Streaming's
+  * unified-model contract.
+  *
+  * Scale posture: file-source streams parallelize per file split;
+  * watermark bounds state (10-minute windows + 1-hour watermark keeps at
+  * most ~70 minutes of window state per key); stateful ops shuffle once
+  * on the group key and keep per-key state in the state store.
+  */
+object StreamingOps {
+
+  /** events schema as stored (ns timestamps read as raw INT64). */
+  val rawSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Unbounded scan of an events directory (parquet file source). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts with late-data tolerance: the streaming twin
+    * of the batch-verified q17 aggregation. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful dedup bounded by the watermark (exactly-once per event_id
+    * within the lateness horizon). */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows per user — streaming twin of batch q19. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"))
+
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count + value total (the §2.I "custom state" ladder rung —
+    * KeyValueGroupedDataset state, not a UDF).
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserTotal(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive any of the above to a named in-memory sink until the source
+    * is drained — the synchronous local smoke path. */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.{MediaFeatures, MediaRow}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("media table: binary payloads with typed metadata") {
+    val m = MultimodalOps.mediaTable(spark, sf)
+    assert(m.schema("content").dataType.typeName == "binary")
+    val types = m.select("media_type").distinct()
+      .as[String].collect().sorted
+    assert(types.toSeq == Seq("audio", "image", "video"))
+  }
+
+  test("feature extraction is deterministic and partition-independent") {
+    val media = MultimodalOps.mediaTable(spark, sf).as[MediaRow]
+    val f1 = MultimodalOps.extractFeatures(media.repartition(1))
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    val f8 = MultimodalOps.extractFeatures(media.repartition(8))
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(f1 == f8)
+    assert(f1.values.forall(_.length == 8))
+  }
+
+  test("decode stub computes stride byte averages") {
+    val bytes = Array.tabulate[Byte](16)(i => i.toByte)
+    val f = MultimodalOps.decodeStub(bytes)
+    // stride k sums bytes k and k+8, divided by length 16
+    assert(f(0) == (0 + 8) / 16.0f)
+    assert(f(7) == (7 + 15) / 16.0f)
+  }
+
+  test("frame sampling plan bounds indices to [0, n_frames)") {
+    val plan = MultimodalOps.frameSamplePlan(
+      MultimodalOps.mediaTable(spark, sf)).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val n = r.getAs[Int]("n_frames")
+      assert(r.getAs[Int]("f_first") == 0)
+      assert(r.getAs[Int]("f_mid") <= math.max(n - 1, 0))
+      assert(r.getAs[Int]("f_last") == math.max(n - 1, 0))
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** Streaming smoke: the file-source → transform → memory-sink path, with
+  * results cross-checked against the batch-verified equivalents.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  /** stream sources need a directory; stage the sf0.001 events file. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("windowed streaming aggregation matches the batch plan") {
+    val stream = StreamingOps.eventStream(spark, eventsDir)
+    StreamingOps.runToMemory(
+      StreamingOps.windowedCounts(stream), "win_out", OutputMode.Complete)
+    val got = spark.table("win_out")
+      .select(sum("n").cast("long")).collect().head.getLong(0)
+    val batchCount = spark.read
+      .schema(StreamingOps.rawSchema).parquet(eventsDir).count()
+    assert(got == batchCount)
+    assert(spark.table("win_out").count() > 0)
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
+    val stream = StreamingOps.eventStream(spark, eventsDir)
+    val doubled = stream.union(stream) // every event twice
+    StreamingOps.runToMemory(
+      StreamingOps.dedupedStream(doubled), "dedup_out")
+    val n = spark.table("dedup_out").count()
+    val distinctIds = spark.read.schema(StreamingOps.rawSchema)
+      .parquet(eventsDir).select("event_id").distinct().count()
+    assert(n == distinctIds)
+  }
+
+  test("mapGroupsWithState accumulates running per-user totals") {
+    val stream = StreamingOps.eventStream(spark, eventsDir)
+    StreamingOps.runToMemory(
+      StreamingOps.runningUserTotals(stream).toDF(), "state_out",
+      OutputMode.Update)
+    val out = spark.table("state_out")
+    // the final update per user matches the batch group-by
+    val lastPerUser = out.groupBy("user_id").agg(max("n").as("n"))
+    val batch = spark.read.schema(StreamingOps.rawSchema).parquet(eventsDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(lastPerUser.join(batch, Seq("user_id"))
+      .filter(lastPerUser("n") =!= batch("n")).count() == 0)
+  }
+
+  test("session windows produce at least one session per active user") {
+    val stream = StreamingOps.eventStream(spark, eventsDir)
+    StreamingOps.runToMemory(
+      StreamingOps.sessionCounts(stream), "sess_out", OutputMode.Complete)
+    val users = spark.table("sess_out").select("user_id").distinct().count()
+    val batchUsers = spark.read.schema(StreamingOps.rawSchema)
+      .parquet(eventsDir).select("user_id").distinct().count()
+    assert(users == batchUsers)
+  }
+}
