@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over `array<float>` columns.
+  *
+  * The composable form — `aggregate(zip_with(a,b,(x,y)=>xd*yd),0.0,+)` —
+  * is semantically right but higher-order functions are CodegenFallback:
+  * every row allocates an intermediate array and interprets two lambdas
+  * (~1 ms/pair measured at sf0.1, which made all-pairs similarity scans
+  * two orders slower than the arithmetic requires). This expression is
+  * the ladder rung SURVEY.md §2.I reserves for exactly this case: a
+  * custom Catalyst `Expression` with `doGenCode` emitting a tight
+  * primitive loop — no allocation, fused into whole-stage codegen.
+  *
+  * Bit-compatibility: the generated loop is the same left-to-right
+  * `sum += (double)a[i] * (double)b[i]` fold the higher-order form (and
+  * the DuckDB oracle's list_reduce) computes, so results stay
+  * bit-identical with the verified semantics.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** `dot(a, b)` over two `array<float>` columns, as a native codegen
+    * expression. */
+  def vecDot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      FloatVectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -60,26 +60,34 @@ object GraphOps {
     * degrades gracefully to shuffle-hash at scale; localCheckpoint every
     * 4 iterations truncates the growing lineage.
     */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+      broadcastRanks: Boolean = true): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val eDeg = e.join(outDeg, "src").cache()
-    val ns = nodes(e).cache()
+    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val ns = nodes(e).localCheckpoint()
     val n = ns.count()
+    e.unpersist()
     var ranks = ns.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
+      // rank table is node-sized (≪ edges): broadcasting it makes the
+      // per-iteration join map-side — the edge table never reshuffles.
+      // Set broadcastRanks=false for graphs whose node set exceeds
+      // executor memory; the join then degrades to shuffle-hash.
+      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
       val contribs = eDeg
-        .join(ranks, col("src") === col("node"))
+        .join(rankSide, col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("contrib"))
         .groupBy("node").agg(sum("contrib").as("msg"))
+      // checkpoint each iteration: bounds lineage AND recompute — the
+      // next iteration starts from a materialized node-sized table.
       ranks = ns
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
-      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+        .localCheckpoint()
     }
-    e.unpersist(); eDeg.unpersist(); ns.unpersist()
     ranks
   }
 
@@ -92,7 +100,18 @@ object GraphOps {
       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
       |SELECT substr(node, 1, 1) AS node_type, count(*) AS n_nodes
       |FROM n GROUP BY 1 ORDER BY 1""") { (s, d) =>
-    nodes(facedEdges(s, d))
+    // endpoint-dedup without materializing the wide edge join: supplier
+    // endpoints come straight from the fact scan; customer endpoints
+    // from orders that actually appear in the fact (semi join on the
+    // key only). Same node set as nodes(facedEdges(...)), one column
+    // wide throughout.
+    val srcNodes = orders(s, d)
+      .join(lineitem(s, d).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("node"))
+    val dstNodes = lineitem(s, d)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("node"))
+    srcNodes.union(dstNodes).distinct()
       .groupBy(substring(col("node"), 1, 1).as("node_type"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("node_type"))

@@ -208,13 +208,20 @@ object Relational {
       |GROUP BY 1, 2
       |HAVING count(*) >= 10
       |ORDER BY co_orders DESC, s1, s2 LIMIT 20""") { (s, d) =>
-    val e = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val a = e.as("a")
-    val b = e.as("b")
-    a.join(b,
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+    // One shuffle instead of a fact-fact self-join: group each order's
+    // supplier set (bounded, ~7 per order), expand ordered pairs
+    // map-side with indexed transforms, then count. At 100 TB the
+    // self-join would shuffle the fact table twice and sort both sides;
+    // this shuffles it once and the pair expansion is O(k²) per group.
+    val sets = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    val pairs = sets.select(explode(flatten(
+      transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), greatest(size(col("ss")) - i - 1, lit(0))),
+          y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+    pairs
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("co_orders"))
       .filter(col("co_orders") >= 10)
       .orderBy(col("co_orders").desc, col("s1"), col("s2"))

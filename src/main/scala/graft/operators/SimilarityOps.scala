@@ -29,11 +29,12 @@ import graft.sources.Tables._
   */
 object SimilarityOps {
 
-  /** left-fold double dot product — mirrors the oracle's list_reduce. */
+  /** left-fold double dot product. The composable higher-order form
+    * (`aggregate(zip_with(...))`) computes the same fold but is
+    * CodegenFallback; the hot path uses the native codegen expression
+    * `graft.functions.FloatVectorDot`, which is bit-identical. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   private def nrm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the sql-private Column↔Expression converters —
+  * the supported way for a library to surface custom Catalyst
+  * expressions as Columns on Spark 4.x (where `new Column(expr)` is
+  * no longer public). Nothing else from the private API is used.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
