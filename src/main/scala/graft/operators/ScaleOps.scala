@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.{noOracle, sql}
+import graft.functions.Exact._
+import graft.sources.Tables._
+
+/** Scale-technique operators: the patterns that keep the §2 inventory
+  * viable at 100 TB — skew-resistant aggregation via salting, and
+  * sketch-based approximate aggregates as the bounded-memory alternative
+  * to exact distinct counts.
+  */
+object ScaleOps {
+
+  /** Two-phase salted aggregation: pre-aggregate on (key, salt) so a
+    * hot key's rows spread over `buckets` reducers, then combine the
+    * partials. Result is EXACTLY the plain group-by (verified by the
+    * oracle) — only the shuffle distribution changes. At local scale the
+    * salt is pointless; at 100 TB it is what survives a key owning 10%
+    * of the table. Decimal routing keeps the two-phase sum
+    * order-independent, so splitting the aggregation cannot perturb it.
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+      buckets: Int = 16): DataFrame = {
+    val salt = pmod(hash(monotonically_increasing_id()), lit(buckets))
+    df.select(key.as("k"), dec2(value).as("v"), salt.as("salt"))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("pv"), count(lit(1)).as("pn"))
+      .groupBy(col("k"))
+      .agg(sum(col("pv")).as("sv"), sum(col("pn")).as("n"))
+  }
+
+  /** Salted revenue-by-returnflag — equal by construction to the direct
+    * group-by the oracle runs. */
+  val q38SaltedAgg: QueryDef = sql(
+    "q38_salted_agg",
+    """SELECT l_returnflag AS k,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    saltedSum(lineitem(s, d), col("l_returnflag"), col("l_quantity"))
+      .select(col("k"), col("sv").cast("double").as("total"), col("n"))
+      .orderBy(col("k"))
+  }
+
+  /** Sketch headroom (SURVEY §2.E "absent in reference; free in Spark"):
+    * HyperLogLog++ distinct counts next to exact ones. The sketch value
+    * is engine-specific (rows-only driver check); `ScaleOpsSpec` pins
+    * the relative error bound instead.
+    */
+  val q39ApproxDistinct: QueryDef = noOracle("q39_approx_distinct") { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def all: Seq[QueryDef] = Seq(q38SaltedAgg, q39ApproxDistinct)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ScaleOps
+import graft.sources.Layout
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals the direct group-by exactly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = li.groupBy(col("l_returnflag").as("k"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sv"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    val salted = ScaleOps.saltedSum(li, col("l_returnflag"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("approx_count_distinct stays within its error bound") {
+    val rows = ScaleOps.q39ApproxDistinct.fn(spark, sf).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getAs[String]("l_returnflag")}: $approx vs $exact")
+    }
+  }
+
+  test("partitioned+sorted layout prunes partitions at scan time") {
+    val out = Files.createTempDirectory("layout").toString + "/li"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    Layout.writeIndexed(li, out, "l_returnflag", "l_suppkey", "l_shipdate")
+    val all = Layout.filesRead(spark, out, "l_quantity >= 0")
+    val pruned = Layout.filesRead(spark, out, "l_returnflag = 'R'")
+    assert(all > pruned, s"expected pruning: all=$all pruned=$pruned")
+    // pruned scan still returns correct data
+    val n = spark.read.parquet(out).filter(col("l_returnflag") === "R").count()
+    assert(n == li.filter(col("l_returnflag") === "R").count())
+  }
+}
