@@ -120,5 +120,30 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
-  def all: Seq[QueryDef] = Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps)
+  /** lag/lead navigation (window-function headroom, SURVEY §2.F): per
+    * user, gap to the previous event and delta vs the next value.
+    * (user_id, ts) is unique, so frames are deterministic. */
+  val q41LagLead: QueryDef = sql(
+    "q41_events_lag_lead",
+    """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value
+      |           FROM events WHERE user_id < 10)
+      |SELECT user_id, tsu AS ts,
+      |  CAST(epoch_us(tsu) - epoch_us(lag(tsu) OVER w) AS BIGINT) AS gap_us,
+      |  CAST(lead(value) OVER w - value AS DOUBLE) AS next_delta
+      |FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+      |ORDER BY user_id, tsu""") { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    events(s, d).filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"),
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+          .as("gap_us"),
+        (lead(col("value"), 1).over(w) - col("value")).cast("double")
+          .as("next_delta"))
+      .orderBy(col("user_id"), col("ts"))
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps, q41LagLead)
 }

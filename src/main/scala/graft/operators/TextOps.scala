@@ -328,7 +328,64 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-duplicate pairs: candidates meet on a 12-bit band of
+    * the 48-bit fingerprint (4 bands — near-identical docs collide in at
+    * least one), then exact Hamming distance ≤ 14 filters. Candidate
+    * generation is 4 equi-joins on small keys — never all-pairs.
+    */
+  val q40SimHashPairs: QueryDef = sql(
+    "q40_simhash_pairs",
+    s"""WITH t AS (SELECT doc_id, tok, count(*) AS cnt
+      |           FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |                 FROM documents WHERE doc_id < 1000) GROUP BY 1, 2),
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv, cnt FROM t),
+      |b AS (SELECT doc_id, i,
+      |        CASE WHEN sum(CASE WHEN (hv >> i) & 1 = 1 THEN cnt ELSE -cnt END) > 0
+      |             THEN 1 ELSE 0 END AS bit
+      |      FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS i)
+      |      GROUP BY doc_id, i),
+      |sh AS (SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS s
+      |       FROM b GROUP BY doc_id),
+      |bands AS (SELECT doc_id, s, band, (s >> (band * 12)) & 4095 AS sig
+      |          FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+      |cand AS (SELECT DISTINCT x.doc_id AS d1, x.s AS s1, y.doc_id AS d2, y.s AS s2
+      |         FROM bands x JOIN bands y
+      |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(s1, s2)) <= 14
+      |ORDER BY d1, d2""") { (s, d) =>
+    val t = documents(s, d).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val h = t.select(col("doc_id"), tokHash(col("tok")).as("hv"), col("cnt"))
+    val sh = h.crossJoin(broadcast(
+        s.range(0, 48).select(col("id").cast("int").as("i"))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(when(
+        sum(when(expr("(hv >> i) & 1 = 1"), col("cnt")).otherwise(-col("cnt"))) > 0,
+        1).otherwise(0).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit") * expr("shiftleft(CAST(1 AS BIGINT), i)"))
+        .cast("long").as("s"))
+    val bands = sh.crossJoin(broadcast(
+        s.range(0, 4).select(col("id").cast("int").as("band"))))
+      .select(col("doc_id"), col("s"), col("band"),
+        expr("(s >> (band * 12)) & 4095").as("sig"))
+    val x = bands.as("x")
+    val y = bands.as("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("x.s").as("s1"),
+        col("y.doc_id").as("d2"), col("y.s").as("s2"))
+      .distinct()
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 14)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
-    q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint)
+    q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
+    q40SimHashPairs)
 }
