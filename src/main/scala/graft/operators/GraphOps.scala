@@ -69,7 +69,7 @@ object GraphOps {
     val n = ns.count()
     e.unpersist()
     var ranks = ns.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // rank table is node-sized (≪ edges): broadcasting it makes the
       // per-iteration join map-side — the edge table never reshuffles.
       // Set broadcastRanks=false for graphs whose node set exceeds
@@ -79,14 +79,15 @@ object GraphOps {
         .join(rankSide, col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("contrib"))
         .groupBy("node").agg(sum("contrib").as("msg"))
-      // checkpoint each iteration: bounds lineage AND recompute — the
-      // next iteration starts from a materialized node-sized table.
+      // checkpoint every other iteration (and the last): bounds lineage
+      // and recompute to a 2-iteration chain while halving the number of
+      // eager materialization jobs.
       ranks = ns
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
