@@ -61,7 +61,7 @@ object GraphOps {
     * 4 iterations truncates the growing lineage.
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-      broadcastRanks: Boolean = true): DataFrame = {
+      broadcastRanks: Boolean = false): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val eDeg = e.join(outDeg, "src").localCheckpoint()
@@ -70,10 +70,11 @@ object GraphOps {
     e.unpersist()
     var ranks = ns.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
-      // rank table is node-sized (≪ edges): broadcasting it makes the
-      // per-iteration join map-side — the edge table never reshuffles.
-      // Set broadcastRanks=false for graphs whose node set exceeds
-      // executor memory; the join then degrades to shuffle-hash.
+      // rank table is node-sized (≪ edges). Default: let AQE pick the
+      // join strategy from runtime stats — it broadcasts while the rank
+      // table fits and degrades to shuffle-hash when it doesn't, and no
+      // per-iteration driver collect is forced. broadcastRanks=true pins
+      // the broadcast for engines/configs without AQE.
       val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
       val contribs = eDeg
         .join(rankSide, col("src") === col("node"))
