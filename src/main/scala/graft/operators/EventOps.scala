@@ -144,6 +144,85 @@ object EventOps {
       .orderBy(col("user_id"), col("ts"))
   }
 
+  /** As-of join (not in the reference; flagship headroom operator):
+    * each error event picks up the most recent click at-or-before it for
+    * the same user. Spark lacks a native ASOF JOIN, so this composes it
+    * the scalable way — union both sides tagged, one shuffle+sort per
+    * user, and a last-non-null carry-forward window — rather than a
+    * per-row subquery. The oracle uses DuckDB's native ASOF LEFT JOIN,
+    * so the composition is verified against a real as-of implementation.
+    */
+  val q42AsofJoin: QueryDef = sql(
+    "q42_asof_join",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type FROM events),
+      |err AS (SELECT user_id, tsu, event_id FROM e WHERE event_type = 'error'),
+      |clk AS (SELECT user_id, tsu AS click_ts, event_id AS click_id FROM e WHERE event_type = 'click')
+      |SELECT err.user_id, err.event_id, err.tsu AS ts, clk.click_id, clk.click_ts
+      |FROM err ASOF LEFT JOIN clk
+      |  ON err.user_id = clk.user_id AND err.tsu >= clk.click_ts
+      |ORDER BY err.user_id, err.event_id""") { (s, d) =>
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts").as("ord_ts"), lit(0).as("is_err"),
+      lit(null).cast("long").as("event_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val errors = e.filter(col("event_type") === "error").select(
+      col("user_id"), col("ts").as("ord_ts"), lit(1).as("is_err"),
+      col("event_id"),
+      lit(null).cast("long").as("click_id"),
+      lit(null).cast(clicks.schema("click_ts").dataType).as("click_ts"))
+    // a click at the same instant sorts before the error (>= semantics)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ord_ts"), col("is_err"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    clicks.union(errors)
+      .withColumn("click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_err") === 1)
+      .select(col("user_id"), col("event_id"), col("ord_ts").as("ts"),
+        col("click_id"), col("click_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Range (interval) join: event pairs of the same user within 5
+    * minutes. A naive theta join is a nested loop; the scale
+    * composition buckets time by the range width and turns it into an
+    * equi-join — each left row joins buckets [b, b+1], so every
+    * qualifying pair meets exactly once on a compact shuffle key, then
+    * the exact range predicate filters. The oracle runs the plain
+    * inequality join.
+    */
+  val q43RangeJoin: QueryDef = sql(
+    "q43_range_join",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id FROM events)
+      |SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+      |       CAST(epoch_us(b.tsu) - epoch_us(a.tsu) AS BIGINT) AS gap_us
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id AND b.tsu > a.tsu
+      |     AND b.tsu <= a.tsu + INTERVAL 5 MINUTE
+      |ORDER BY a.user_id, id1, id2""") { (s, d) =>
+    val width = 300000000L // 5 minutes in microseconds
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("ts"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val left = e
+      .withColumn("b", floor(col("us") / width).cast("long"))
+      .withColumn("jb", explode(array(col("b"), col("b") + 1)))
+      .select(col("user_id"), col("event_id").as("id1"),
+        col("us").as("us1"), col("jb"))
+    val right = e
+      .select(col("user_id"), col("event_id").as("id2"),
+        col("us").as("us2"),
+        floor(col("us") / width).cast("long").as("b2"))
+    left.join(right,
+        left("user_id") === right("user_id") && col("jb") === col("b2"))
+      .filter(col("us2") > col("us1") && col("us2") <= col("us1") + width)
+      .select(left("user_id"), col("id1"), col("id2"),
+        (col("us2") - col("us1")).as("gap_us"))
+      .orderBy(col("user_id"), col("id1"), col("id2"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps, q41LagLead)
+    Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps, q41LagLead,
+      q42AsofJoin, q43RangeJoin)
 }
