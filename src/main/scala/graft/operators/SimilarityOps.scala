@@ -151,6 +151,68 @@ object SimilarityOps {
     }
   }
 
+  /** IVF-style ANN: coarse-quantize every vector to its nearest of 16
+    * fixed centroids (the vectors with vec_id 0..15 — deterministic
+    * "k-means init" seeds), then search only the query's 2 nearest cells
+    * (nprobe=2) with exact cosine re-ranking. The inverted-file shape at
+    * scale: assignment is a map-side broadcast argmax, candidates meet
+    * on the cell id equi-join — learned centroids would slot in without
+    * changing the plan.
+    */
+  val q44AnnIvf: QueryDef = {
+    val cent = s"""(SELECT vec_id AS c_id, embedding AS c_emb,
+       |        sqrt(${sqlDot("embedding", "embedding")}) AS c_nr
+       |        FROM embeddings WHERE vec_id < 16)""".stripMargin
+    sql(
+      "q44_ann_ivf",
+      s"""WITH d AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
+        |           FROM embeddings),
+        |cent AS $cent,
+        |asn AS (SELECT vec_id, embedding, nr, c_id,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY ${sqlDot("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS crn
+        |        FROM d CROSS JOIN cent),
+        |cells AS (SELECT vec_id, embedding, nr, c_id FROM asn WHERE crn = 1),
+        |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nr AS q_nr, c_id
+        |           FROM asn WHERE crn <= 2 AND vec_id < 5),
+        |c AS (SELECT q_id, cells.vec_id AS neighbor,
+        |        ${sqlDot("q_emb", "embedding")} / (q_nr * nr) AS cosine
+        |      FROM probes JOIN cells ON cells.c_id = probes.c_id
+        |        AND cells.vec_id <> probes.q_id),
+        |r AS (SELECT q_id, neighbor, cosine,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS rn
+        |      FROM c)
+        |SELECT q_id, neighbor, cosine, rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""") { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nr").as("c_nr"))
+      val wAsn = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val asn = e.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          dot(col("embedding"), col("c_emb")) / (col("nr") * col("c_nr")))
+        .withColumn("crn", row_number().over(wAsn))
+      val cells = asn.filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nr"), col("c_id"))
+      val probes = asn.filter(col("crn") <= 2 && col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nr").as("q_nr"), col("c_id"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neighbor"))
+      cells.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor"),
+          (dot(col("q_emb"), col("embedding")) / (col("q_nr") * col("nr")))
+            .as("cosine"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 5)
+        .orderBy(col("q_id"), col("rn"))
+    }
+  }
+
   def all: Seq[QueryDef] =
-    Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed)
+    Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf)
 }
