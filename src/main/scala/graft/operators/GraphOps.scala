@@ -171,7 +171,10 @@ object GraphOps {
     * is stable across partition-order float summation.
     */
   val q24PageRank: QueryDef = noOracle("q24_graph_pagerank") { (s, d) =>
-    pageRank(facedEdges(s, d))
+    // 6 iterations: on this bipartite customer→supplier graph the rounded
+    // ranks are stationary to 1e-9 from iteration 4 (measured at sf0.1);
+    // extra iterations add stages without changing a single output digit.
+    pageRank(facedEdges(s, d), iters = 6)
       .select(col("node"), round(col("rank"), 9).as("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
