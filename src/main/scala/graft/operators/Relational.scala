@@ -420,9 +420,72 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube). */
+  val q45GroupingSets: QueryDef = sql(
+    "q45_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY rf, ls""") { (s, d) =>
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumd2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** Pivot: order status columns per priority (long→wide); the oracle is
+    * the equivalent conditional aggregation. */
+  val q46Pivot: QueryDef = sql(
+    "q46_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sumd2(col("o_totalprice")))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Unpivot (wide→long): per-flag aggregates melted to (metric, value)
+    * rows; the oracle is the canonical UNION ALL. */
+  val q47Unpivot: QueryDef = sql(
+    "q47_unpivot",
+    """WITH a AS (SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+      |ORDER BY l_returnflag, metric""") { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sumd2(col("l_quantity")).as("sum_qty"),
+        sumd2(col("l_extendedprice")).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02TopCustomers, q03FilterGlobalAgg,
     q04HavingThreshold, q05ToughestSuppliers, q06StarJoin, q07SupplierPairs,
     q08SemiJoin, q09AntiJoin, q10SetOps, q11DistinctAgg, q12Rollup, q13Cube,
-    q14Percentile, q15WindowRank, q16WindowRunning)
+    q14Percentile, q15WindowRank, q16WindowRunning, q45GroupingSets,
+    q46Pivot, q47Unpivot)
 }

@@ -384,8 +384,32 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Fuzzy entity matching: candidate duplicate pairs by edit distance
+    * over names — the classic record-linkage primitive. Bounded slice as
+    * the verifier; at scale candidates come from blocking (prefix or
+    * q-gram keys) before the distance computation.
+    */
+  val q48FuzzyMatch: QueryDef = sql(
+    "q48_fuzzy_match",
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100)
+      |SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY k1, k2""") { (s, d) =>
+    val c = customer(s, d).filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), col("c_name"))
+    val a = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_custkey").as("k2"), col("c_name").as("n2"))
+    a.join(b, col("k1") < col("k2"))
+      .select(col("k1"), col("k2"),
+        levenshtein(col("n1"), col("n2")).cast("int").as("dist"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("k1"), col("k2"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
-    q40SimHashPairs)
+    q40SimHashPairs, q48FuzzyMatch)
 }
