@@ -219,6 +219,23 @@ class CricketEtlSpec extends AnyFunSuite {
       pr.head.getAs[String]("node") == "J Anderson")
   }
 
+  test("writeTables: idempotent parquet sinks round-trip (A2/A3)") {
+    val src = writeDir("a.json" -> v11Match, "b.json" -> v10Match)
+    val out = Files.createTempDirectory("cricket_out").toString
+    // run twice — the overwrite sink must be idempotent like the
+    // reference's upsert re-run (`etl_cricsheet_to_mongo.py:136`)
+    CricketEtl.writeTables(spark, src, out)
+    CricketEtl.writeTables(spark, src, out)
+    val matches = spark.read.parquet(s"$out/matches")
+    val deliv = spark.read.parquet(s"$out/deliveries")
+    assert(matches.count() == 2)
+    assert(matches.select("_id").distinct().count() == 2)
+    assert(deliv.count() == 3)
+    // fact table joins back to its dimension on the latent key (D4)
+    assert(deliv.join(matches,
+      deliv("matchId") === matches("_id")).count() == 3)
+  }
+
   test("partnership proxy counts ordered co-facing pairs (Cypher c)") {
     val faced = Seq(
       ("A", "X", "T1"), ("A", "X", "T1"), ("B", "X", "T1"), ("C", "Y", "T1"))
