@@ -143,14 +143,19 @@ object TextOps {
         .orderBy(col("d1"), col("d2"))
     }, Some(minHashOracle))
 
-  /** Exact n-gram (word) Jaccard pairs through the inverted token index:
-    * documents only meet on shared tokens — the feasible pair-generation
-    * route at scale — then |A∩B| / (|A|+|B|-|A∩B|).
+  /** Exact n-gram Jaccard pairs on 2-word shingles through the inverted
+    * shingle index: documents only meet on shared shingles — the
+    * feasible pair-generation route at scale — then
+    * |A∩B| / (|A|+|B|-|A∩B|). Word shingles (vs unigrams) separate true
+    * near-duplicates from shared-vocabulary noise.
     */
   val q27JaccardPairs: QueryDef = sql(
     "q27_jaccard_pairs",
-    """WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
       |           FROM documents WHERE doc_id < 300),
+      |d AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
+      |      FROM w),
       |sz AS (SELECT doc_id, len(tk) AS n FROM d),
       |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -159,9 +164,13 @@ object TextOps {
       |j AS (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
       |SELECT d1, d2, round(jac, 6) AS jaccard
-      |FROM j WHERE jac >= 0.6 ORDER BY d1, d2""") { (s, d) =>
+      |FROM j WHERE jac >= 0.4 ORDER BY d1, d2""") { (s, d) =>
+    val w = toks(col("text"))
+    val shingles = array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 1, lit(1))),
+      i => concat(try_element_at(w, i), lit(" "), try_element_at(w, i + 1))))
     val docs = documents(s, d).filter(col("doc_id") < 300)
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      .select(col("doc_id"), shingles.as("tk"))
     val sz = docs.select(col("doc_id"), size(col("tk")).as("n"))
     val t = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
     val a = t.as("a")
@@ -175,7 +184,7 @@ object TextOps {
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jac") >= 0.6)
+      .filter(col("jac") >= 0.4)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
