@@ -86,8 +86,11 @@ object TextOps {
     * meet on 4 band-signature shuffle keys, never all-pairs.
     */
   private val minHashOracle: String =
-    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk
+    s"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
       |           FROM documents WHERE doc_id < 1000),
+      |d AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
+      |      FROM w),
       |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $P AS hv FROM t),
       |perms(j, a, b) AS (VALUES $permsSqlValues),
@@ -106,8 +109,12 @@ object TextOps {
 
   val q26MinHashLsh: QueryDef =
     QueryDef("q26_minhash_lsh", (s, d) => {
+      val w = toks(col("text"))
+      val shingles = array_distinct(transform(
+        sequence(lit(1), greatest(size(w) - 1, lit(1))),
+        i => concat(try_element_at(w, i), lit(" "), try_element_at(w, i + 1))))
       val docs = documents(s, d).filter(col("doc_id") < 1000)
-        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+        .select(col("doc_id"), shingles.as("tk"))
       val tokens = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
       val hashed = tokens.select(col("doc_id"), (tokHash(col("tok")) % P).as("hv"))
       val permRows = perms.map { case (j, a, b) =>
