@@ -42,6 +42,44 @@ object TextOps {
   /** whitespace tokens of trimmed text (data is single-space joined). */
   private def toks(c: Column): Column = split(trim(c), " ")
 
+  /** Distinct-2-word-shingle inverted index: one row per (doc_id,
+    * shingle), built entirely from codegen operators — `posexplode` the
+    * whitespace tokens, pair each with its successor via a `lead` window
+    * over (doc_id, pos), concat, distinct.
+    *
+    * Why not an array-lambda (`transform(sequence(...), i -> w[i] ||
+    * w[i+1])`)? Higher-order functions are CodegenFallback and get
+    * interpreted with NO common-subexpression elimination, and Catalyst
+    * freely re-inlines aliases into pushed-down predicates (e.g. the
+    * `size(tk) > 0` filter inferred from a downstream explode) — so the
+    * `split` ends up re-tokenizing the whole document per array element:
+    * O(n²) interpreted string work per doc, measured as minutes-vs-
+    * seconds at sf0.1. The window form is whole-stage-codegen end to
+    * end, immune to such rewrites, and costs exactly one shuffle by
+    * doc_id — which downstream per-doc aggregations (signatures, sizes)
+    * then reuse, needing no further exchange.
+    *
+    * Single-token docs yield no shingles (lead is null → filtered),
+    * matching DuckDB's `list_distinct` null-dropping semantics.
+    */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // The one shuffle is an EXPLICIT repartition (REPARTITION_BY_NUM):
+    // AQE would otherwise coalesce this small exchange to one partition
+    // and serialize the candidate join downstream, which amplifies
+    // ~100× past it. The window (hash(doc_id) satisfied → sort only),
+    // the distinct (clustered by doc_id → no exchange), and any
+    // broadcast-join probe over the index all inherit the full width.
+    documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("nx", lead(col("col"), 1).over(w))
+      .filter(col("nx").isNotNull)
+      .select(col("doc_id"), concat(col("col"), lit(" "), col("nx")).as("tok"))
+      .dropDuplicates("doc_id", "tok")
+  }
+
   /** (j, a, b) MinHash permutation constants — fixed seed, mirrored
     * literally in the oracle SQL. */
   private val perms: Seq[(Int, Long, Long)] = Seq(
@@ -84,10 +122,16 @@ object TextOps {
     * bands of 4 → candidate pairs share a band signature → verified with
     * exact Jaccard ≥ 0.5. The banding join is the scale path: candidates
     * meet on 4 band-signature shuffle keys, never all-pairs.
+    *
+    * The oracle keeps the relational formulation (cross join with the
+    * permutation table + groupBy-min); the Spark side computes identical
+    * signatures one-pass through `MinHashAggregator` — a 16-long buffer
+    * per document, so the shuffle carries one row per token instead of
+    * 16 (equality of the two forms is pinned by `MinHashAggregatorSpec`).
     */
   private val minHashOracle: String =
     s"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
-      |           FROM documents WHERE doc_id < 1000),
+      |           FROM documents),
       |d AS (SELECT doc_id, list_distinct(list_transform(
       |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
       |      FROM w),
@@ -109,29 +153,31 @@ object TextOps {
 
   val q26MinHashLsh: QueryDef =
     QueryDef("q26_minhash_lsh", (s, d) => {
-      val w = toks(col("text"))
-      val shingles = array_distinct(transform(
-        sequence(lit(1), greatest(size(w) - 1, lit(1))),
-        i => concat(try_element_at(w, i), lit(" "), try_element_at(w, i + 1))))
-      val docs = documents(s, d).filter(col("doc_id") < 1000)
-        .select(col("doc_id"), shingles.as("tk"))
-      val tokens = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
-      val hashed = tokens.select(col("doc_id"), (tokHash(col("tok")) % P).as("hv"))
-      val permRows = perms.map { case (j, a, b) =>
-        org.apache.spark.sql.Row(j, a, b)
-      }
-      val permSchema = org.apache.spark.sql.types.StructType.fromDDL(
-        "j INT, a BIGINT, b BIGINT")
-      val permDf = s.createDataFrame(
-        s.sparkContext.parallelize(permRows, 1), permSchema)
-      val mh = hashed.crossJoin(broadcast(permDf))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min((col("a") * col("hv") + col("b")) % P).as("m"))
-        .withColumn("band", (col("j") / 4).cast("int"))
-      val sig = mh.groupBy(col("doc_id"), col("band"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("j"), col("m")))),
-            x => x.getField("m").cast("string")), ",").as("s"))
+      val idx = shingleIndex(s, d)
+      val hashed = idx.select(col("doc_id"), (tokHash(col("tok")) % P).as("hv"))
+      // one-pass signatures: the 16 minhashes are 16 declarative min()
+      // columns in a SINGLE Tungsten HashAggregate — one codegen pass
+      // over one row per token (not token×permutation as the relational
+      // oracle form shuffles), primitive fixed-width buffers, map-side
+      // partial combine, and the groupBy reuses the index's doc_id
+      // partitioning so no new shuffle. (The equivalent typed
+      // `MinHashAggregator` exists as the §2.I UDAF rung, but
+      // ObjectHashAggregate falls back to sort-based aggregation with
+      // serialized buffers past 128 groups — measured strictly slower
+      // here than the flat-min form.)
+      val sigCols = perms.map { case (j, a, b) =>
+        min((lit(a) * col("hv") + lit(b)) % P).as(s"m$j") }
+      val sigArr = hashed.groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail: _*)
+      // 4 bands of 4: band b's signature string = m[4b..4b+3] joined —
+      // same j-ordered string the relational/oracle form aggregates.
+      val bandCols = (0 until 4).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          concat_ws(",", (0 until 4).map(j =>
+            col(s"m${bIdx * 4 + j}").cast("string")): _*).as("s")) }
+      val sig = sigArr
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.s").as("s"))
       val x = sig.as("x")
       val y = sig.as("y")
       val cand = x.join(y,
@@ -139,12 +185,20 @@ object TextOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      val a = docs.select(col("doc_id").as("d1"), col("tk").as("tka"))
-      val b = docs.select(col("doc_id").as("d2"), col("tk").as("tkb"))
-      cand.join(a, "d1").join(b, "d2")
+      // exact-Jaccard verification through the inverted index: shared
+      // shingles counted per candidate pair (|A∩B| as an equi-join +
+      // count), |A∪B| = n1 + n2 - inter. Integer counts → the double
+      // division is bit-identical to the oracle's list_intersect form.
+      val sz = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val ia = idx.select(col("doc_id").as("d1"), col("tok"))
+      val ib = idx.select(col("doc_id").as("d2"), col("tok"))
+      cand.join(ia, "d1").join(ib, Seq("d2", "tok"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
         .withColumn("jac",
-          size(array_intersect(col("tka"), col("tkb"))).cast("double") /
-            size(array_union(col("tka"), col("tkb"))))
+          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
@@ -159,7 +213,7 @@ object TextOps {
   val q27JaccardPairs: QueryDef = sql(
     "q27_jaccard_pairs",
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
-      |           FROM documents WHERE doc_id < 300),
+      |           FROM documents),
       |d AS (SELECT doc_id, list_distinct(list_transform(
       |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
       |      FROM w),
@@ -172,14 +226,8 @@ object TextOps {
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
       |SELECT d1, d2, round(jac, 6) AS jaccard
       |FROM j WHERE jac >= 0.4 ORDER BY d1, d2""") { (s, d) =>
-    val w = toks(col("text"))
-    val shingles = array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - 1, lit(1))),
-      i => concat(try_element_at(w, i), lit(" "), try_element_at(w, i + 1))))
-    val docs = documents(s, d).filter(col("doc_id") < 300)
-      .select(col("doc_id"), shingles.as("tk"))
-    val sz = docs.select(col("doc_id"), size(col("tk")).as("n"))
-    val t = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+    val t = shingleIndex(s, d)
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = t.as("a")
     val b = t.as("b")
     val inter = a.join(b,
@@ -217,6 +265,11 @@ object TextOps {
     val t = documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      // explicit width ahead of the 48× bit-position expansion: AQE
+      // would coalesce the small token-count shuffle to one partition
+      // and serialize the md5 + 13M-row bit aggregation downstream; the
+      // (doc_id, i) and doc_id groupBys then reuse this partitioning.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val h = t.select(col("doc_id"), tokHash(col("tok")).as("hv"), col("cnt"))
     h.crossJoin(broadcast(
         s.range(0, 48).select(col("id").cast("int").as("i"))))
@@ -373,6 +426,8 @@ object TextOps {
     val t = documents(s, d).filter(col("doc_id") < 1000)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      // explicit width ahead of the 48× expansion (see q28).
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val h = t.select(col("doc_id"), tokHash(col("tok")).as("hv"), col("cnt"))
     val sh = h.crossJoin(broadcast(
         s.range(0, 48).select(col("id").cast("int").as("i"))))
@@ -400,24 +455,43 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Fuzzy entity matching: candidate duplicate pairs by edit distance
-    * over names — the classic record-linkage primitive. Bounded slice as
-    * the verifier; at scale candidates come from blocking (prefix or
-    * q-gram keys) before the distance computation.
+  /** Fuzzy entity matching over the FULL customer table: candidate pairs
+    * come from deletion-neighborhood blocking (FastSS, k=1) — each name
+    * emits itself plus every delete-one-char variant, and two names
+    * within edit distance 1 provably share a variant — so pair
+    * generation is an equi-join on the variant key, never all-pairs.
+    * The levenshtein ≤ 1 check then verifies candidates exactly.
     */
   val q48FuzzyMatch: QueryDef = sql(
     "q48_fuzzy_match",
-    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100)
-      |SELECT a.c_custkey AS k1, b.c_custkey AS k2,
-      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-      |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """WITH c AS (SELECT c_custkey, c_name FROM customer),
+      |v AS (SELECT c_custkey, c_name,
+      |        unnest(list_concat([c_name],
+      |          list_transform(range(1, length(c_name) + 1),
+      |            i -> substr(c_name, 1, i - 1)
+      |              || substr(c_name, i + 1, length(c_name))))) AS var
+      |      FROM c),
+      |cand AS (SELECT DISTINCT a.c_custkey AS k1, a.c_name AS n1,
+      |                b.c_custkey AS k2, b.c_name AS n2
+      |         FROM v a JOIN v b
+      |           ON a.var = b.var AND a.c_custkey < b.c_custkey)
+      |SELECT k1, k2, CAST(levenshtein(n1, n2) AS INT) AS dist
+      |FROM cand WHERE levenshtein(n1, n2) <= 1
       |ORDER BY k1, k2""") { (s, d) =>
-    val c = customer(s, d).filter(col("c_custkey") < 100)
-      .select(col("c_custkey"), col("c_name"))
-    val a = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"))
-    val b = c.select(col("c_custkey").as("k2"), col("c_name").as("n2"))
-    a.join(b, col("k1") < col("k2"))
+    val name = col("c_name")
+    val variants = concat(
+      array(name),
+      transform(sequence(lit(1), length(name)),
+        i => concat(name.substr(lit(1), i - lit(1)),
+          name.substr(i + lit(1), length(name)))))
+    val v = customer(s, d)
+      .select(col("c_custkey"), name, explode(variants).as("var"))
+    val a = v.select(col("c_custkey").as("k1"), name.as("n1"), col("var"))
+    val b = v.select(col("c_custkey").as("k2"), name.as("n2"), col("var"))
+    a.join(b, Seq("var"))
+      .filter(col("k1") < col("k2"))
+      .select(col("k1"), col("n1"), col("k2"), col("n2"))
+      .distinct()
       .select(col("k1"), col("k2"),
         levenshtein(col("n1"), col("n2")).cast("int").as("dist"))
       .filter(col("dist") <= 1)

@@ -36,4 +36,14 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(0) == 11.0)
     assert(rows(1).isNullAt(0))
   }
+
+  test("array<double> inputs fail at analysis instead of returning garbage") {
+    // getFloat over a double-backed ArrayData would reinterpret bytes;
+    // checkInputDataTypes must reject before execution.
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(vecDot(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<float>"))
+  }
 }
