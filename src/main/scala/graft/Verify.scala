@@ -17,6 +17,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // see Bench: small Tungsten pages — many short tasks would other-
+      // wise zero tens of MB each on sorter/map setup.
+      .config("spark.buffer.pageSize", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   *  - `innings` is int-typed via the `innings|number` chain; the
   *    reference's final `|team` fallback (a string in an int field) is
   *    dropped.
-  *  - a corpus must be schema-consistent per directory (all v1.0.0 or
-  *    all v1.1.0); Cricsheet exports are versioned per dump, so this
-  *    holds in practice.
+  *  - `info.officials` is null (not `{}`) when a corpus lacks the field.
+  *  - a mixed v1.0.0+v1.1.0 directory is supported: conflicting field
+  *    shapes (scalar vs dict `runs`, dict vs array `wickets`) infer as
+  *    raw JSON strings and normalize through the try_cast/from_json
+  *    fallbacks below (fixture-tested in `CricketEtlSpec`).
   *
   * Scale posture: ingestion of N match files is embarrassingly parallel
   * (one task per file split); normalization and explode are pure
@@ -34,10 +36,15 @@ import org.apache.spark.sql.types._
   */
 object CricketEtl {
 
-  /** A1 directory JSON scan: one row per match file
-    * (`etl_cricsheet_to_mongo.py:128-134`). */
+  /** A1 directory JSON scan: one row per match file. Only `*.json` files
+    * are read (`etl_cricsheet_to_mongo.py:128` — `f.endswith(".json")`):
+    * a stray README in the corpus directory is ignored, not ingested as
+    * `_corrupt_record` rows. */
   def readMatches(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("multiLine", true).json(dir)
+    spark.read
+      .option("multiLine", true)
+      .option("pathGlobFilter", "*.json")
+      .json(dir)
 
   // ---- schema-tolerant access (dict.get semantics) -------------------
 
@@ -116,7 +123,11 @@ object CricketEtl {
         coalesce(opt(raw, "info.teams").cast("array<string>"),
           array().cast("array<string>")).as("teams"),
         opt(raw, "info.venue").cast("string").as("venue"),
-        opt(raw, "info.city").cast("string").as("city")).as("info"),
+        opt(raw, "info.city").cast("string").as("city"),
+        // officials pass through with their inferred shape (`etl:61` —
+        // `info.get("officials", {})`); null when the corpus lacks them
+        // (the typed-null analog of the reference's `{}` default).
+        opt(raw, "info.officials").as("officials")).as("info"),
       struct(winner.as("winner"), result.as("result")).as("outcome"),
       // C3 tolerant ISO date parse (`etl:33-37`): null on garbage
       try_to_timestamp(dateStr).as("date"),
@@ -252,10 +263,19 @@ object CricketEtl {
   }
 
   /** A2/A3 sinks: idempotent whole-dataset overwrite replaces the
-    * reference's per-key upsert + unordered bulk insert. */
+    * reference's per-key upsert + unordered bulk insert. Duplicate `_id`s
+    * resolve deterministically last-write-wins in sorted-filename order —
+    * the same row the reference's `replace_one` upsert over sorted files
+    * keeps (`etl:128-136`) — via an `input_file_name`-ordered window, not
+    * an arbitrary-row `dropDuplicates`. */
   def writeTables(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val raw = readMatches(spark, srcDir)
-    normalizeMatches(raw).dropDuplicates("_id")
+    val w = Window.partitionBy("_id").orderBy(col("_src").desc)
+    normalizeMatches(raw)
+      .withColumn("_src", input_file_name())
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
       .write.mode("overwrite").parquet(s"$outDir/matches")
     deliveries(raw)
       .write.mode("overwrite").parquet(s"$outDir/deliveries")

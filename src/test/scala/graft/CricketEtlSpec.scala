@@ -33,6 +33,8 @@ class CricketEtlSpec extends AnyFunSuite {
       |    "gender": "male",
       |    "teams": ["India", "New Zealand"],
       |    "venue": "Eden Gardens", "city": "Kolkata",
+      |    "officials": {"umpires": ["HDPK Dharmasena", "RK Illingworth"],
+      |                  "match_referees": ["AJ Pycroft"]},
       |    "outcome": {"winner": "India", "by": {"runs": 20}}
       |  },
       |  "innings": [
@@ -90,6 +92,11 @@ class CricketEtlSpec extends AnyFunSuite {
     val m = CricketEtl.normalizeMatches(raw).collect().head
     assert(m.getAs[String]("_id") == "m001")
     assert(m.getAs[String]("source_version") == "1.1.0")
+    // officials survive normalization (`etl:61`)
+    val info = m.getStruct(m.fieldIndex("info"))
+    val officials = info.getStruct(info.fieldIndex("officials"))
+    assert(officials.getSeq[String](officials.fieldIndex("umpires")) ==
+      Seq("HDPK Dharmasena", "RK Illingworth"))
     val outcome = m.getStruct(m.fieldIndex("outcome"))
     assert(outcome.getAs[String]("result") == "India won by 20 runs")
     assert(m.getAs[java.sql.Timestamp]("date") != null)
@@ -234,6 +241,94 @@ class CricketEtlSpec extends AnyFunSuite {
     // fact table joins back to its dimension on the latent key (D4)
     assert(deliv.join(matches,
       deliv("matchId") === matches("_id")).count() == 3)
+  }
+
+  test("non-JSON files in the corpus directory are ignored (`etl:128`)") {
+    val dir = writeDir(
+      "a.json" -> v11Match,
+      "README.txt" -> "this is not a match file",
+      "notes.md" -> "{not json either")
+    val raw = CricketEtl.readMatches(spark, dir)
+    assert(raw.count() == 1)
+    assert(!raw.columns.contains("_corrupt_record"))
+    assert(CricketEtl.normalizeMatches(raw)
+      .collect().head.getAs[String]("_id") == "m001")
+  }
+
+  test("duplicate _id upsert keeps the last file in sorted order (`etl:129,136`)") {
+    // two files, same match_id, different city: replace_one over
+    // sorted files means z.json's version must win deterministically.
+    def withCity(city: String): String =
+      v11Match.replace("\"city\": \"Kolkata\"", s""""city": "$city"""")
+    val src = writeDir("a.json" -> withCity("First"),
+      "z.json" -> withCity("Last"))
+    val out = Files.createTempDirectory("cricket_lww").toString
+    CricketEtl.writeTables(spark, src, out)
+    val matches = spark.read.parquet(s"$out/matches").collect()
+    assert(matches.length == 1)
+    val info = matches.head.getStruct(matches.head.fieldIndex("info"))
+    assert(info.getAs[String]("city") == "Last")
+  }
+
+  private val mixedWicketsMatch =
+    """{
+      |  "meta": {"data_version": "1.1.0"},
+      |  "info": {
+      |    "match_id": "m003",
+      |    "dates": ["2023-04-01"],
+      |    "teams": ["X", "Y"], "city": "Pune",
+      |    "outcome": {"winner": "X", "by": {"runs": 5}}
+      |  },
+      |  "innings": [
+      |    {"innings": 1, "team": "X", "overs": [
+      |      {"over": 0, "deliveries": [
+      |        {"batter": "P Q", "non_striker": "A B", "bowler": "R S",
+      |         "ball": 1, "runs": {"batter": 1, "extras": 0, "total": 1},
+      |         "wickets": {"kind": "lbw", "player_out": "P Q"}}
+      |      ]}
+      |    ]}
+      |  ]
+      |}""".stripMargin
+
+  test("mixed v1.0.0+v1.1.0 corpus: conflicting runs/wickets shapes " +
+      "normalize through the raw-JSON string fallback (`etl:79-89`)") {
+    // one directory holding scalar runs (v1.0.0), dict runs (v1.1.0),
+    // array wickets, AND single-dict wickets: Spark's JSON inference
+    // resolves the conflicts to StringType, forcing the
+    // try_cast/get_json_object/from_json paths.
+    val dir = writeDir("a.json" -> v11Match, "b.json" -> v10Match,
+      "c.json" -> mixedWicketsMatch)
+    val raw = CricketEtl.readMatches(spark, dir)
+    // the fallback path must actually be engaged, not accidentally typed
+    import org.apache.spark.sql.types._
+    val innSt = raw.schema("innings").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val dSt = innSt("overs").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("deliveries").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(dSt("runs").dataType == StringType, "runs should infer as raw JSON")
+    assert(dSt("wickets").dataType == StringType, "wickets should infer as raw JSON")
+
+    val d = CricketEtl.deliveries(raw).orderBy("matchId", "ball").collect()
+    assert(d.length == 4)
+    val byMatch = d.groupBy(_.getAs[String]("matchId"))
+    // v1.1.0 dict runs through get_json_object
+    val m1 = byMatch("m001").sortBy(_.getAs[Int]("ball"))
+    assert(m1(0).getAs[Long]("runs_batter") == 4 &&
+      m1(0).getAs[Long]("runs_total") == 4)
+    assert(m1(1).getAs[Long]("runs_total") == 1) // batter+extras default
+    assert(m1(1).getSeq[Any](m1(1).fieldIndex("wickets")).length == 1)
+    // v1.0.0 scalar runs through try_cast
+    val m2 = byMatch("m002").head
+    assert(m2.getAs[Long]("runs_batter") == 6 &&
+      m2.getAs[Long]("runs_extras") == 0 && m2.getAs[Long]("runs_total") == 6)
+    val w2 = m2.getSeq[org.apache.spark.sql.Row](m2.fieldIndex("wickets"))
+    assert(w2.length == 1 && w2.head.getAs[String]("kind") == "caught")
+    // single-dict wickets under the v1.1 field name → singleton array
+    val m3 = byMatch("m003").head
+    val w3 = m3.getSeq[org.apache.spark.sql.Row](m3.fieldIndex("wickets"))
+    assert(w3.length == 1 && w3.head.getAs[String]("kind") == "lbw" &&
+      w3.head.getAs[String]("player_out") == "P Q")
   }
 
   test("partnership proxy counts ordered co-facing pairs (Cypher c)") {
