@@ -262,15 +262,20 @@ object TextOps {
       |      GROUP BY doc_id, i)
       |SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS simhash
       |FROM b GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
-    val t = documents(s, d)
+    // hv is a GROUP KEY, not a projected alias: Catalyst would otherwise
+    // collapse `md5(tok)` into the ×48-amplified bit expression after
+    // the crossJoin and recompute the digest 48× per token. Grouping by
+    // (doc_id, hash) is count-equivalent to grouping by (doc_id, tok) —
+    // the bit-sum is linear in cnt — and materializes hv once per token
+    // in the wide post-repartition stage. Explicit width: AQE would
+    // coalesce the small token shuffle to one partition and serialize
+    // the 13M-row bit aggregation that follows; the (doc_id, i) and
+    // doc_id groupBys reuse this partitioning with no further exchange.
+    val h = documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      // explicit width ahead of the 48× bit-position expansion: AQE
-      // would coalesce the small token-count shuffle to one partition
-      // and serialize the md5 + 13M-row bit aggregation downstream; the
-      // (doc_id, i) and doc_id groupBys then reuse this partitioning.
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val h = t.select(col("doc_id"), tokHash(col("tok")).as("hv"), col("cnt"))
+      .groupBy(col("doc_id"), tokHash(col("tok")).as("hv"))
+      .agg(count(lit(1)).as("cnt"))
     h.crossJoin(broadcast(
         s.range(0, 48).select(col("id").cast("int").as("i"))))
       .groupBy(col("doc_id"), col("i"))
@@ -423,12 +428,13 @@ object TextOps {
       |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(s1, s2)) <= 14
       |ORDER BY d1, d2""") { (s, d) =>
-    val t = documents(s, d).filter(col("doc_id") < 1000)
+    // hv as a group key + explicit width ahead of the ×48 expansion —
+    // same reasoning as q28.
+    val h = documents(s, d).filter(col("doc_id") < 1000)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      // explicit width ahead of the 48× expansion (see q28).
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val h = t.select(col("doc_id"), tokHash(col("tok")).as("hv"), col("cnt"))
+      .groupBy(col("doc_id"), tokHash(col("tok")).as("hv"))
+      .agg(count(lit(1)).as("cnt"))
     val sh = h.crossJoin(broadcast(
         s.range(0, 48).select(col("id").cast("int").as("i"))))
       .groupBy(col("doc_id"), col("i"))
