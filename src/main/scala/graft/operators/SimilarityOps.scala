@@ -153,30 +153,57 @@ object SimilarityOps {
     }
   }
 
-  /** IVF-style ANN: coarse-quantize every vector to its nearest of 16
-    * fixed centroids (the vectors with vec_id 0..15 — deterministic
-    * "k-means init" seeds), then search only the query's 2 nearest cells
-    * (nprobe=2) with exact cosine re-ranking. The inverted-file shape at
-    * scale: assignment is a map-side broadcast argmax, candidates meet
-    * on the cell id equi-join — learned centroids would slot in without
-    * changing the plan.
+  /** universal double dot product: works for float/double array mixes
+    * (each side cast per element), matching `sqlDot`'s CAST semantics —
+    * used where one operand is a learned (double) centroid. */
+  private def dotAny(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF ANN with LEARNED centroids: seed with the vectors vec_id 0..15,
+    * run one Lloyd iteration (assign every vector to its nearest seed,
+    * recompute each centroid as the mean of its cell), then
+    * coarse-quantize against the learned centroids and search only the
+    * query's 2 nearest cells (nprobe=2) with exact cosine re-ranking.
+    *
+    * Scale shape: assignments are map-side broadcast argmaxes —
+    * crossJoin(16 centroids) + partial `max_by` aggregation, no window
+    * sort over the full table; candidates meet on the cell-id equi-join.
+    * The centroid update is bit-reproducible across engines: per
+    * (cell, dimension) the component sum is an ordered left fold over
+    * vec_id (partitioning-independent), divided by the cell count in
+    * doubles — so the learned centroids, and every cosine derived from
+    * them, hash-match the oracle exactly.
     */
   val q44AnnIvf: QueryDef = {
-    val cent = s"""(SELECT vec_id AS c_id, embedding AS c_emb,
-       |        sqrt(${sqlDot("embedding", "embedding")}) AS c_nr
-       |        FROM embeddings WHERE vec_id < 16)""".stripMargin
     sql(
       "q44_ann_ivf",
       s"""WITH d AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
         |           FROM embeddings),
-        |cent AS $cent,
-        |asn AS (SELECT vec_id, embedding, nr, c_id,
-        |          ROW_NUMBER() OVER (PARTITION BY vec_id
-        |            ORDER BY ${sqlDot("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS crn
-        |        FROM d CROSS JOIN cent),
-        |cells AS (SELECT vec_id, embedding, nr, c_id FROM asn WHERE crn = 1),
+        |seeds AS (SELECT vec_id AS c_id, embedding AS c_emb, nr AS c_nr
+        |          FROM d WHERE vec_id < 16),
+        |a0 AS (SELECT vec_id, embedding, nr, c_id,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY ${sqlDot("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS rn
+        |       FROM d CROSS JOIN seeds),
+        |asn0 AS (SELECT vec_id, embedding, c_id FROM a0 WHERE rn = 1),
+        |comp AS (SELECT c_id, dim, CAST(embedding[dim] AS DOUBLE) AS v, vec_id
+        |         FROM asn0 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
+        |dm AS (SELECT c_id, dim,
+        |         list_reduce(list_concat([CAST(0 AS DOUBLE)],
+        |           list(v ORDER BY vec_id)), (acc, x) -> acc + x)
+        |           / count(*) AS m
+        |       FROM comp GROUP BY c_id, dim),
+        |cents AS (SELECT c_id, list(m ORDER BY dim) AS c_emb FROM dm GROUP BY c_id),
+        |cents2 AS (SELECT c_id, c_emb,
+        |             sqrt(${sqlDot("c_emb", "c_emb")}) AS c_nr FROM cents),
+        |a1 AS (SELECT vec_id, embedding, nr, c_id,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY ${sqlDot("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS crn
+        |       FROM d CROSS JOIN cents2),
+        |cells AS (SELECT vec_id, embedding, nr, c_id FROM a1 WHERE crn = 1),
         |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nr AS q_nr, c_id
-        |           FROM asn WHERE crn <= 2 AND vec_id < 5),
+        |           FROM a1 WHERE crn <= 2 AND vec_id < 5),
         |c AS (SELECT q_id, cells.vec_id AS neighbor,
         |        ${sqlDot("q_emb", "embedding")} / (q_nr * nr) AS cosine
         |      FROM probes JOIN cells ON cells.c_id = probes.c_id
@@ -188,18 +215,55 @@ object SimilarityOps {
         |ORDER BY q_id, rn""") { (s, d) =>
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
-      val cents = e.filter(col("vec_id") < 16)
+      val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("nr").as("c_nr"))
-      val wAsn = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id"))
-      val asn = e.crossJoin(broadcast(cents))
-        .withColumn("c_cos",
-          dot(col("embedding"), col("c_emb")) / (col("nr") * col("c_nr")))
-        .withColumn("crn", row_number().over(wAsn))
-      val cells = asn.filter(col("crn") === 1)
+      // argmax = max over (cosine, -c_id): lexicographic struct max ≡ the
+      // oracle's ORDER BY cosine DESC, c_id — a map-side partial agg, no
+      // window sort over the full table.
+      def assign(vecs: DataFrame, cs: DataFrame,
+          cosOf: (Column, Column) => Column): DataFrame =
+        vecs.crossJoin(broadcast(cs))
+          .withColumn("c_cos", cosOf(col("embedding"), col("c_emb")) /
+            (col("nr") * col("c_nr")))
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg")))
+              .as("c_id"),
+            first(col("embedding")).as("embedding"),
+            first(col("nr")).as("nr"))
+      val asn0 = assign(e, seeds, dot)
+      // Lloyd update: per (cell, dim) an ordered-fold sum over vec_id —
+      // identical double arithmetic in both engines regardless of
+      // partitioning — then mean, then reassemble dim-ordered arrays.
+      val comp = asn0
+        .select(col("vec_id"), col("c_id"), posexplode(col("embedding")))
+        .select(col("c_id"), col("pos").as("dim"),
+          col("col").cast("double").as("v"), col("vec_id"))
+      val dm = comp.groupBy(col("c_id"), col("dim"))
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"),
+          count(lit(1)).as("cnt"))
+        .select(col("c_id"), col("dim"),
+          (aggregate(transform(array_sort(col("vs")), x => x.getField("v")),
+            lit(0.0), (acc, x) => acc + x) / col("cnt")).as("m"))
+      val cents = dm.groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("c_emb"))
+        .select(col("c_id"), col("c_emb"),
+          sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
+      val asn1 = assign(e, cents, dotAny)
+      val cells = asn1
         .select(col("vec_id"), col("embedding"), col("nr"), col("c_id"))
-      val probes = asn.filter(col("crn") <= 2 && col("vec_id") < 5)
+      // query probes: top-2 learned centroids for the 5 query vectors —
+      // a window over 5×16 rows, trivially small.
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .crossJoin(broadcast(cents))
+        .withColumn("c_cos", dotAny(col("embedding"), col("c_emb")) /
+          (col("nr") * col("c_nr")))
+        .withColumn("crn", row_number().over(wProbe))
+        .filter(col("crn") <= 2)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nr").as("q_nr"), col("c_id"))
       val wRank = Window.partitionBy(col("q_id"))
