@@ -82,26 +82,32 @@ object GraphOps {
     e.unpersist()
     var ranks = ns.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
-      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
-      val contribs = eDeg
-        .join(rankSide, col("src") === col("node"))
-        .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("contrib"))
-        .groupBy("node").agg(sum("contrib").as("msg"))
-      // contribs is node-sized too: broadcast it into the left join so a
-      // whole iteration is broadcast-join → partial agg → broadcast-join,
-      // with no wide shuffle of ns.
-      val contribSide = if (broadcastRanks) broadcast(contribs) else contribs
-      ranks = ns
-        .join(contribSide, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
+      ranks = pageRankStep(eDeg, ns, ranks, damping, n, broadcastRanks)
       // checkpoint every 3rd iteration (and the last): bounds lineage and
       // recompute to a 3-iteration chain while keeping the number of
       // eager materialization jobs low.
       if (i % 3 == 0 || i == iters) ranks = pin(ranks)
     }
     ranks
+  }
+
+  /** One PageRank iteration — broadcast-join → partial agg →
+    * broadcast-left-join; both broadcast sides are node-sized, so no
+    * wide shuffle of edges or nodes occurs (plan pinned by
+    * `PlanAuditSpec`). */
+  private[graft] def pageRankStep(eDeg: DataFrame, ns: DataFrame,
+      ranks: DataFrame, damping: Double, n: Long,
+      broadcastRanks: Boolean): DataFrame = {
+    val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
+    val contribs = eDeg
+      .join(rankSide, col("src") === col("node"))
+      .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("contrib"))
+      .groupBy("node").agg(sum("contrib").as("msg"))
+    val contribSide = if (broadcastRanks) broadcast(contribs) else contribs
+    ns.join(contribSide, Seq("node"), "left")
+      .select(col("node"),
+        (lit((1 - damping) / n) +
+          lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
   }
 
   /** Node inventory by type — G2 MERGE-node dedup, verified relationally. */

@@ -56,4 +56,38 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = finalPlan(SparkEntry.queries("q07_supplier_pairs")(spark, sf))
     assert(!plan.contains("Join"), "pair counting should be join-free")
   }
+
+  test("q26 shingle pipeline is free of interpreted array lambdas") {
+    // higher-order functions are CodegenFallback; an ArrayTransform/
+    // ArrayFilter re-appearing in this plan means the O(n²) inline-split
+    // trap (see TextOps.shingleIndex) has re-formed.
+    val plan = finalPlan(SparkEntry.queries("q26_minhash_lsh")(spark, sf))
+    assert(!plan.contains("transform("), s"array lambda in q26 plan")
+    assert(!plan.contains("filter(lambdafunction"), s"array filter in q26 plan")
+  }
+
+  test("q48 fuzzy-match candidates come from an equi-join, not all-pairs") {
+    val plan = finalPlan(SparkEntry.queries("q48_fuzzy_match")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "all-pairs join in q48")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "theta-only join in q48")
+  }
+
+  test("PageRank iteration joins via pinned broadcasts, no sort-merge") {
+    // the q24 plan itself ends at a checkpoint scan; audit one iteration
+    // step directly.
+    import org.apache.spark.sql.functions._
+    val edges = graft.operators.GraphOps.facedEdges(spark, sf)
+      .select("src", "dst").distinct()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    // pinned inputs, as in pageRank itself — only the step's joins are
+    // under audit
+    val eDeg = edges.join(outDeg, "src").localCheckpoint()
+    val ns = graft.operators.GraphOps.nodes(edges).localCheckpoint()
+    val ranks = ns.withColumn("rank", lit(0.5))
+    val plan = finalPlan(graft.operators.GraphOps.pageRankStep(
+      eDeg, ns, ranks, 0.85, 2L, broadcastRanks = true))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "rank join fell back to a shuffle sort-merge join")
+  }
 }
