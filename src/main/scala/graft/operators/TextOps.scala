@@ -43,40 +43,31 @@ object TextOps {
   private def toks(c: Column): Column = split(trim(c), " ")
 
   /** Distinct-2-word-shingle inverted index: one row per (doc_id,
-    * shingle), built entirely from codegen operators — `posexplode` the
-    * whitespace tokens, pair each with its successor via a `lead` window
-    * over (doc_id, pos), concat, distinct.
+    * shingle), via the custom `ShingleGenerator` UDTF (§2.I) — the
+    * tokenizer is the generator's child, evaluated exactly once per
+    * document inside `GenerateExec`, then shingle rows stream out. No
+    * window/sort, and structurally immune to the optimizer alias-
+    * inlining that makes array-lambda formulations re-tokenize the
+    * document per element (O(n²) per doc; see ShingleGenerator docs).
     *
-    * Why not an array-lambda (`transform(sequence(...), i -> w[i] ||
-    * w[i+1])`)? Higher-order functions are CodegenFallback and get
-    * interpreted with NO common-subexpression elimination, and Catalyst
-    * freely re-inlines aliases into pushed-down predicates (e.g. the
-    * `size(tk) > 0` filter inferred from a downstream explode) — so the
-    * `split` ends up re-tokenizing the whole document per array element:
-    * O(n²) interpreted string work per doc, measured as minutes-vs-
-    * seconds at sf0.1. The window form is whole-stage-codegen end to
-    * end, immune to such rewrites, and costs exactly one shuffle by
-    * doc_id — which downstream per-doc aggregations (signatures, sizes)
-    * then reuse, needing no further exchange.
+    * The one shuffle is an EXPLICIT repartition (REPARTITION_BY_NUM):
+    * AQE would otherwise coalesce this small exchange to one partition
+    * and serialize the ~50× generator expansion plus the candidate join
+    * past it. The distinct (clustered by doc_id → no new exchange), the
+    * per-doc signature/size aggregations, and any broadcast-join probe
+    * over the index all inherit the full width.
     *
-    * Single-token docs yield no shingles (lead is null → filtered),
-    * matching DuckDB's `list_distinct` null-dropping semantics.
+    * Single-token docs yield no shingles, matching DuckDB's
+    * `list_distinct` null-dropping oracle semantics.
     */
   private def shingleIndex(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    // The one shuffle is an EXPLICIT repartition (REPARTITION_BY_NUM):
-    // AQE would otherwise coalesce this small exchange to one partition
-    // and serialize the candidate join downstream, which amplifies
-    // ~100× past it. The window (hash(doc_id) satisfied → sort only),
-    // the distinct (clustered by doc_id → no exchange), and any
-    // broadcast-join probe over the index all inherit the full width.
+    import org.apache.spark.sql.classic.GraftBridge
+    val shingles = GraftBridge.column(graft.functions.ShingleGenerator(
+      GraftBridge.expression(toks(col("text")))))
     documents(s, d)
-      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("nx", lead(col("col"), 1).over(w))
-      .filter(col("nx").isNotNull)
-      .select(col("doc_id"), concat(col("col"), lit(" "), col("nx")).as("tok"))
+      .select(col("doc_id"), shingles.as("tok"))
       .dropDuplicates("doc_id", "tok")
   }
 
