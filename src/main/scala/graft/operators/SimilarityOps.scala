@@ -93,8 +93,13 @@ object SimilarityOps {
       |      FROM d a JOIN d b ON a.vec_id < b.vec_id)
       |SELECT v1, v2, cosine FROM c WHERE cosine >= 0.4
       |ORDER BY v1, v2""") { (s, d) =>
+    // explicit width on the probe side: the v1<v2 theta join is a
+    // broadcast nested-loop whose parallelism equals the probe side's
+    // partitioning, and a few-file scan is a single partition — the
+    // N²/2 dot products would otherwise run single-threaded.
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
       col("nr").as("na"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
