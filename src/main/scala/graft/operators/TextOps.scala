@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -120,8 +121,10 @@ object TextOps {
     * per document, so the shuffle carries one row per token instead of
     * 16 (equality of the two forms is pinned by `MinHashAggregatorSpec`).
     */
-  private val minHashOracle: String =
-    s"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+  /** the shared CTE chain computing verified near-dup pairs (no final
+    * SELECT): `j` holds (d1, d2, jac) for all LSH candidates. */
+  private val minHashPairsCtes: String =
+    s"""w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
       |           FROM documents),
       |d AS (SELECT doc_id, list_distinct(list_transform(
       |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
@@ -138,12 +141,17 @@ object TextOps {
       |j AS (SELECT d1, d2,
       |        CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
       |          / len(list_distinct(list_concat(a.tk, b.tk))) AS jac
-      |      FROM cand JOIN d a ON a.doc_id = d1 JOIN d b ON b.doc_id = d2)
+      |      FROM cand JOIN d a ON a.doc_id = d1 JOIN d b ON b.doc_id = d2)""".stripMargin.trim
+
+  private val minHashOracle: String =
+    s"""WITH $minHashPairsCtes
       |SELECT d1, d2, round(jac, 6) AS jaccard
       |FROM j WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin.trim
 
-  val q26MinHashLsh: QueryDef =
-    QueryDef("q26_minhash_lsh", (s, d) => {
+  /** Verified near-duplicate pairs (d1 < d2, exact jaccard ≥ 0.5) — the
+    * full q26 pipeline minus presentation; shared with the clustering
+    * operator (q49). */
+  def minHashPairs(s: SparkSession, d: String): DataFrame = {
       val idx = shingleIndex(s, d)
       val hashed = idx.select(col("doc_id"), (tokHash(col("tok")) % P).as("hv"))
       // one-pass signatures: the 16 minhashes are 16 declarative min()
@@ -191,9 +199,15 @@ object TextOps {
         .withColumn("jac",
           col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
         .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  val q26MinHashLsh: QueryDef =
+    QueryDef("q26_minhash_lsh", (s, d) =>
+      minHashPairs(s, d)
         .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))
-    }, Some(minHashOracle))
+        .orderBy(col("d1"), col("d2")),
+      Some(minHashOracle))
 
   /** Exact n-gram Jaccard pairs on 2-word shingles through the inverted
     * shingle index: documents only meet on shared shingles — the
@@ -495,8 +509,130 @@ object TextOps {
       .orderBy(col("k1"), col("k2"))
   }
 
+  /** Near-duplicate CLUSTERING: the step after pair detection in a real
+    * dedup pipeline — group the verified MinHash pairs into connected
+    * components and pick one representative per cluster. Labels via
+    * bounded min-label propagation (3 rounds: exact for components of
+    * diameter ≤ 3, which near-dup clusters are in practice); the round
+    * count is mirrored exactly in the oracle, so results are
+    * hash-verified rather than rows-only. Each round is one
+    * edge⋈label join + groupBy-min — the same shape PageRank iterates,
+    * join keys only, no all-pairs.
+    */
+  val q49DedupClusters: QueryDef = sql(
+    "q49_dedup_clusters",
+    s"""WITH $minHashPairsCtes,
+      |pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+      |nodes AS (SELECT DISTINCT doc_id
+      |          FROM (SELECT d1 AS doc_id FROM pairs
+      |                UNION ALL SELECT d2 FROM pairs)),
+      |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |      UNION ALL SELECT d2, d1 FROM pairs),
+      |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+      |l1 AS (SELECT l.doc_id, least(l.lbl, min(n.lbl)) AS lbl
+      |       FROM l0 l JOIN e ON e.a = l.doc_id JOIN l0 n ON n.doc_id = e.b
+      |       GROUP BY l.doc_id, l.lbl),
+      |l2 AS (SELECT l.doc_id, least(l.lbl, min(n.lbl)) AS lbl
+      |       FROM l1 l JOIN e ON e.a = l.doc_id JOIN l1 n ON n.doc_id = e.b
+      |       GROUP BY l.doc_id, l.lbl),
+      |l3 AS (SELECT l.doc_id, least(l.lbl, min(n.lbl)) AS lbl
+      |       FROM l2 l JOIN e ON e.a = l.doc_id JOIN l2 n ON n.doc_id = e.b
+      |       GROUP BY l.doc_id, l.lbl)
+      |SELECT lbl AS cluster, count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM l3 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    // materialize the (small) verified pair set once: three label
+    // iterations each reference it twice, and lazy lineage would re-run
+    // the whole LSH pipeline ~7×.
+    val pairs = minHashPairs(s, d).select(col("d1"), col("d2")).localCheckpoint()
+    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    val nodes = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    var lbl = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val nb = lbl.select(col("doc_id").as("nb_id"), col("lbl").as("nb_lbl"))
+      lbl = lbl.join(e, lbl("doc_id") === col("a"))
+        .join(nb, col("b") === col("nb_id"))
+        .groupBy(lbl("doc_id").as("doc_id"), lbl("lbl").as("l0"))
+        .agg(min(col("nb_lbl")).as("mn"))
+        .select(col("doc_id"), least(col("l0"), col("mn")).as("lbl"))
+    }
+    lbl.groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Deterministic train/valid/test split: bucket by a stable content-
+    * independent hash of the document id (md5 → int64 → mod 10; 80/10/10)
+    * — reproducible across runs, engines, and repartitioning, the
+    * standard way to split a 100 TB corpus without a shuffle or an RNG.
+    */
+  val q50TrainSplit: QueryDef = sql(
+    "q50_train_split",
+    """WITH x AS (SELECT lang,
+      |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 8 THEN 'train'
+      |            WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split,
+      |       lang, count(*) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    documents(s, d)
+      .select(col("lang"),
+        (tokHash(col("doc_id").cast("string")) % 10).as("bucket"))
+      .select(
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "valid")
+          .otherwise("test").as("split"),
+        col("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** TF-IDF top terms per document: tf from the per-doc token counts,
+    * idf = ln(N/df) over the FULL corpus (the filter to the reported
+    * doc slice applies only to the tf side), top-3 by score with a
+    * total tie-break. ln and the double arithmetic are identical in
+    * both engines, so scores hash-match without tolerance.
+    */
+  val q51TfIdf: QueryDef = sql(
+    "q51_tfidf_terms",
+    """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |tfall AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dfq AS (SELECT tok, count(*) AS df FROM tfall GROUP BY 1),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT doc_id, tok, tf * ln(CAST(n AS DOUBLE) / df) AS score
+      |       FROM tfall JOIN dfq USING (tok) CROSS JOIN nd
+      |       WHERE doc_id < 100),
+      |r AS (SELECT doc_id, tok, score,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id
+      |          ORDER BY score DESC, tok) AS rn
+      |      FROM sc)
+      |SELECT doc_id, tok AS term, round(score, 6) AS score, rn
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""") { (s, d) =>
+    val tfall = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfq = tfall.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = documents(s, d).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tfall.filter(col("doc_id") < 100)
+      .join(dfq, "tok")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("tok").as("term"),
+        round(col("score"), 6).as("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
-    q40SimHashPairs, q48FuzzyMatch)
+    q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q50TrainSplit,
+    q51TfIdf)
 }
