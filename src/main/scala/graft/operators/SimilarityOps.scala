@@ -111,14 +111,38 @@ object SimilarityOps {
       .orderBy(col("v1"), col("v2"))
   }
 
-  /** Sign-LSH bucketed ANN: 8-bit bucket from the signs of the first 8
-    * coordinates (axis-aligned random-hyperplane LSH); candidates meet
-    * on the bucket key (equi-join shuffle, never all-pairs), then exact
+  /** The 8 random hyperplanes for sign-LSH, as 64-dim literal vectors.
+    * Components are k/64 with k from a fixed LCG in [-48, 48]: every
+    * value is exactly representable in BOTH float32 and float64 and has
+    * an exact decimal literal, so the Spark plan (float literals through
+    * the codegen dot) and the oracle SQL (double literals) compute
+    * bit-identical projections and agree on every sign. */
+  private val hyperplanes: Array[Array[Float]] = {
+    var seed = 20260812L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); seed }
+    Array.fill(8) {
+      Array.fill(64) {
+        val k = (math.floorMod(next() >>> 16, 97L) - 48L).toInt
+        k / 64.0f
+      }
+    }
+  }
+
+  private def sqlPlaneLit(p: Array[Float]): String =
+    p.map(v => {
+      val k = math.round(v * 64)
+      s"CAST($k AS DOUBLE) / 64"
+    }).mkString("([", ", ", "])")
+
+  /** Sign-LSH bucketed ANN: 8-bit bucket from the signs of the vector's
+    * projections onto 8 fixed random hyperplanes; candidates meet on
+    * the bucket key (equi-join shuffle, never all-pairs), then exact
     * cosine re-ranks the bucket. Returns top-5 per query with the rank.
     */
   val q35AnnLshBucketed: QueryDef = {
-    val sqlBucket = (1 to 8)
-      .map(k => s"(CASE WHEN embedding[$k] > 0 THEN ${1 << (k - 1)} ELSE 0 END)")
+    val sqlBucket = hyperplanes.zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN ${sqlDot("embedding", sqlPlaneLit(p))} > 0 THEN ${1 << j} ELSE 0 END)" }
       .mkString(" + ")
     sql(
       "q35_ann_lsh_bucketed",
@@ -136,8 +160,11 @@ object SimilarityOps {
         |      FROM c)
         |SELECT q_id, neighbor, cosine, rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""") { (s, d) =>
-      val bucket = (0 until 8)
-        .map(k => when(element_at(col("embedding"), k + 1) > 0, 1 << k).otherwise(0))
+      // projections via the codegen float dot against literal plane
+      // vectors — pure map-side, 8 fused expressions per row.
+      val bucket = hyperplanes.zipWithIndex
+        .map { case (p, j) =>
+          when(dot(col("embedding"), typedlit(p)) > 0, 1 << j).otherwise(0) }
         .reduce(_ + _)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"),
