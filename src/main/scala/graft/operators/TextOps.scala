@@ -495,7 +495,13 @@ object TextOps {
       transform(sequence(lit(1), length(name)),
         i => concat(name.substr(lit(1), i - lit(1)),
           name.substr(i + lit(1), length(name)))))
+    // explicit width ahead of the ~L× variant explosion (the lambda
+    // indexes the c_name attribute — O(L) per name, no inline-split
+    // trap — but a single-file scan would run the whole expansion and
+    // the variant join in one task).
     val v = customer(s, d)
+      .select(col("c_custkey"), name)
+      .repartition(s.sparkContext.defaultParallelism, col("c_custkey"))
       .select(col("c_custkey"), name, explode(variants).as("var"))
     val a = v.select(col("c_custkey").as("k1"), name.as("n1"), col("var"))
     val b = v.select(col("c_custkey").as("k2"), name.as("n2"), col("var"))
