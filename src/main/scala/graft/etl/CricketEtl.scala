@@ -281,6 +281,34 @@ object CricketEtl {
       .write.mode("overwrite").parquet(s"$outDir/deliveries")
   }
 
+  /** A2 incremental path: per-PARTITION upsert via dynamic partition
+    * overwrite. `writeTables` models the reference's full reload; this
+    * models `replace_one(upsert=True)` for an incremental delta corpus —
+    * re-ingesting a delta replaces ONLY the (match_type) partitions the
+    * delta touches and leaves every other partition untouched, with no
+    * table-format dependencies. At 100 TB this is the nightly-ingest
+    * shape: partition by a coarse business key, overwrite the changed
+    * partitions, never rewrite the table.
+    */
+  def upsertMatchesByPartition(spark: SparkSession, srcDir: String,
+      outDir: String): Unit = {
+    val w = Window.partitionBy("_id").orderBy(col("_src").desc)
+    val norm = normalizeMatches(readMatches(spark, srcDir))
+      .withColumn("_src", input_file_name())
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
+      .withColumn("p_type",
+        coalesce(col("info.match_type"), lit("unknown")))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try norm.write.mode("overwrite").partitionBy("p_type").parquet(outDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   // ---- graph builders (§2.G, `neo4j_loader.py`) ----------------------
 
   /** B2 validation filter (`neo4j_loader.py:56-57,104-110`). */

@@ -331,6 +331,28 @@ class CricketEtlSpec extends AnyFunSuite {
       w3.head.getAs[String]("player_out") == "P Q")
   }
 
+  test("incremental upsert: a delta corpus replaces only its partitions") {
+    val out = Files.createTempDirectory("cricket_parted").toString + "/m"
+    // full load: a T20 match and an ODI-less (unknown) match
+    CricketEtl.upsertMatchesByPartition(spark,
+      writeDir("a.json" -> v11Match, "b.json" -> v10Match), out)
+    val full = spark.read.parquet(out)
+    assert(full.count() == 2)
+    assert(full.select("p_type").distinct().count() == 2)
+
+    // delta: ONLY the T20 match, with a changed city
+    val delta = v11Match.replace("\"city\": \"Kolkata\"", "\"city\": \"Chennai\"")
+    CricketEtl.upsertMatchesByPartition(spark,
+      writeDir("a.json" -> delta), out)
+    val after = spark.read.parquet(out).collect()
+    // the untouched partition survives, the touched one is replaced
+    assert(after.length == 2)
+    val m1 = after.find(_.getAs[String]("_id") == "m001").get
+    val info1 = m1.getStruct(m1.fieldIndex("info"))
+    assert(info1.getAs[String]("city") == "Chennai")
+    assert(after.exists(_.getAs[String]("_id") == "m002"))
+  }
+
   test("partnership proxy counts ordered co-facing pairs (Cypher c)") {
     val faced = Seq(
       ("A", "X", "T1"), ("A", "X", "T1"), ("B", "X", "T1"), ("C", "Y", "T1"))
