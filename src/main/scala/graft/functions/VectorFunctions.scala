@@ -77,10 +77,82 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Mixed-precision dot product: each side may be `array<float>` or
+  * `array<double>`; every element is promoted to double and the sum is
+  * the same left fold as `FloatVectorDot` and the oracle's
+  * `list_reduce` — bit-identical to the composable
+  * `aggregate(zip_with(a,b,(x,y)=>xd*yd),0.0,+)` form, which is
+  * CodegenFallback and interprets two lambdas per row. Used where one
+  * operand is a learned (double) centroid.
+  */
+case class MixedVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_dot_any requires array<float>/array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      def get(arr: String, float: Boolean) =
+        if (float) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MixedVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** `dot(a, b)` over two `array<float>` columns, as a native codegen
     * expression. */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(
       FloatVectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** `dot(a, b)` where either side is `array<float>` or `array<double>`
+    * (same left fold in doubles). */
+  def vecDotAny(a: Column, b: Column): Column =
+    GraftBridge.column(
+      MixedVectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

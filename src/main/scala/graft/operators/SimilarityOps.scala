@@ -186,11 +186,11 @@ object SimilarityOps {
   }
 
   /** universal double dot product: works for float/double array mixes
-    * (each side cast per element), matching `sqlDot`'s CAST semantics —
-    * used where one operand is a learned (double) centroid. */
+    * (each element promoted to double), matching `sqlDot`'s CAST
+    * semantics — used where one operand is a learned (double) centroid.
+    * Native codegen (`MixedVectorDot`), bit-identical to the HOF fold. */
   private def dotAny(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDotAny(a, b)
 
   /** IVF ANN with LEARNED centroids: seed with the vectors vec_id 0..15,
     * run one Lloyd iteration (assign every vector to its nearest seed,

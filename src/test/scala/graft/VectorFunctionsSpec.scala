@@ -37,6 +37,21 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("mixed float/double dot is bit-identical to the higher-order fold") {
+    import graft.functions.VectorFunctions.vecDotAny
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(100)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val got = rows.toDF("a", "b")
+      .select(vecDotAny(col("a"), col("b")).as("native"), hofDot.as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("array<double> inputs fail at analysis instead of returning garbage") {
     // getFloat over a double-backed ArrayData would reinterpret bytes;
     // checkInputDataTypes must reject before execution.
