@@ -18,4 +18,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(v == 11.0)
   }
+
+  test("vec_dot_any accepts mixed float/double arrays from SQL") {
+    GraftBridge.registerFunction(spark, "vec_dot_any",
+      exprs => graft.functions.MixedVectorDot(exprs(0), exprs(1)))
+    val v = spark.sql(
+      """SELECT vec_dot_any(
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(3.0D, 4.0D)) AS d""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("shingles UDTF works in a LATERAL VIEW") {
+    GraftBridge.registerFunction(spark, "shingles",
+      exprs => graft.functions.ShingleGenerator(exprs(0)))
+    val rows = spark.sql(
+      """SELECT s.shingle
+        |FROM (SELECT 'a b c' AS t)
+        |LATERAL VIEW shingles(split(t, ' ')) s AS shingle""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a b", "b c"))
+  }
 }
