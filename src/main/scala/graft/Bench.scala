@@ -22,12 +22,19 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink materializes the FULL plan (final sorts, computed output
       // columns) — .count() would let Catalyst prune them and under-report.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); true }
       val secs = (System.nanoTime() - t0) / 1e9
       // per-query progress on stderr (stdout stays the one-line contract)
       System.err.println(f"[bench] $name%-24s $secs%.2f s")
-      name -> secs
+      // isolation between measurements (outside the timed region, JMH-
+      // style): settle GC and freed broadcasts so one query's cleanup
+      // isn't billed to the next.
+      System.gc()
+      Thread.sleep(200)
+      name -> (if (failed) -1.0 else secs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
