@@ -82,6 +82,34 @@ object StreamingOps {
       }
   }
 
+  final case class Alert(user_id: Long, crossed: Double, total: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState — the 0..N-outputs
+    * shape `mapGroupsWithState` cannot express: emit one alert row each
+    * time a user's running |value| total crosses another multiple of
+    * `step`. The monotone accumulator makes the emitted-alert count
+    * independent of micro-batch boundaries (floor(final/step) total),
+    * which the spec exploits to verify against a batch aggregate.
+    */
+  def thresholdAlerts(events: DataFrame, step: Double = 50.0): Dataset[Alert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), abs(col("value")).cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Double]) =>
+          val prev = state.getOption.getOrElse(0.0)
+          var total = prev
+          rows.foreach { case (_, v) => total += v }
+          state.update(total)
+          val from = math.floor(prev / step).toLong
+          val to = math.floor(total / step).toLong
+          ((from + 1) to to).iterator.map(k => Alert(uid, k * step, total))
+      }
+  }
+
   /** Drive any of the above to a named in-memory sink until the source
     * is drained — the synchronous local smoke path. */
   def runToMemory(df: DataFrame, name: String,

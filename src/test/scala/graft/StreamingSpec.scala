@@ -60,6 +60,26 @@ class StreamingSpec extends AnyFunSuite {
       .filter(lastPerUser("n") =!= batch("n")).count() == 0)
   }
 
+  test("flatMapGroupsWithState emits exactly floor(total/step) alerts per user") {
+    val stream = StreamingOps.eventStream(spark, eventsDir)
+    StreamingOps.runToMemory(
+      StreamingOps.thresholdAlerts(stream, step = 50.0).toDF(), "alerts_out",
+      OutputMode.Append)
+    val got = spark.table("alerts_out")
+      .groupBy("user_id").agg(count(lit(1)).as("n_alerts"))
+    // monotone accumulator → alert count is batch-boundary-independent:
+    // floor(sum(|value|)/step) per user
+    val expected = spark.read.schema(StreamingOps.rawSchema)
+      .parquet(eventsDir)
+      .groupBy("user_id")
+      .agg(floor(sum(abs(col("value"))) / 50.0).as("expected"))
+      .filter(col("expected") > 0)
+    assert(spark.table("alerts_out").count() > 0)
+    assert(expected.join(got, Seq("user_id"), "left")
+      .filter(coalesce(col("n_alerts"), lit(0L)) =!= col("expected"))
+      .count() == 0)
+  }
+
   test("session windows produce at least one session per active user") {
     val stream = StreamingOps.eventStream(spark, eventsDir)
     StreamingOps.runToMemory(
