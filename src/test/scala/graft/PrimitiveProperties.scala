@@ -61,4 +61,41 @@ object PrimitiveProperties extends Properties("primitives") {
       java.lang.Double.doubleToLongBits(got) ==
         java.lang.Double.doubleToLongBits(want)
     }
+
+  private val doubles = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+
+  property("MixedVectorDot(float, double) equals the promoted double fold") =
+    forAll(floats, doubles) { (a, b) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+      val expr = graft.functions.MixedVectorDot(
+        Literal(new GenericArrayData(a.toArray), ArrayType(FloatType)),
+        Literal(new GenericArrayData(b.toArray), ArrayType(DoubleType)))
+      val got = expr.eval(null).asInstanceOf[Double]
+      val want = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y
+      }
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want)
+    }
+
+  private val tokens = Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))
+
+  property("ShingleGenerator emits exactly n-1 adjacent pairs in order") =
+    forAll(tokens) { ts =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = new GenericArrayData(
+        ts.map(t => UTF8String.fromString(t)).toArray[Any])
+      val gen = graft.functions.ShingleGenerator(
+        Literal(arr, ArrayType(StringType)))
+      val rows = gen.eval(null).iterator.toSeq
+        .map(_.getUTF8String(0).toString)
+      val want = ts.sliding(2).filter(_.length == 2)
+        .map(p => s"${p(0)} ${p(1)}").toSeq
+      rows == want
+    }
 }
