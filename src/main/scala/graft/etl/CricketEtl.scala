@@ -281,31 +281,75 @@ object CricketEtl {
       .write.mode("overwrite").parquet(s"$outDir/deliveries")
   }
 
-  /** A2 incremental path: per-PARTITION upsert via dynamic partition
+  /** A2 incremental path: per-row upsert (`replace_one(upsert=True)`,
+    * `etl_cricsheet_to_mongo.py:136`) on top of dynamic partition
     * overwrite. `writeTables` models the reference's full reload; this
-    * models `replace_one(upsert=True)` for an incremental delta corpus —
-    * re-ingesting a delta replaces ONLY the (match_type) partitions the
-    * delta touches and leaves every other partition untouched, with no
-    * table-format dependencies. At 100 TB this is the nightly-ingest
-    * shape: partition by a coarse business key, overwrite the changed
-    * partitions, never rewrite the table.
+    * is the nightly-ingest shape at 100 TB: partition by a coarse
+    * business key, rewrite only the partitions the delta touches, never
+    * the table.
+    *
+    * A partition is "touched" if the delta writes into it OR it holds a
+    * stale copy of a delta `_id` (a match whose `match_type` changed
+    * between ingests moves partitions; the old row must go). Touched
+    * partitions are rewritten as delta rows ∪ their existing
+    * not-superseded rows, so `_id` stays unique table-wide and
+    * untouched partitions are never read or written.
     */
   def upsertMatchesByPartition(spark: SparkSession, srcDir: String,
       outDir: String): Unit = {
     val w = Window.partitionBy("_id").orderBy(col("_src").desc)
-    val norm = normalizeMatches(readMatches(spark, srcDir))
+    val delta = normalizeMatches(readMatches(spark, srcDir))
       .withColumn("_src", input_file_name())
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_src", "_rn")
       .withColumn("p_type",
         coalesce(col("info.match_type"), lit("unknown")))
+    // first load, or a missing/empty target, degrades to a plain write
+    val tableExists =
+      scala.util.Try(spark.read.parquet(outDir).isEmpty).toOption.contains(false)
+    // the partition key is a coarse business key (match_type: a handful
+    // of values by design), so the touched-partition LIST is driver-sized
+    // even at 100 TB; collecting it buys partition pruning on the
+    // existing scan and lets us detect partitions the delta empties.
+    val (toWrite, emptied) =
+      if (!tableExists) (delta, Seq.empty[String])
+      else {
+        val existing = spark.read.parquet(outDir)
+        val deltaIds = broadcast(delta.select("_id"))
+        // partitions the delta lands in, plus old homes of delta _ids
+        val touched = delta.select("p_type")
+          .union(existing.join(deltaIds, Seq("_id"), "left_semi")
+            .select("p_type"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val keep = existing
+          .filter(col("p_type").isin(touched: _*))
+          .join(deltaIds, Seq("_id"), "left_anti")
+        // materialize before the write: the output partitions are also
+        // inputs, and a file-source overwrite of a path it reads is
+        // (rightly) rejected. Local checkpoint is fine at delta scale —
+        // only touched partitions' survivors are held; on a cluster
+        // use a reliable checkpoint/staging dir instead.
+        val out = delta.unionByName(keep).localCheckpoint()
+        // a partition whose every row was superseded writes no rows, so
+        // dynamic overwrite would leave its stale files — drop it by hand
+        val written = out.select("p_type").distinct()
+          .collect().map(_.getString(0)).toSet
+        (out, touched.filterNot(written))
+      }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try norm.write.mode("overwrite").partitionBy("p_type").parquet(outDir)
+    try toWrite.write.mode("overwrite").partitionBy("p_type").parquet(outDir)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(outDir, s"p_type=$v"), true)
+      }
     }
   }
 

@@ -23,11 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `sum += (double)a[i] * (double)b[i]` fold the higher-order form (and
   * the DuckDB oracle's list_reduce) computes, so results stay
   * bit-identical with the verified semantics.
+  *
+  * Length mismatch ⇒ NULL — the same answer the composable form gives
+  * (`zip_with` pads the short side with null, the product and sum then
+  * propagate it) and the oracle's list_reduce produces; a silent
+  * truncated partial product would diverge from both.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // mismatched lengths yield NULL even for non-null inputs
+  override def nullable: Boolean = true
 
   // strict float-array inputs: getFloat over an array<double> would
   // reinterpret bytes and return silently wrong products — reject at
@@ -47,7 +55,8 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -63,12 +72,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -84,11 +97,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * `aggregate(zip_with(a,b,(x,y)=>xd*yd),0.0,+)` form, which is
   * CodegenFallback and interprets two lambdas per row. Used where one
   * operand is a learned (double) centroid.
+  *
+  * Length mismatch ⇒ NULL (same contract and rationale as
+  * [[FloatVectorDot]]).
   */
 case class MixedVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // mismatched lengths yield NULL even for non-null inputs
+  override def nullable: Boolean = true
 
   private def elemOk(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -107,7 +126,8 @@ case class MixedVectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
     var s = 0.0
@@ -129,12 +149,16 @@ case class MixedVectorDot(left: Expression, right: Expression)
       def get(arr: String, float: Boolean) =
         if (float) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -71,24 +71,32 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
       broadcastRanks: Boolean = true,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e = edges.select("src", "dst").distinct().cache()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val eDeg = pin(e.join(outDeg, "src"))
-    val ns = pin(nodes(e))
-    val n = ns.count()
-    e.unpersist()
-    var ranks = ns.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iters) {
-      ranks = pageRankStep(eDeg, ns, ranks, damping, n, broadcastRanks)
-      // checkpoint every 3rd iteration (and the last): bounds lineage and
-      // recompute to a 3-iteration chain while keeping the number of
-      // eager materialization jobs low.
-      if (i % 3 == 0 || i == iters) ranks = pin(ranks)
-    }
-    ranks
+    val sc = edges.sparkSession.sparkContext
+    // setCheckpointDir is session-global; restore the caller's value so a
+    // library call doesn't silently redirect unrelated jobs' checkpoints.
+    // All checkpoint() calls below are eager, so every file this run
+    // writes lands before the restore.
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try {
+      def pin(df: DataFrame): DataFrame =
+        if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      val e = edges.select("src", "dst").distinct().cache()
+      val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      val eDeg = pin(e.join(outDeg, "src"))
+      val ns = pin(nodes(e))
+      val n = ns.count()
+      e.unpersist()
+      var ranks = ns.withColumn("rank", lit(1.0 / n))
+      for (i <- 1 to iters) {
+        ranks = pageRankStep(eDeg, ns, ranks, damping, n, broadcastRanks)
+        // checkpoint every 3rd iteration (and the last): bounds lineage and
+        // recompute to a 3-iteration chain while keeping the number of
+        // eager materialization jobs low.
+        if (i % 3 == 0 || i == iters) ranks = pin(ranks)
+      }
+      ranks
+    } finally if (checkpointDir.isDefined) sc.setCheckpointDir(prevCheckpointDir.orNull)
   }
 
   /** One PageRank iteration — broadcast-join → partial agg →

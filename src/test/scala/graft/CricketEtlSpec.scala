@@ -331,26 +331,52 @@ class CricketEtlSpec extends AnyFunSuite {
       w3.head.getAs[String]("player_out") == "P Q")
   }
 
-  test("incremental upsert: a delta corpus replaces only its partitions") {
+  test("incremental upsert: per-row merge within touched partitions") {
     val out = Files.createTempDirectory("cricket_parted").toString + "/m"
-    // full load: a T20 match and an ODI-less (unknown) match
+    // full load: two T20 matches and a match-type-less (unknown) match
+    val m004 = v11Match
+      .replace("\"match_id\": \"m001\"", "\"match_id\": \"m004\"")
+      .replace("\"city\": \"Kolkata\"", "\"city\": \"Mumbai\"")
     CricketEtl.upsertMatchesByPartition(spark,
-      writeDir("a.json" -> v11Match, "b.json" -> v10Match), out)
+      writeDir("a.json" -> v11Match, "b.json" -> v10Match, "d.json" -> m004),
+      out)
     val full = spark.read.parquet(out)
-    assert(full.count() == 2)
+    assert(full.count() == 3)
     assert(full.select("p_type").distinct().count() == 2)
 
-    // delta: ONLY the T20 match, with a changed city
+    // delta: ONLY m001, with a changed city — its partition SIBLING m004
+    // and the untouched partition (m002) both survive the rewrite
     val delta = v11Match.replace("\"city\": \"Kolkata\"", "\"city\": \"Chennai\"")
     CricketEtl.upsertMatchesByPartition(spark,
       writeDir("a.json" -> delta), out)
     val after = spark.read.parquet(out).collect()
-    // the untouched partition survives, the touched one is replaced
-    assert(after.length == 2)
+    assert(after.length == 3)
     val m1 = after.find(_.getAs[String]("_id") == "m001").get
     val info1 = m1.getStruct(m1.fieldIndex("info"))
     assert(info1.getAs[String]("city") == "Chennai")
     assert(after.exists(_.getAs[String]("_id") == "m002"))
+    assert(after.exists(_.getAs[String]("_id") == "m004"))
+
+    // delta: m001's match_type changes T20→ODI — the stale T20 copy must
+    // go (replace_one semantics: one row per _id, wherever it lives now)
+    val moved = delta.replace("\"match_type\": \"T20\"", "\"match_type\": \"ODI\"")
+    CricketEtl.upsertMatchesByPartition(spark,
+      writeDir("a.json" -> moved), out)
+    val afterMove = spark.read.parquet(out).collect()
+    assert(afterMove.length == 3)
+    val m1Rows = afterMove.filter(_.getAs[String]("_id") == "m001")
+    assert(m1Rows.length == 1 && m1Rows.head.getAs[String]("p_type") == "ODI")
+    assert(afterMove.count(_.getAs[String]("p_type") == "T20") == 1) // m004
+
+    // delta: m004 moves out too — the emptied T20 partition directory is
+    // dropped, not left holding a stale copy
+    val moved4 = m004.replace("\"match_type\": \"T20\"", "\"match_type\": \"ODI\"")
+    CricketEtl.upsertMatchesByPartition(spark,
+      writeDir("d.json" -> moved4), out)
+    val afterEmpty = spark.read.parquet(out).collect()
+    assert(afterEmpty.length == 3)
+    assert(!afterEmpty.exists(_.getAs[String]("p_type") == "T20"))
+    assert(!new java.io.File(s"$out/p_type=T20").exists())
   }
 
   test("partnership proxy counts ordered co-facing pairs (Cypher c)") {

@@ -30,6 +30,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(v == 11.0)
   }
 
+  test("wrong arity raises a clean AnalysisException, not IndexOutOfBounds") {
+    // exercise the exact builders the extensions inject, end-to-end
+    // through SQL analysis in the shared session
+    assert(GraftExtensions.functions.length == 3)
+    GraftExtensions.functions.foreach { case (ident, _, builder) =>
+      GraftBridge.registerFunction(spark, ident.funcName, builder)
+    }
+    Seq(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT)))",
+      "SELECT vec_dot_any(array(1.0D), array(1.0D), array(1.0D))",
+      "SELECT shingles()").foreach { q =>
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(err.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", q)
+      assert(err.getMessage.contains("requires"), q)
+    }
+  }
+
   test("shingles UDTF works in a LATERAL VIEW") {
     GraftBridge.registerFunction(spark, "shingles",
       exprs => graft.functions.ShingleGenerator(exprs(0)))

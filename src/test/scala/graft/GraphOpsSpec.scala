@@ -43,9 +43,13 @@ class GraphOpsSpec extends AnyFunSuite {
     try {
       val local = GraphOps.pageRank(edges, iters = 7)
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val checkpointDirBefore = spark.sparkContext.getCheckpointDir
       val reliable = GraphOps.pageRank(edges, iters = 7,
           checkpointDir = Some(dir))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // setCheckpointDir is session-global: the call must restore the
+      // caller's value rather than leak its own
+      assert(spark.sparkContext.getCheckpointDir == checkpointDirBefore)
       assert(local.keySet == reliable.keySet)
       local.foreach { case (n, v) =>
         assert(java.lang.Double.doubleToLongBits(reliable(n)) ==

@@ -37,6 +37,21 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("length mismatch yields null, matching the zip_with fold and oracle") {
+    import graft.functions.VectorFunctions.vecDotAny
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      vecDot(col("a"), col("b")).as("native"),
+      hofDot.as("hof")).collect().head
+    assert(r.isNullAt(0), "native must be null on mismatched lengths")
+    assert(r.isNullAt(1), "the composable fold is null too (zip_with pads)")
+    val mixed = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0, 5.0)))
+      .toDF("a", "b")
+      .select(vecDotAny(col("a"), col("b")).as("d")).collect().head
+    assert(mixed.isNullAt(0))
+  }
+
   test("mixed float/double dot is bit-identical to the higher-order fold") {
     import graft.functions.VectorFunctions.vecDotAny
     val rnd = new scala.util.Random(11)
