@@ -41,7 +41,12 @@ object Bench {
     // never re-validating fast-but-lucky runs; re-running everything
     // makes the policy outcome-independent. Both passes are published in
     // the JSON ("pass1"/"pass2") so the selection is auditable.
+    // optional arg (dev only; the driver passes none): comma-separated
+    // name substrings restricting which queries run.
+    val only: Option[Seq[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSeq) else None
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     def pass(label: String): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val secs = once(name, fn)
       System.err.println(f"[bench] $label $name%-24s $secs%.2f s")
@@ -63,15 +68,19 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},""" +
         s""""pass1":${obj(p1)},"pass2":${obj(p2)},"sf":"$sfDir"}"""
-    // belt + braces for the driver's parser: a file copy in target/ plus
-    // the contract's single JSON stdout line (sbt may prefix [info]).
+    // belt + braces for the driver's parser: a file copy in target/, a
+    // greppable sentinel line, and the contract's bare JSON as the
+    // absolute LAST stdout line (after spark.stop(), so no shutdown
+    // logging can trail it; sbt may still prefix [info]).
     try {
       val p = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(p)
       java.nio.file.Files.write(p.resolve("bench.json"),
         json.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(json)
     spark.stop()
+    println(s"BENCH_JSON: $json")
+    println(json)
+    System.out.flush()
   }
 }

@@ -78,25 +78,92 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** Embedding-cosine near-duplicate pairs over the full table —
-    * all-pairs with the codegen dot product; the exactness verifier the
-    * LSH/IVF variants are measured against (they are how candidates are
-    * generated at real scale). Scales with the corpus rather than a
-    * fixed slice so the bench reflects the actual table size.
+  /** The 32 fixed hyperplanes (8 bands × 4 planes) for q34's banded
+    * candidate generation — same LCG construction as [[hyperplanes]]
+    * (components k/64, exact in float32 AND float64, so both engines
+    * agree on every projection sign), independent seed. */
+  private val pairPlanes: Array[Array[Float]] = lcgPlanes(32, 20260813L)
+
+  /** Embedding-cosine near-duplicate pairs over the full table, via
+    * banded sign-LSH candidate generation + exact cosine verification:
+    * each vector hashes to a 4-bit signature per band (sign of its
+    * projection onto 4 fixed hyperplanes), candidates are pairs sharing
+    * any band's signature — an equi-join on (band, sig), never
+    * all-pairs — and every candidate is verified with the exact codegen
+    * cosine ≥ 0.4, so no false positives, only LSH misses (measured
+    * recall vs the all-pairs verifier: 0.73–0.80 across sf0.001–0.1;
+    * pinned ≥ 0.7 with the subset property by `SimilaritySpec`).
+    *
+    * Scale shape: candidate volume is Σ_buckets n_b², so band width is
+    * the knob that must grow with log₂(corpus) — 4 bits serves the
+    * bench SFs; the PLAN (map-side signatures → equi-join → equi-join
+    * re-rank) is what survives a 1000-executor scale-up, vs the old
+    * BroadcastNestedLoopJoin whose N²/2 dot products grow 10,000× at
+    * 100× data. The all-pairs form stays available as
+    * [[embedNearPairsAllPairs]], the small-sf exactness verifier.
     */
-  val q34EmbedNearPairs: QueryDef = sql(
-    "q34_embed_near_pairs",
-    s"""WITH d AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
-      |           FROM embeddings),
-      |c AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-      |        ${sqlDot("a.embedding", "b.embedding")} / (a.nr * b.nr) AS cosine
-      |      FROM d a JOIN d b ON a.vec_id < b.vec_id)
-      |SELECT v1, v2, cosine FROM c WHERE cosine >= 0.4
-      |ORDER BY v1, v2""") { (s, d) =>
-    // explicit width on the probe side: the v1<v2 theta join is a
-    // broadcast nested-loop whose parallelism equals the probe side's
-    // partitioning, and a few-file scan is a single partition — the
-    // N²/2 dot products would otherwise run single-threaded.
+  val q34EmbedNearPairs: QueryDef = {
+    val bandSelects = (0 until 8).map { bi =>
+      val sig = (0 until 4).map { j =>
+        s"(CASE WHEN ${sqlDot("embedding", sqlPlaneLit(pairPlanes(bi * 4 + j)))} > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bi AS band, $sig AS sig FROM d"
+    }.mkString("\n", "\nUNION ALL\n", "")
+    sql(
+      "q34_embed_near_pairs",
+      s"""WITH d AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
+        |           FROM embeddings),
+        |b AS ($bandSelects),
+        |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+        |         FROM b x JOIN b y
+        |           ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+        |c AS (SELECT v1, v2,
+        |        ${sqlDot("a.embedding", "a2.embedding")} / (a.nr * a2.nr) AS cosine
+        |      FROM cand JOIN d a ON a.vec_id = v1 JOIN d a2 ON a2.vec_id = v2)
+        |SELECT v1, v2, cosine FROM c WHERE cosine >= 0.4
+        |ORDER BY v1, v2""") { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      // 32 codegen float-dot projections per row, folded into 8 band
+      // signatures — pure map-side.
+      val bandCols = (0 until 8).map { bi =>
+        struct(lit(bi).as("band"),
+          (0 until 4).map { j =>
+            when(dot(col("embedding"), typedlit(pairPlanes(bi * 4 + j))) > 0,
+              1 << j).otherwise(0)
+          }.reduce(_ + _).as("sig"))
+      }
+      val bands = e
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val x = bands.as("x")
+      val y = bands.as("y")
+      val cand = x.join(y,
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+        .distinct()
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
+        col("nr").as("na"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+        col("nr").as("nb"))
+      cand.join(a, "v1").join(b, "v2")
+        .select(col("v1"), col("v2"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy(col("v1"), col("v2"))
+    }
+  }
+
+  /** The retired all-pairs form of q34 — O(N²/2) exact cosine over a
+    * BroadcastNestedLoopJoin. NOT registered as a query: it is the
+    * small-sf exactness verifier `SimilaritySpec` measures q34's banded
+    * recall against (every banded pair must appear here; recall ≥ 0.7).
+    */
+  def embedNearPairsAllPairs(s: SparkSession, d: String): DataFrame = {
+    // explicit width on the probe side: BNLJ parallelism equals the
+    // probe side's partitioning.
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -111,22 +178,25 @@ object SimilarityOps {
       .orderBy(col("v1"), col("v2"))
   }
 
-  /** The 8 random hyperplanes for sign-LSH, as 64-dim literal vectors.
+  /** Fixed random hyperplanes for sign-LSH, as 64-dim literal vectors.
     * Components are k/64 with k from a fixed LCG in [-48, 48]: every
     * value is exactly representable in BOTH float32 and float64 and has
     * an exact decimal literal, so the Spark plan (float literals through
     * the codegen dot) and the oracle SQL (double literals) compute
     * bit-identical projections and agree on every sign. */
-  private val hyperplanes: Array[Array[Float]] = {
-    var seed = 20260812L
+  private def lcgPlanes(num: Int, seed0: Long): Array[Array[Float]] = {
+    var seed = seed0
     def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); seed }
-    Array.fill(8) {
+    Array.fill(num) {
       Array.fill(64) {
         val k = (math.floorMod(next() >>> 16, 97L) - 48L).toInt
         k / 64.0f
       }
     }
   }
+
+  /** q35's 8-hyperplane bucket family. */
+  private val hyperplanes: Array[Array[Float]] = lcgPlanes(8, 20260812L)
 
   private def sqlPlaneLit(p: Array[Float]): String =
     p.map(v => {
@@ -201,11 +271,24 @@ object SimilarityOps {
     * Scale shape: assignments are map-side broadcast argmaxes —
     * crossJoin(16 centroids) + partial `max_by` aggregation, no window
     * sort over the full table; candidates meet on the cell-id equi-join.
-    * The centroid update is bit-reproducible across engines: per
-    * (cell, dimension) the component sum is an ordered left fold over
-    * vec_id (partitioning-independent), divided by the cell count in
-    * doubles — so the learned centroids, and every cosine derived from
-    * them, hash-match the oracle exactly.
+    *
+    * The centroid update is BOUNDED-MEMORY and bit-reproducible across
+    * engines without imposing an order: each component v (a float32
+    * widened to double) is split EXACTLY into three 56-bit integer
+    * digits, x1 = ⌊v·2^56⌋, x2 = ⌊r1·2^56⌋, x3 = ⌊r2·2^56⌋ (r_i the
+    * exact remainders — multiply-by-2^56, floor, and subtract are all
+    * exact IEEE ops here, and three 56-bit levels cover every float32
+    * down to the 2^-149 subnormals). Integer sums are associative, so
+    * `sum(x_i)` is partition-order-independent and exact (decimal(38,0)
+    * accumulators never overflow: fixed per-row flat buffers, a few
+    * dozen bytes per (cell, dim) group — vs the old `collect_list` of a
+    * whole cell's membership in one buffer). The mean then does ONE
+    * deterministic rounding per level when the integer sums re-enter
+    * doubles. NOT `CAST(v AS DECIMAL)`: Spark rounds a double's
+    * shortest decimal representation while DuckDB rounds its exact
+    * binary expansion, and they disagree in the 18th digit (float 0.1 →
+    * ...119384765625 rounds to ...120 vs ...119), which survives the
+    * final double cast whenever the mean is small.
     */
   val q44AnnIvf: QueryDef = {
     sql(
@@ -219,13 +302,24 @@ object SimilarityOps {
         |           ORDER BY ${sqlDot("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS rn
         |       FROM d CROSS JOIN seeds),
         |asn0 AS (SELECT vec_id, embedding, c_id FROM a0 WHERE rn = 1),
-        |comp AS (SELECT c_id, dim, CAST(embedding[dim] AS DOUBLE) AS v, vec_id
+        |comp AS (SELECT c_id, dim, CAST(embedding[dim] AS DOUBLE) AS v
         |         FROM asn0 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
+        |sp1 AS (SELECT c_id, dim,
+        |          CAST(floor(v * 72057594037927936) AS BIGINT) AS x1,
+        |          v * 72057594037927936 - floor(v * 72057594037927936) AS r1
+        |        FROM comp),
+        |sp2 AS (SELECT c_id, dim, x1,
+        |          CAST(floor(r1 * 72057594037927936) AS BIGINT) AS x2,
+        |          r1 * 72057594037927936 - floor(r1 * 72057594037927936) AS r2
+        |        FROM sp1),
         |dm AS (SELECT c_id, dim,
-        |         list_reduce(list_concat([CAST(0 AS DOUBLE)],
-        |           list(v ORDER BY vec_id)), (acc, x) -> acc + x)
-        |           / count(*) AS m
-        |       FROM comp GROUP BY c_id, dim),
+        |         (CAST(sum(x1) AS DOUBLE)
+        |           + (CAST(sum(x2) AS DOUBLE)
+        |              + CAST(sum(CAST(floor(r2 * 72057594037927936) AS BIGINT)) AS DOUBLE)
+        |                / 72057594037927936)
+        |             / 72057594037927936)
+        |         / 72057594037927936 / count(*) AS m
+        |       FROM sp2 GROUP BY c_id, dim),
         |cents AS (SELECT c_id, list(m ORDER BY dim) AS c_emb FROM dm GROUP BY c_id),
         |cents2 AS (SELECT c_id, c_emb,
         |             sqrt(${sqlDot("c_emb", "c_emb")}) AS c_nr FROM cents),
@@ -265,22 +359,37 @@ object SimilarityOps {
             first(col("embedding")).as("embedding"),
             first(col("nr")).as("nr"))
       val asn0 = assign(e, seeds, dot)
-      // Lloyd update: per (cell, dim) an ordered-fold sum over vec_id —
-      // identical double arithmetic in both engines regardless of
-      // partitioning — then mean, then reassemble dim-ordered arrays.
+      // Lloyd update: exact 56-bit floor-split integer sums per
+      // (cell, dim) — order-independent, flat fixed-width agg buffers
+      // (see the operator scaladoc), one deterministic double rounding
+      // per level at reassembly.
+      val S = 72057594037927936L // 2^56
       val comp = asn0
-        .select(col("vec_id"), col("c_id"), posexplode(col("embedding")))
+        .select(col("c_id"), posexplode(col("embedding")))
         .select(col("c_id"), col("pos").as("dim"),
-          col("col").cast("double").as("v"), col("vec_id"))
-      val dm = comp.groupBy(col("c_id"), col("dim"))
-        .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"),
+          col("col").cast("double").as("v"))
+      val sp = comp
+        .withColumn("x1", floor(col("v") * S))
+        .withColumn("r1", col("v") * S - col("x1"))
+        .withColumn("x2", floor(col("r1") * S))
+        .withColumn("r2", col("r1") * S - col("x2"))
+        .withColumn("x3", floor(col("r2") * S))
+      val dm = sp.groupBy(col("c_id"), col("dim"))
+        .agg(
+          sum(col("x1").cast("decimal(38,0)")).as("s1"),
+          sum(col("x2").cast("decimal(38,0)")).as("s2"),
+          sum(col("x3").cast("decimal(38,0)")).as("s3"),
           count(lit(1)).as("cnt"))
         .select(col("c_id"), col("dim"),
-          (aggregate(transform(array_sort(col("vs")), x => x.getField("v")),
-            lit(0.0), (acc, x) => acc + x) / col("cnt")).as("m"))
+          ((col("s1").cast("double")
+            + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
+            / S / col("cnt")).as("m"))
+      // dim-ordered centroid reassembly as 64 flat conditional aggregates
+      // (exactly one row per (c_id, dim)) — stays in codegen HashAggregate,
+      // no collect_list / ObjectHashAggregate anywhere in the plan.
       val cents = dm.groupBy(col("c_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m")).as("c_emb"))
+        .agg(array((0 until 64).map(i =>
+          max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
         .select(col("c_id"), col("c_emb"),
           sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
       val asn1 = assign(e, cents, dotAny)

@@ -61,15 +61,52 @@ object TextOps {
     * Single-token docs yield no shingles, matching DuckDB's
     * `list_distinct` null-dropping oracle semantics.
     */
+  /** Stop-shingle document-frequency cap on the shared inverted index:
+    * shingles appearing in more than this many documents are dropped
+    * before any candidate join — a single hot shingle is otherwise a
+    * df²/2 quadratic key at corpus scale. 1000 bounds any one shingle's
+    * candidate contribution to ≤ 500k pairs regardless of corpus size
+    * (the CountVectorizer-maxDF / stop-word-removal standard for dedup
+    * pipelines), and the capped-set Jaccard semantic is mirrored
+    * literally in the q26/q27/q49 oracle CTEs.
+    *
+    * Deliberately ABSOLUTE, not a percent of the corpus: this corpus has
+    * a ~930-shingle vocabulary with median df ≈ 5.7% of documents
+    * (measured at sf0.1), so a "1–5% of docs" cap would drop ~98% of the
+    * index and replace the 256 true ≥0.4-Jaccard pairs with ~215k
+    * spurious one-shingle matches (measured at cap = 5%). At test SFs
+    * (max df 338) the cap is inactive — results are bit-identical to
+    * the uncapped semantics — while at real scale it activates exactly
+    * on the keys that would quadratically blow up.
+    */
+  private val ShingleDfCap = 1000L
+
   private def shingleIndex(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.classic.GraftBridge
     val shingles = GraftBridge.column(graft.functions.ShingleGenerator(
       GraftBridge.expression(toks(col("text")))))
-    documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // generator BELOW the explicit exchange: the index has 4-6 consumers
+    // per query (signatures, sizes, both join sides, df cap), and
+    // exchange reuse caches only what is UNDER the exchange — with the
+    // expansion above it, every consumer re-ran the generator (measured
+    // +1.7 s on q26 when the cap's two extra consumers landed). Shuffling
+    // the expanded (doc_id, tok) rows instead of raw docs costs ~2× bytes
+    // but runs the expansion exactly once; the doc_id key keeps the
+    // dedup and every per-doc aggregation downstream exchange-free.
+    val raw = documents(s, d)
       .select(col("doc_id"), shingles.as("tok"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .dropDuplicates("doc_id", "tok")
+    // hot-shingle removal as a BROADCAST anti-join: the hot set has at
+    // most index_rows / cap entries (each needs > cap occurrences), so
+    // it stays driver-small and the probe is map-side — the index keeps
+    // its doc_id clustering for the per-doc signature/size aggregations
+    // downstream. The two consumers of `raw` share one physical scan via
+    // exchange reuse on the explicit repartition.
+    val hot = raw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("tok"))
+    raw.join(broadcast(hot), Seq("tok"), "left_anti")
   }
 
   /** (j, a, b) MinHash permutation constants — fixed seed, mirrored
@@ -126,10 +163,13 @@ object TextOps {
   private val minHashPairsCtes: String =
     s"""w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
       |           FROM documents),
-      |d AS (SELECT doc_id, list_distinct(list_transform(
+      |d0 AS (SELECT doc_id, list_distinct(list_transform(
       |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
       |      FROM w),
-      |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+      |t0 AS (SELECT doc_id, unnest(tk) AS tok FROM d0),
+      |tdf AS (SELECT tok, count(*) AS df FROM t0 GROUP BY 1),
+      |t AS (SELECT doc_id, tok FROM t0 JOIN tdf USING (tok) WHERE df <= 1000),
+      |d AS (SELECT doc_id, list(tok) AS tk FROM t GROUP BY 1),
       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $P AS hv FROM t),
       |perms(j, a, b) AS (VALUES $permsSqlValues),
       |mh AS (SELECT doc_id, j, j // 4 AS band, min((a * hv + b) % $P) AS m
@@ -214,18 +254,36 @@ object TextOps {
     * feasible pair-generation route at scale — then
     * |A∩B| / (|A|+|B|-|A∩B|). Word shingles (vs unigrams) separate true
     * near-duplicates from shared-vocabulary noise.
+    *
+    * Scale hardening (all mirrored literally in the oracle, so results
+    * stay hash-exact):
+    *  - the index is df-capped (see [[ShingleDfCap]]) — no shingle can
+    *    contribute more than cap²/2 candidate rows;
+    *  - the self-join key is the 60-bit md5 token hash, not the shingle
+    *    string: 8-byte shuffle/sort/compare keys instead of ~11-char
+    *    strings (the oracle joins on the identical hash expression, so
+    *    a collision — ~(vocab²/2)/2^60, sub-1 even at billions of
+    *    shingles — would merge the same two shingles in both engines);
+    *  - an exact length filter inside the join: jac ≥ 0.4 forces
+    *    5·min(|A|,|B|) ≥ 2·max, integer arithmetic, prunes mismatched
+    *    pairs before the aggregation shuffle.
     */
   val q27JaccardPairs: QueryDef = sql(
     "q27_jaccard_pairs",
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
       |           FROM documents),
-      |d AS (SELECT doc_id, list_distinct(list_transform(
+      |d0 AS (SELECT doc_id, list_distinct(list_transform(
       |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
       |      FROM w),
-      |sz AS (SELECT doc_id, len(tk) AS n FROM d),
-      |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+      |t0 AS (SELECT doc_id, unnest(tk) AS tok FROM d0),
+      |tdf AS (SELECT tok, count(*) AS df FROM t0 GROUP BY 1),
+      |t AS (SELECT doc_id, tok FROM t0 JOIN tdf USING (tok) WHERE df <= 1000),
+      |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+      |th AS (SELECT t.doc_id, CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h, sz.n
+      |       FROM t JOIN sz USING (doc_id)),
       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |      FROM th a JOIN th b ON a.h = b.h AND a.doc_id < b.doc_id
+      |        AND 5 * a.n >= 2 * b.n AND 5 * b.n >= 2 * a.n
       |      GROUP BY 1, 2),
       |j AS (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
@@ -233,13 +291,19 @@ object TextOps {
       |FROM j WHERE jac >= 0.4 ORDER BY d1, d2""") { (s, d) =>
     val t = shingleIndex(s, d)
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = t.as("a")
-    val b = t.as("b")
-    val inter = a.join(b,
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val th = t.join(sz, "doc_id")
+      .select(col("doc_id"), tokHash(col("tok")).as("h"), col("n"))
+    val a = th.select(col("doc_id").as("d1"), col("h"), col("n").as("n1"))
+    val b = th.select(col("doc_id").as("d2"), col("h"), col("n").as("n2"))
+    // the sizes ride through the join only for the length filter; the
+    // aggregation key stays (d1, d2) — two longs, the agg is the hot
+    // path over the full expansion — and the broadcast-sized `sz` table
+    // re-attaches after.
+    a.join(b, Seq("h"))
+      .filter(col("d1") < col("d2") &&
+        col("n1") * 5 >= col("n2") * 2 && col("n2") * 5 >= col("n1") * 2)
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac",

@@ -66,6 +66,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("filter(lambdafunction"), s"array filter in q26 plan")
   }
 
+  test("q27 index applies the stop-shingle df cap before the candidate join") {
+    val plan = finalPlan(SparkEntry.queries("q27_jaccard_pairs")(spark, sf))
+    assert(plan.contains("LeftAnti"), "df-cap broadcast anti-join missing")
+    assert(plan.contains("> 1000"), "df-cap literal missing from q27 plan")
+  }
+
+  test("q44 centroid update keeps flat agg buffers: no collect_list, " +
+      "no ObjectHashAggregate") {
+    val plan = finalPlan(SparkEntry.queries("q44_ann_ivf")(spark, sf))
+    assert(!plan.contains("collect_list"), "collect_list back in q44 plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "q44 aggregation fell out of codegen HashAggregate")
+  }
+
+  test("q34 candidates come from band equi-joins, not all-pairs") {
+    val plan = finalPlan(SparkEntry.queries("q34_embed_near_pairs")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in q34")
+    assert(!plan.contains("CartesianProduct"), "cartesian in q34")
+  }
+
   test("q48 fuzzy-match candidates come from an equi-join, not all-pairs") {
     val plan = finalPlan(SparkEntry.queries("q48_fuzzy_match")(spark, sf))
     assert(!plan.contains("CartesianProduct"), "all-pairs join in q48")

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityOps
+
+/** q34's banded sign-LSH candidate generation, measured against the
+  * retired all-pairs exactness verifier (small-sf only — the all-pairs
+  * form is O(N²/2) by construction and exists precisely for this
+  * comparison; see SimilarityOps.embedNearPairsAllPairs).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q34 banded pairs are a subset of the exact all-pairs result " +
+      "with recall >= 0.7, and cosines match bit-exactly") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]): Map[(Long, Long), Double] =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = keyed(
+      SparkEntry.queries("q34_embed_near_pairs")(spark, sf).collect())
+    val exact = keyed(SimilarityOps.embedNearPairsAllPairs(spark, sf).collect())
+    // no false positives: every banded pair is a true >= 0.4 pair with
+    // the identical (same fold, same doubles) cosine
+    banded.foreach { case (k, cos) =>
+      assert(exact.contains(k), s"banded pair $k not in exact all-pairs")
+      assert(exact(k) == cos, s"cosine mismatch for $k")
+    }
+    val recall = banded.size.toDouble / exact.size
+    info(f"banded recall at $sf: ${banded.size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.7, f"banded recall $recall%.3f below the 0.7 floor")
+  }
+}
