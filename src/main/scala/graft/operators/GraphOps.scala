@@ -54,8 +54,19 @@ object GraphOps {
 
   /** PageRank over (src, dst) edges — `gds.pageRank` equivalent
     * (`cypher_queries.cypher:27-34`). Fixed iteration count for
-    * determinism; dangling-node mass is not redistributed (matches the
-    * simplified GDS default behavior).
+    * determinism.
+    *
+    * Dangling-node mass deliberately DECAYS rather than being
+    * redistributed. This graph is bipartite customer→supplier, so every
+    * supplier node is dangling and redistribution would change every
+    * rank value — diverging from the reference's `gds.pageRank`
+    * semantics (GDS power iteration likewise lets dangling mass leak
+    * instead of spreading it). The cost argument is NOT the reason:
+    * redistribution is one extra node-sized scalar aggregation per
+    * iteration (the summed dangling rank folded into the teleport
+    * term), trivial at any scale — parity with the reference engine is.
+    * Rank VALUES therefore sum to < 1; orderings are unaffected for
+    * rankings within a node class.
     *
     * The rank table stays node-sized (≪ edges), so by default each
     * iteration pins a broadcast of it — the edge side never shuffles,
