@@ -277,8 +277,15 @@ object SimilarityOps {
     * widened to double) is split EXACTLY into three 56-bit integer
     * digits, x1 = ⌊v·2^56⌋, x2 = ⌊r1·2^56⌋, x3 = ⌊r2·2^56⌋ (r_i the
     * exact remainders — multiply-by-2^56, floor, and subtract are all
-    * exact IEEE ops here, and three 56-bit levels cover every float32
-    * down to the 2^-149 subnormals). Integer sums are associative, so
+    * exact IEEE ops on the operator's domain: |v| < 128 so x1 fits a
+    * long, and for negative v not below ~2^-80, where the borrow in
+    * r1 = 1 − |v·2^56| would need > 53 bits; outside that corner the
+    * split is still deterministic and engine-identical — both engines
+    * run the same correctly-rounded ops — just an ≤ 2^-86 approximation.
+    * Positive values are exact down to the 2^-149 subnormals. Pinned by
+    * `PrimitiveProperties`; embedding components (±0.5, magnitudes
+    * ≥ ~2^-30) sit squarely in the exact domain). Integer sums are
+    * associative, so
     * `sum(x_i)` is partition-order-independent and exact (decimal(38,0)
     * accumulators never overflow: fixed per-row flat buffers, a few
     * dozen bytes per (cell, dim) group — vs the old `collect_list` of a

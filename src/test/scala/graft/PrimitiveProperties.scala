@@ -98,4 +98,54 @@ object PrimitiveProperties extends Properties("primitives") {
         .map(p => s"${p(0)} ${p(1)}").toSeq
       rows == want
     }
+
+  // q44's centroid update splits each float32 component into three
+  // 56-bit integer digits with floor/multiply/subtract (SimilarityOps
+  // scaladoc). The claim the oracle parity rests on: the split is EXACT
+  // for every float32 — reassembling the digits through the same
+  // divisions recovers the value bit-for-bit, and each intermediate op
+  // is itself exact (remainders in [0,1), digits integral).
+  private val S = 72057594037927936L // 2^56
+  private def floorSplit(v: Double): (Long, Long, Long) = {
+    val x1 = math.floor(v * S)
+    val r1 = v * S - x1
+    val x2 = math.floor(r1 * S)
+    val r2 = r1 * S - x2
+    val x3 = math.floor(r2 * S)
+    (x1.toLong, x2.toLong, x3.toLong)
+  }
+
+  // Exactness domain (documented in the q44 scaladoc): |v| < 128 so the
+  // top digit fits a long, and negatives not below ~2^-80 — a tiny
+  // negative v makes r1 = 1 - |v·S| where the borrow needs more than 53
+  // bits, so the split degrades to a deterministic (still engine-
+  // identical: same correctly-rounded IEEE ops both sides) approximation
+  // with error ≤ |v| ≤ 2^-86. Embeddings (±0.5, components ≥ ~2^-30 in
+  // magnitude) sit squarely inside the exact domain. Positive values are
+  // exact all the way down to the 2^-149 subnormals.
+  private def inExactDomain(f: Float): Boolean =
+    f == 0f || f > 0f || f.toDouble.abs >= 1.1e-24 // ≥ 2^-80 when negative
+
+  private val domainFloat: Gen[Float] = Gen.oneOf(
+    Gen.chooseNum(-1.0f, 1.0f),
+    Gen.chooseNum(-127.0f, 127.0f),
+    // positive tiny + subnormal territory, where the lower digits activate
+    Gen.chooseNum(1, Int.MaxValue).map(i => java.lang.Float.intBitsToFloat(i & 0x007fffff)),
+    Gen.oneOf(0.0f, -0.0f, Float.MinPositiveValue,
+      java.lang.Float.MIN_NORMAL, 1.0f / 3.0f, 0.1f, -0.1f, 126.99f)
+  ).suchThat(inExactDomain)
+
+  property("q44 floor-split reconstructs its exactness domain bit-for-bit") =
+    forAll(domainFloat) { f =>
+      val v = f.toDouble
+      val (x1, x2, x3) = floorSplit(v)
+      val back = (x1.toDouble + (x2.toDouble + x3.toDouble / S) / S) / S
+      back == v
+    }
+
+  property("q44 floor-split digits are bounded (flat long/decimal buffers)") =
+    forAll(domainFloat) { f =>
+      val (x1, x2, x3) = floorSplit(f.toDouble)
+      math.abs(x1.toDouble) <= 128.0 * S && x2 >= 0 && x2 < S && x3 >= 0 && x3 < S
+    }
 }
