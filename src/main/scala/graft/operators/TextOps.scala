@@ -700,9 +700,147 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Repetition scoring (Gopher-style quality signals): per document,
+    * the duplicate-token fraction, duplicate-2-gram fraction, and
+    * top-2-gram occupancy, plus a keep/drop flag at the standard
+    * thresholds. Relational O(L) shape — explode → per-(doc, gram)
+    * counts → per-doc aggregation, all clustered on one doc_id
+    * exchange — NOT the per-doc array-lambda formulation, which is
+    * O(L²) CPU per document (for each distinct gram, scan the list).
+    * Single-token documents have no 2-grams: left join + coalesce-to-0,
+    * keep decision unaffected.
+    */
+  val q52Repetition: QueryDef = sql(
+    "q52_repetition",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |u AS (SELECT doc_id, unnest(w) AS tok FROM w),
+      |uc AS (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY 1, 2),
+      |us AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+      |               CAST(count(*) AS BIGINT) AS d_tok
+      |        FROM uc GROUP BY 1),
+      |g0 AS (SELECT doc_id, unnest(list_transform(
+      |         range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS g
+      |       FROM w),
+      |gc AS (SELECT doc_id, g, count(*) AS cnt FROM g0 WHERE g IS NOT NULL
+      |       GROUP BY 1, 2),
+      |gs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_g,
+      |               CAST(count(*) AS BIGINT) AS d_g,
+      |               CAST(max(cnt) AS BIGINT) AS top_g
+      |       FROM gc GROUP BY 1),
+      |x AS (SELECT us.doc_id, n_tok,
+      |        round(1.0 - CAST(d_tok AS DOUBLE) / n_tok, 6) AS dup_token_frac,
+      |        round(coalesce(1.0 - CAST(d_g AS DOUBLE) / n_g, 0.0), 6) AS dup_2gram_frac,
+      |        round(coalesce(CAST(top_g AS DOUBLE) / n_g, 0.0), 6) AS top_2gram_frac
+      |      FROM us LEFT JOIN gs ON us.doc_id = gs.doc_id)
+      |SELECT doc_id, n_tok, dup_token_frac, dup_2gram_frac, top_2gram_frac,
+      |       (dup_token_frac <= 0.3 AND dup_2gram_frac <= 0.2
+      |        AND top_2gram_frac <= 0.2) AS keep
+      |FROM x ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.classic.GraftBridge
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val us = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_tok"),
+        count(lit(1)).cast("long").as("d_tok"))
+    val shingles = GraftBridge.column(graft.functions.ShingleGenerator(
+      GraftBridge.expression(toks(col("text")))))
+    val gs = docs
+      .select(col("doc_id"), shingles.as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_g"),
+        count(lit(1)).cast("long").as("d_g"),
+        max(col("cnt")).cast("long").as("top_g"))
+    us.join(gs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        round(lit(1.0) - col("d_tok").cast("double") / col("n_tok"), 6)
+          .as("dup_token_frac"),
+        round(coalesce(lit(1.0) - col("d_g").cast("double") / col("n_g"),
+          lit(0.0)), 6).as("dup_2gram_frac"),
+        round(coalesce(col("top_g").cast("double") / col("n_g"), lit(0.0)), 6)
+          .as("top_2gram_frac"))
+      .withColumn("keep",
+        col("dup_token_frac") <= 0.3 && col("dup_2gram_frac") <= 0.2 &&
+          col("top_2gram_frac") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified downsampling — the data-mixing primitive:
+    * per-language keep rates (en 1/2, fr 1/4, de 1/8, rest 1/16) applied
+    * via a salted hash bucket of the doc id. No RNG, no shuffle before
+    * the final count; reproducible across runs, engines, and
+    * partitionings; the ':smp' salt decorrelates the sample from q50's
+    * train/valid/test hash so sampling never biases a split.
+    */
+  val q53StratifiedSample: QueryDef = sql(
+    "q53_stratified_sample",
+    """WITH x AS (SELECT lang, source,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':smp'), 1, 15)) AS BIGINT) % 16 AS b
+      |  FROM documents),
+      |s AS (SELECT lang, source, count(*) AS n_total,
+      |        CAST(sum(CASE WHEN b < (CASE lang WHEN 'en' THEN 8 WHEN 'fr' THEN 4
+      |                                WHEN 'de' THEN 2 ELSE 1 END)
+      |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |      FROM x GROUP BY 1, 2)
+      |SELECT lang, source, n_total, n_sampled,
+      |       round(CAST(n_sampled AS DOUBLE) / n_total, 6) AS rate
+      |FROM s ORDER BY lang, source""") { (s, d) =>
+    val quota = when(col("lang") === "en", 8)
+      .when(col("lang") === "fr", 4)
+      .when(col("lang") === "de", 2).otherwise(1)
+    documents(s, d)
+      .select(col("lang"), col("source"),
+        (tokHash(concat(col("doc_id").cast("string"), lit(":smp"))) % 16)
+          .as("b"), quota.as("q"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("b") < col("q"), 1).otherwise(0)).cast("long")
+          .as("n_sampled"))
+      .select(col("lang"), col("source"), col("n_total"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_total"), 6).as("rate"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Benchmark decontamination: find every document sharing ≥ 3 distinct
+    * 2-word shingles with a benchmark document (doc 0 stands in for the
+    * eval set). The probe set is one document's shingles — broadcast —
+    * so the check is a map-side broadcast semi-join over the shared
+    * (df-capped) inverted index + per-doc count: one pass over the
+    * corpus regardless of its size, the standard n-gram-overlap
+    * decontamination shape.
+    */
+  val q54Decontaminate: QueryDef = sql(
+    "q54_decontaminate",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |d0 AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
+      |      FROM w),
+      |t0 AS (SELECT doc_id, unnest(tk) AS tok FROM d0),
+      |tdf AS (SELECT tok, count(*) AS df FROM t0 GROUP BY 1),
+      |t AS (SELECT doc_id, tok FROM t0 JOIN tdf USING (tok) WHERE df <= 1000),
+      |probe AS (SELECT tok FROM t WHERE doc_id = 0)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM t JOIN probe USING (tok)
+      |WHERE t.doc_id <> 0
+      |GROUP BY 1 HAVING count(*) >= 3
+      |ORDER BY doc_id""") { (s, d) =>
+    val idx = shingleIndex(s, d)
+    val probe = idx.filter(col("doc_id") === 0).select(col("tok"))
+    idx.filter(col("doc_id") =!= 0)
+      .join(broadcast(probe), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
     q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q50TrainSplit,
-    q51TfIdf)
+    q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate)
 }
