@@ -81,21 +81,23 @@ object TextOps {
     */
   private val ShingleDfCap = 1000L
 
-  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
+  /** The capped index PLAN, un-materialized — exposed so `PlanAuditSpec`
+    * can pin the df-cap anti-join and the generator's lambda-free shape,
+    * which the checkpoint in [[shingleIndex]] would otherwise hide
+    * behind an RDD scan. */
+  private[graft] def shingleIndexPlan(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.classic.GraftBridge
     val shingles = GraftBridge.column(graft.functions.ShingleGenerator(
       GraftBridge.expression(toks(col("text")))))
-    // generator BELOW the explicit exchange: the index has 4-6 consumers
-    // per query (signatures, sizes, both join sides, df cap), and
-    // exchange reuse caches only what is UNDER the exchange — with the
-    // expansion above it, every consumer re-ran the generator (measured
-    // +1.7 s on q26 when the cap's two extra consumers landed). Shuffling
-    // the expanded (doc_id, tok) rows instead of raw docs costs ~2× bytes
-    // but runs the expansion exactly once; the doc_id key keeps the
-    // dedup and every per-doc aggregation downstream exchange-free.
+    // explicit width BEFORE the generator (the one-file local scan is a
+    // single partition; the expansion, md5 work, and dedup inherit the
+    // full width from the exchange) — and the whole build runs exactly
+    // once because [[shingleIndex]] checkpoints the result, so the
+    // 4-6 consumers per query never re-run it.
     val raw = documents(s, d)
-      .select(col("doc_id"), shingles.as("tok"))
+      .select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), shingles.as("tok"))
       .dropDuplicates("doc_id", "tok")
     // hot-shingle removal as a BROADCAST anti-join: the hot set has at
     // most index_rows / cap entries (each needs > cap occurrences), so
@@ -108,6 +110,20 @@ object TextOps {
       .select(col("tok"))
     raw.join(broadcast(hot), Seq("tok"), "left_anti")
   }
+
+  /** The shared capped inverted index, MATERIALIZED once per query
+    * (`localCheckpoint`, doc_id partitioning preserved through the
+    * checkpoint): every consumer query reads it 3-6 times (signatures,
+    * sizes, both join sides, probes), and exchange reuse alone cannot
+    * carry it — AQE's empty-relation rewrite of the (locally inactive)
+    * cap anti-join re-canonicalizes the consumers differently, and the
+    * generator + dedup were observed running once PER consumer.
+    * Materializing the index is also the posture a real pipeline takes
+    * at scale: it is the single shared artifact of the whole dedup
+    * family (at 100 TB it would persist to storage rather than executor
+    * memory — same shape, durable medium). */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    shingleIndexPlan(s, d).localCheckpoint()
 
   /** (j, a, b) MinHash permutation constants — fixed seed, mirrored
     * literally in the oracle SQL. */

@@ -59,17 +59,24 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q26 shingle pipeline is free of interpreted array lambdas") {
     // higher-order functions are CodegenFallback; an ArrayTransform/
-    // ArrayFilter re-appearing in this plan means the O(n²) inline-split
-    // trap (see TextOps.shingleIndex) has re-formed.
+    // ArrayFilter re-appearing in these plans means the O(n²)
+    // inline-split trap (see TextOps.shingleIndex) has re-formed. The
+    // index build is audited via its exposed pre-checkpoint plan (the
+    // checkpoint hides it behind an RDD scan in q26's own plan).
+    val idxPlan = finalPlan(
+      graft.operators.TextOps.shingleIndexPlan(spark, sf))
+    assert(!idxPlan.contains("transform("), s"array lambda in index plan")
     val plan = finalPlan(SparkEntry.queries("q26_minhash_lsh")(spark, sf))
     assert(!plan.contains("transform("), s"array lambda in q26 plan")
     assert(!plan.contains("filter(lambdafunction"), s"array filter in q26 plan")
   }
 
-  test("q27 index applies the stop-shingle df cap before the candidate join") {
-    val plan = finalPlan(SparkEntry.queries("q27_jaccard_pairs")(spark, sf))
+  test("shared shingle index applies the stop-shingle df cap " +
+      "before any candidate join (q26/q27/q49/q54)") {
+    val plan = finalPlan(
+      graft.operators.TextOps.shingleIndexPlan(spark, sf))
     assert(plan.contains("LeftAnti"), "df-cap broadcast anti-join missing")
-    assert(plan.contains("> 1000"), "df-cap literal missing from q27 plan")
+    assert(plan.contains("> 1000"), "df-cap literal missing from index plan")
   }
 
   test("q44 centroid update keeps flat agg buffers: no collect_list, " +
