@@ -854,9 +854,54 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ 0.8 — catches
+    * a small document embedded in a larger one (quotes, boilerplate,
+    * snippet reuse), which symmetric Jaccard structurally misses (a
+    * 20-shingle doc inside a 100-shingle doc has jac ≤ 0.2 but
+    * containment 1.0). Same df-capped hashed-index self-join shape as
+    * q27, WITHOUT the length filter — size-mismatched pairs are exactly
+    * the signal here.
+    */
+  val q55Containment: QueryDef = sql(
+    "q55_containment",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |d0 AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
+      |      FROM w),
+      |t0 AS (SELECT doc_id, unnest(tk) AS tok FROM d0),
+      |tdf AS (SELECT tok, count(*) AS df FROM t0 GROUP BY 1),
+      |t AS (SELECT doc_id, tok FROM t0 JOIN tdf USING (tok) WHERE df <= 1000),
+      |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+      |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |      FROM th a JOIN th b ON a.h = b.h AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |j AS (SELECT d1, d2, CAST(inter AS DOUBLE) / least(s1.n, s2.n) AS containment
+      |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+      |SELECT d1, d2, round(containment, 6) AS containment
+      |FROM j WHERE containment >= 0.8 ORDER BY d1, d2""") { (s, d) =>
+    val t = shingleIndex(s, d)
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val th = t.select(col("doc_id"), tokHash(col("tok")).as("h"))
+    val a = th.select(col("doc_id").as("d1"), col("h"))
+    val b = th.select(col("doc_id").as("d2"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= 0.8)
+      .select(col("d1"), col("d2"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
     q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q50TrainSplit,
-    q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate)
+    q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
+    q55Containment)
 }
