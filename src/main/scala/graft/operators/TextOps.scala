@@ -898,10 +898,89 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Sliding-window token chunking (chunk = 32 tokens, stride = 24,
+    * overlap = 8): the step that turns documents into fixed-size
+    * training sequences. Chunk count ⌈(n−C)/S⌉+1 guarantees every token
+    * is covered and the last chunk is never a strict subset of its
+    * predecessor. Pure per-row explode — no shuffle, no join; at 100 TB
+    * this is a map-only pass whose output partitioning inherits the
+    * scan's.
+    */
+  val q57ChunkOverlap: QueryDef = sql(
+    "q57_chunk_overlap",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |n AS (SELECT doc_id, w, len(w) AS n_tok,
+      |        greatest(1, CAST(ceil((len(w) - 32) / 24.0) AS INT) + 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id, w, n_tok FROM n)
+      |SELECT doc_id, chunk_id,
+      |  CAST(least(32, n_tok - chunk_id * 24) AS INT) AS chunk_tokens,
+      |  array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""") { (s, d) =>
+    val C = 32
+    val S = 24
+    documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("n_chunks",
+        greatest(lit(1),
+          ceil((col("n_tok") - C) / lit(S.toDouble)).cast("int") + 1))
+      .select(col("doc_id"), col("w"), col("n_tok"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        least(lit(C), col("n_tok") - col("chunk_id") * S)
+          .cast("int").as("chunk_tokens"),
+        array_join(slice(col("w"), col("chunk_id") * S + 1, lit(C)), " ")
+          .as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Greedy sequence packing (concat-without-splitting into 256-token
+    * bins): each document lands in the bin its exclusive running token
+    * offset falls in — the standard pre-training packing approximation
+    * (bins may overflow by less than one document). The running sum is
+    * windowed PER SOURCE, never globally: a global ORDER BY window is a
+    * one-partition serialization at scale, while per-shard packing (what
+    * real pipelines do anyway — pack within an input shard) parallelizes
+    * across sources and reuses one (source, doc_id) sort for both the
+    * window and nothing else downstream — one shuffle total.
+    */
+  val q58PackSequences: QueryDef = sql(
+    "q58_pack_sequences",
+    """WITH n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |b AS (SELECT source, doc_id, n_tok,
+      |        CAST(floor(off / 256.0) AS INT) AS seq_id FROM o)
+      |SELECT source, seq_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0)))
+      // off/256.0 is a power-of-two division — exact in doubles, so the
+      // floor is bit-identical in both engines
+      .withColumn("seq_id", floor(col("off") / 256.0).cast("int"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
     q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
-    q55Containment)
+    q55Containment, q57ChunkOverlap, q58PackSequences)
 }
