@@ -99,6 +99,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "theta-only join in q48")
   }
 
+  // the adaptive plan string repeats the tree under "== Initial Plan ==";
+  // count shuffle exchanges in the executed (final) section only —
+  // "Exchange <dist>partitioning(...)" nodes, not ReusedExchange.
+  private def finalExchanges(plan: String): Int =
+    "Exchange (hash|range|single|round)".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).length
+
+  test("q57 chunking is map-only: no join, no window, and the only " +
+      "exchange is the final presentation sort") {
+    val plan = finalPlan(SparkEntry.queries("q57_chunk_overlap")(spark, sf))
+    assert(!plan.contains("Join"), "chunking must not join")
+    assert(!plan.contains("Window"), "chunking must not window")
+    val exchanges = finalExchanges(plan)
+    assert(exchanges == 1, s"expected 1 exchange (final sort), got $exchanges\n$plan")
+  }
+
+  test("q58 packing shuffles once for the per-source window and the " +
+      "aggregation reuses that partitioning") {
+    val plan = finalPlan(SparkEntry.queries("q58_pack_sequences")(spark, sf))
+    assert(plan.contains("Window"))
+    assert(!plan.contains("Join"))
+    // hash exchange for the window + range exchange for the final sort;
+    // a third would mean the (source, seq_id) groupBy stopped reusing
+    // the window's source-clustering
+    val exchanges = finalExchanges(plan)
+    assert(exchanges == 2, s"expected 2 exchanges (window + sort), got $exchanges\n$plan")
+  }
+
   test("PageRank iteration joins via pinned broadcasts, no sort-merge") {
     // the q24 plan itself ends at a checkpoint scan; audit one iteration
     // step directly.
