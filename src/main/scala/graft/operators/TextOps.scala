@@ -977,10 +977,52 @@ object TextOps {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Vocabulary coverage audit (tokenizer-training prep): top-50 corpus
+    * tokens by frequency with each rank's cumulative share of all token
+    * occurrences. The only global window runs over the 50-row top-k —
+    * the full vocabulary is reduced by a hash agg, the top-k is a
+    * TakeOrdered (never a global sort), and the corpus total rides in as
+    * a broadcast scalar; nothing unbounded ever sits in one partition.
+    * Ties break on the token itself so the ranking is total and the
+    * result deterministic.
+    */
+  val q59VocabCoverage: QueryDef = sql(
+    "q59_vocab_coverage",
+    """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+      |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50),
+      |r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+      |        sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM top)
+      |SELECT CAST(rank AS INT) AS rank, tok, CAST(cnt AS BIGINT) AS cnt,
+      |  round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+      |FROM r CROSS JOIN tot ORDER BY rank""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // materialized once: both consumers (top-k and the corpus total)
+    // otherwise re-run the corpus-wide explode+agg — the expensive pass
+    // at scale; the vocab-sized result is the right thing to persist
+    val counts = documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(50)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("cnt").cast("long").as("cnt"),
+        round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy(col("rank"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
     q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
-    q55Containment, q57ChunkOverlap, q58PackSequences)
+    q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage)
 }
