@@ -82,30 +82,40 @@ object SimilarityOps {
     * candidate generation — same LCG construction as [[hyperplanes]]
     * (components k/64, exact in float32 AND float64, so both engines
     * agree on every projection sign), independent seed. */
-  private val pairPlanes: Array[Array[Float]] = lcgPlanes(32, 20260813L)
+  private val PairBands = 12
+  private val PairBits = 3
+  private val pairPlanes: Array[Array[Float]] =
+    lcgPlanes(PairBands * PairBits, 20260813L)
 
   /** Embedding-cosine near-duplicate pairs over the full table, via
     * banded sign-LSH candidate generation + exact cosine verification:
-    * each vector hashes to a 4-bit signature per band (sign of its
-    * projection onto 4 fixed hyperplanes), candidates are pairs sharing
+    * each vector hashes to a 3-bit signature per band (sign of its
+    * projection onto 3 fixed hyperplanes), candidates are pairs sharing
     * any band's signature — an equi-join on (band, sig), never
     * all-pairs — and every candidate is verified with the exact codegen
-    * cosine ≥ 0.4, so no false positives, only LSH misses (measured
-    * recall vs the all-pairs verifier: 0.73–0.80 across sf0.001–0.1;
-    * pinned ≥ 0.7 with the subset property by `SimilaritySpec`).
+    * cosine ≥ 0.4, so no false positives, only LSH misses.
     *
-    * Scale shape: candidate volume is Σ_buckets n_b², so band width is
-    * the knob that must grow with log₂(corpus) — 4 bits serves the
-    * bench SFs; the PLAN (map-side signatures → equi-join → equi-join
-    * re-rank) is what survives a 1000-executor scale-up, vs the old
+    * Band geometry is 12 bands × 3 bits (was 8 × 4 through round 5,
+    * measured recall 0.73–0.80): for a cosine-0.4 pair the per-plane
+    * sign-agreement is p = 1 − acos(0.4)/π ≈ 0.63, so expected recall
+    * 1 − (1 − p³)^12 ≈ 0.97 vs ≈ 0.75 for 8 × 4 — measured 0.949–0.985
+    * across sf0.001/0.01/0.1 (`RecallProbe`) and pinned ≥ 0.9 with the
+    * subset property by `SimilaritySpec`, at ~3× the candidate volume
+    * (12 bands × 8 buckets vs 8 × 16).
+    *
+    * Scale shape: candidate volume is Σ_buckets n_b², so bits-per-band
+    * is the knob that must grow with log₂(corpus) — 3 bits serves the
+    * bench SFs (recall, not speed, was the binding constraint); the
+    * PLAN (map-side signatures → equi-join → equi-join re-rank) is what
+    * survives a 1000-executor scale-up, vs the old
     * BroadcastNestedLoopJoin whose N²/2 dot products grow 10,000× at
     * 100× data. The all-pairs form stays available as
     * [[embedNearPairsAllPairs]], the small-sf exactness verifier.
     */
   val q34EmbedNearPairs: QueryDef = {
-    val bandSelects = (0 until 8).map { bi =>
-      val sig = (0 until 4).map { j =>
-        s"(CASE WHEN ${sqlDot("embedding", sqlPlaneLit(pairPlanes(bi * 4 + j)))} > 0 THEN ${1 << j} ELSE 0 END)"
+    val bandSelects = (0 until PairBands).map { bi =>
+      val sig = (0 until PairBits).map { j =>
+        s"(CASE WHEN ${sqlDot("embedding", sqlPlaneLit(pairPlanes(bi * PairBits + j)))} > 0 THEN ${1 << j} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $bi AS band, $sig AS sig FROM d"
     }.mkString("\n", "\nUNION ALL\n", "")
@@ -125,12 +135,13 @@ object SimilarityOps {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      // 32 codegen float-dot projections per row, folded into 8 band
+      // 36 codegen float-dot projections per row, folded into 12 band
       // signatures — pure map-side.
-      val bandCols = (0 until 8).map { bi =>
+      val bandCols = (0 until PairBands).map { bi =>
         struct(lit(bi).as("band"),
-          (0 until 4).map { j =>
-            when(dot(col("embedding"), typedlit(pairPlanes(bi * 4 + j))) > 0,
+          (0 until PairBits).map { j =>
+            when(dot(col("embedding"),
+                typedlit(pairPlanes(bi * PairBits + j))) > 0,
               1 << j).otherwise(0)
           }.reduce(_ + _).as("sig"))
       }
@@ -435,7 +446,9 @@ object SimilarityOps {
     * correctly-rounded doubles on both sides, and ⌊x+0.5⌋ (instead of
     * `round`, whose half-way rule differs between engines) makes the
     * integer rounding bit-identical. Zero vectors quantize to zeros via
-    * the scale=0 guard.
+    * the scale=0 guard. The quantized vector is emitted as a
+    * comma-joined string (not an int array) so every output column is a
+    * scalar the driver's comparator can sort and hash.
     */
   val q56QuantizeInt8: QueryDef = sql(
     "q56_quantize_int8",
@@ -445,8 +458,8 @@ object SimilarityOps {
       |s AS (SELECT vec_id, embedding, mx,
       |        CASE WHEN mx > 0 THEN 127 / mx ELSE 0 END AS scale FROM m)
       |SELECT vec_id, mx,
-      |  list_transform(embedding,
-      |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qv
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)), ',') AS qv
       |FROM s ORDER BY vec_id""") { (s, d) =>
     embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
@@ -455,8 +468,10 @@ object SimilarityOps {
       .withColumn("scale",
         when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
       .select(col("vec_id"), col("mx"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * col("scale") + 0.5).cast("int")).as("qv"))
+        array_join(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * col("scale") + 0.5).cast("int")),
+          ",").as("qv"))
       .orderBy(col("vec_id"))
   }
 

@@ -71,7 +71,7 @@ class ContainmentQuantizeSpec extends AnyFunSuite {
     rows.foreach { r =>
       val id = r.getLong(0)
       val mx = r.getDouble(1)
-      val qv = r.getSeq[Int](2)
+      val qv = r.getString(2).split(',').toSeq.filter(_.nonEmpty).map(_.toInt)
       val v = emb(id)
       assert(qv.length == v.length)
       if (mx == 0.0) {

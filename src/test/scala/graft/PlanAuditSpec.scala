@@ -115,16 +115,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange (final sort), got $exchanges\n$plan")
   }
 
-  test("q58 packing shuffles once for the per-source window and the " +
-      "aggregation reuses that partitioning") {
+  test("q58 packing is a two-level prefix sum: the corpus window " +
+      "partitions on (source, blk) — never source alone — and block " +
+      "offsets come back as a broadcast join") {
     val plan = finalPlan(SparkEntry.queries("q58_pack_sequences")(spark, sf))
-    assert(plan.contains("Window"))
-    assert(!plan.contains("Join"))
-    // hash exchange for the window + range exchange for the final sort;
-    // a third would mean the (source, seq_id) groupBy stopped reusing
-    // the window's source-clustering
-    val exchanges = finalExchanges(plan)
-    assert(exchanges == 2, s"expected 2 exchanges (window + sort), got $exchanges\n$plan")
+    // the only corpus-row window is the blocked one (corpus/B tasks)
+    assert("windowspecdefinition\\(source#\\d+, blk#\\d+L?, doc_id".r
+        .findFirstIn(plan).isDefined,
+      s"blocked (source, blk, doc_id) corpus window missing\n$plan")
+    // a (source, doc_id) windowspec = the single-task-per-source sort
+    // that serializes at 100 TB — must never re-form
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r
+        .findFirstIn(plan).isEmpty,
+      s"per-source corpus window is back\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "block offsets must join back as a broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-wide sort-merge join in the packing plan")
+    // the block-totals branch must partial-aggregate map-side so its
+    // exchange carries corpus/B rows, not corpus rows
+    assert(plan.contains("partial_sum"),
+      "block totals lost their map-side partial aggregation")
   }
 
   test("PageRank iteration joins via pinned broadcasts, no sort-merge") {
