@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered operator demos, in module order. */
   def defs: Seq[QueryDef] =
     Relational.all ++ EventOps.all ++ GraphOps.all ++ TextOps.all ++
-      SimilarityOps.all ++ MultimodalOps.all ++ ScaleOps.all
+      SimilarityOps.all ++ MultimodalOps.all ++ ScaleOps.all ++
+      graft.etl.CricketDemo.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,6 +26,88 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank convergence is non-trivial on a strongly connected " +
+      "cyclic graph: matches a driver reference at every probed depth, " +
+      "still moving at 10 iterations, geometrically settled later, and " +
+      "rank spread grows monotonically with damping") {
+    // ring 0→1→…→5→0 plus chords funneling into n2 — strongly
+    // connected, no dangling nodes, so ranks sum to 1 and the fixed
+    // point is the true stationary distribution (unlike the bipartite
+    // sf graphs, where every supplier is dangling and 4 iterations
+    // already sit at the leaked fixed point). The chords make the
+    // in-weight UNbalanced: a symmetric chord set leaves the uniform
+    // vector exactly stationary and the test vacuous.
+    val edgeSeq = Seq(
+      ("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+      ("n4", "n5"), ("n5", "n0"), ("n0", "n2"), ("n3", "n2"), ("n4", "n2"))
+    val edges = edgeSeq.toDF("src", "dst")
+
+    // independent driver-side power iteration (same semantics: teleport
+    // (1-d)/n, no dangling redistribution — there are no dangling nodes)
+    def reference(iters: Int, damping: Double): Map[String, Double] = {
+      val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val outDeg = edgeSeq.groupBy(_._1).map { case (s, es) => s -> es.size }
+      val n = nodes.size
+      var rank = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val msg = edgeSeq
+          .groupBy(_._2)
+          .map { case (d, es) =>
+            d -> es.map(e => rank(e._1) / outDeg(e._1)).sum
+          }
+        rank = nodes.map(nd =>
+          nd -> ((1 - damping) / n + damping * msg.getOrElse(nd, 0.0))).toMap
+      }
+      rank
+    }
+
+    def spark10(iters: Int, damping: Double): Map[String, Double] =
+      GraphOps.pageRank(edges, iters = iters, damping = damping)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    def l1(a: Map[String, Double], b: Map[String, Double]): Double =
+      a.keys.map(k => math.abs(a(k) - b(k))).sum
+
+    // iteration math matches the reference at shallow AND deep depths —
+    // convergence behavior, not one stationary special case
+    for (iters <- Seq(3, 10, 25)) {
+      val got = spark10(iters, 0.85)
+      val ref = reference(iters, 0.85)
+      assert(got.keySet == ref.keySet)
+      ref.foreach { case (nd, v) =>
+        assert(math.abs(got(nd) - v) < 1e-9,
+          s"iters=$iters node $nd: ${got(nd)} vs $v")
+      }
+      // strongly connected + no dangling ⇒ no leak: mass is conserved
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+
+    // 10 iterations are NOT stationary here (the r5 sf graphs were):
+    // the rank vector is still moving by a macroscopic amount, and the
+    // motion decays geometrically (~damping^k) rather than stopping
+    val d10 = l1(reference(10, 0.85), reference(11, 0.85))
+    val d40 = l1(reference(40, 0.85), reference(41, 0.85))
+    assert(d10 > 1e-4, f"graph already stationary at 10 iters (d=$d10%.2e)")
+    assert(d40 < d10 / 100,
+      f"no geometric settling: d10=$d10%.2e d40=$d40%.2e")
+    val sparkDelta = l1(spark10(10, 0.85), spark10(11, 0.85))
+    assert(sparkDelta > 1e-4, "Spark ranks already stationary at 10 iters")
+
+    // damping sweep: teleport dominates at low damping (ranks → 1/n),
+    // structure dominates at high damping — max deviation from uniform
+    // must grow strictly with damping
+    val spreads = Seq(0.3, 0.6, 0.85).map { d =>
+      val r = spark10(30, d)
+      d -> r.values.map(v => math.abs(v - 1.0 / r.size)).max
+    }
+    spreads.sliding(2).foreach {
+      case Seq((dLo, sLo), (dHi, sHi)) =>
+        assert(sLo < sHi,
+          f"spread not monotone in damping: $dLo%.2f→$sLo%.4f vs $dHi%.2f→$sHi%.4f")
+      case _ =>
+    }
+  }
+
   test("pageRank ranks are positive and sum below 1 (dangling leak)") {
     val edges = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
     val ranks = GraphOps.pageRank(edges, iters = 5)
