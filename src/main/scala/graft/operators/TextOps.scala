@@ -143,6 +143,16 @@ object TextOps {
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     cachedCheckpoint("shingleIndex", s, d)(shingleIndexPlan(s, d))
 
+  /** (tok, cnt) corpus unigram vocabulary — one corpus explode+hash-agg,
+    * materialized once per (session, sfDir); shared by the vocabulary
+    * audit (q59) and the unigram LM scorer (q64). */
+  private def vocabCounts(s: SparkSession, d: String): DataFrame =
+    cachedCheckpoint("vocabCounts", s, d) {
+      documents(s, d)
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    }
+
   /** (j, a, b) MinHash permutation constants — fixed seed, mirrored
     * literally in the oracle SQL. */
   private val perms: Seq[(Int, Long, Long)] = Seq(
@@ -613,19 +623,10 @@ object TextOps {
       .orderBy(col("k1"), col("k2"))
   }
 
-  /** Near-duplicate CLUSTERING: the step after pair detection in a real
-    * dedup pipeline — group the verified MinHash pairs into connected
-    * components and pick one representative per cluster. Labels via
-    * bounded min-label propagation (3 rounds: exact for components of
-    * diameter ≤ 3, which near-dup clusters are in practice); the round
-    * count is mirrored exactly in the oracle, so results are
-    * hash-verified rather than rows-only. Each round is one
-    * edge⋈label join + groupBy-min — the same shape PageRank iterates,
-    * join keys only, no all-pairs.
-    */
-  val q49DedupClusters: QueryDef = sql(
-    "q49_dedup_clusters",
-    s"""WITH $minHashPairsCtes,
+  /** The q49/q63 oracle CTE chain: verified pairs → undirected edges →
+    * 3 rounds of min-label propagation (l3 = final labels). */
+  private val dedupLabelCtes: String =
+    s"""$minHashPairsCtes,
       |pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
       |nodes AS (SELECT DISTINCT doc_id
       |          FROM (SELECT d1 AS doc_id FROM pairs
@@ -641,29 +642,92 @@ object TextOps {
       |       GROUP BY l.doc_id, l.lbl),
       |l3 AS (SELECT l.doc_id, least(l.lbl, min(n.lbl)) AS lbl
       |       FROM l2 l JOIN e ON e.a = l.doc_id JOIN l2 n ON n.doc_id = e.b
-      |       GROUP BY l.doc_id, l.lbl)
-      |SELECT lbl AS cluster, count(*) AS n_docs, min(doc_id) AS keep_id
-      |FROM l3 GROUP BY 1 ORDER BY 1""") { (s, d) =>
-    // materialize the (small) verified pair set once: three label
+      |       GROUP BY l.doc_id, l.lbl)""".stripMargin.trim
+
+  /** (doc_id, lbl) for every document in a verified near-dup pair —
+    * 3-round min-label propagation (exact for components of diameter
+    * ≤ 3, which near-dup clusters are in practice), cached per
+    * (session, sfDir) because both the cluster summary (q49) and the
+    * keep-list (q63) consume it. Each round is one edge⋈label join +
+    * groupBy-min — the same shape PageRank iterates, join keys only,
+    * no all-pairs. */
+  private[graft] def dedupLabels(s: SparkSession, d: String): DataFrame = {
+    // materialize the (small) verified pair set first (outside the
+    // labels cache entry — computeIfAbsent must not nest): three label
     // iterations each reference it twice, and lazy lineage would re-run
     // the whole LSH pipeline ~7×.
-    val pairs = minHashPairs(s, d).select(col("d1"), col("d2")).localCheckpoint()
-    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-    val nodes = pairs.select(col("d1").as("doc_id"))
-      .union(pairs.select(col("d2").as("doc_id"))).distinct()
-    var lbl = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
-    for (_ <- 1 to 3) {
-      val nb = lbl.select(col("doc_id").as("nb_id"), col("lbl").as("nb_lbl"))
-      lbl = lbl.join(e, lbl("doc_id") === col("a"))
-        .join(nb, col("b") === col("nb_id"))
-        .groupBy(lbl("doc_id").as("doc_id"), lbl("lbl").as("l0"))
-        .agg(min(col("nb_lbl")).as("mn"))
-        .select(col("doc_id"), least(col("l0"), col("mn")).as("lbl"))
+    val pairs = cachedCheckpoint("minhashPairs", s, d)(
+      minHashPairs(s, d).select(col("d1"), col("d2")))
+    cachedCheckpoint("dedupLabels", s, d) {
+      val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      val nodes = pairs.select(col("d1").as("doc_id"))
+        .union(pairs.select(col("d2").as("doc_id"))).distinct()
+      var lbl = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+      for (_ <- 1 to 3) {
+        val nb = lbl.select(col("doc_id").as("nb_id"), col("lbl").as("nb_lbl"))
+        lbl = lbl.join(e, lbl("doc_id") === col("a"))
+          .join(nb, col("b") === col("nb_id"))
+          .groupBy(lbl("doc_id").as("doc_id"), lbl("lbl").as("l0"))
+          .agg(min(col("nb_lbl")).as("mn"))
+          .select(col("doc_id"), least(col("l0"), col("mn")).as("lbl"))
+      }
+      lbl
     }
-    lbl.groupBy(col("lbl").as("cluster"))
+  }
+
+  /** Near-duplicate CLUSTERING: the step after pair detection in a real
+    * dedup pipeline — group the verified MinHash pairs into connected
+    * components. The propagation round count is mirrored exactly in the
+    * oracle, so results are hash-verified rather than rows-only.
+    */
+  val q49DedupClusters: QueryDef = sql(
+    "q49_dedup_clusters",
+    s"""WITH $dedupLabelCtes
+      |SELECT lbl AS cluster, count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM l3 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    dedupLabels(s, d)
+      .groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("cluster"))
+  }
+
+  /** Dedup KEEP-LIST — the corpus-level artifact a dedup pipeline
+    * actually ships: for every clustered document, the keep/drop
+    * decision under the "keep the longest member" policy (ties by
+    * doc_id; unclustered documents are implicitly kept and never appear
+    * — the keep-list stays cluster-sized, not corpus-sized). The
+    * representative window partitions by cluster, and near-dup clusters
+    * are small by construction, so no partition ever exceeds a cluster.
+    * The labels⋈documents join is a plain equi-join on doc_id: labels
+    * are usually broadcastable (AQE decides from actual size) but are
+    * NOT hinted — at 100 TB a heavily duplicated corpus can have a
+    * labels side too big to pin into every executor.
+    */
+  val q63DedupKeeplist: QueryDef = sql(
+    "q63_dedup_keeplist",
+    s"""WITH $dedupLabelCtes,
+      |tl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+      |       FROM documents),
+      |m AS (SELECT l3.doc_id, lbl AS cluster, n_tok
+      |      FROM l3 JOIN tl ON tl.doc_id = l3.doc_id),
+      |r AS (SELECT cluster, doc_id, n_tok,
+      |        row_number() OVER (PARTITION BY cluster
+      |          ORDER BY n_tok DESC, doc_id) AS rn FROM m)
+      |SELECT cluster, doc_id, CAST(n_tok AS INT) AS n_tok,
+      |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM r ORDER BY cluster, doc_id""") { (s, d) =>
+    val toklen = documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tok"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    dedupLabels(s, d)
+      .select(col("doc_id"), col("lbl").as("cluster"))
+      .join(toklen, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("cluster"), col("doc_id"), col("n_tok"),
+        (col("rn") === 1).cast("int").as("keep"))
+      .orderBy(col("cluster"), col("doc_id"))
   }
 
   /** Deterministic train/valid/test split: bucket by a stable content-
@@ -1083,11 +1147,7 @@ object TextOps {
     // the expensive pass at scale; the vocab-sized result is the right
     // thing to persist, and the session cache keeps bench passes from
     // accumulating per-run copies
-    val counts = cachedCheckpoint("vocabCounts", s, d) {
-      documents(s, d)
-        .select(explode(toks(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    }
+    val counts = vocabCounts(s, d)
     val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
     val top = counts.orderBy(col("cnt").desc, col("tok")).limit(50)
     val w = Window.orderBy(col("cnt").desc, col("tok"))
@@ -1101,10 +1161,98 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** Unigram LM quality score (the CCNet/CC-style language-model filter
+    * proxy): per-document mean negative log-likelihood under the corpus
+    * unigram distribution — high avg_nll = rare-token-heavy documents,
+    * the standard cheap perplexity stand-in for quality filtering.
+    *
+    * Cross-engine exactness: a doc's NLL is a SUM of per-token doubles,
+    * and double addition is order-dependent — a hash-agg over shuffled
+    * tokens would hash-differently run to run. So each token's cost is
+    * quantized ONCE to an integer (⌊ln(total/cnt)·1e9 + 0.5⌋ — ln and
+    * the floor evaluated identically in both engines) and the per-doc
+    * sum is an exact, order-independent long sum; only the final
+    * per-doc average returns to doubles (one division, one round).
+    *
+    * Scale: vocab by hash agg (one corpus pass, shared with q59 via the
+    * session cache), per-token costs broadcast (vocab-sized — a web-
+    * scale corpus caps or joins instead), scoring is one map-side probe
+    * + doc-keyed agg.
+    */
+  val q64UnigramLogprob: QueryDef = sql(
+    "q64_unigram_logprob",
+    """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+      |cost AS (SELECT tok,
+      |    CAST(floor(ln(CAST(total AS DOUBLE) / cnt) * 1000000000.0 + 0.5) AS BIGINT) AS nll
+      |  FROM c CROSS JOIN tot),
+      |sdoc AS (SELECT doc_id, CAST(sum(nll) AS BIGINT) AS snll,
+      |           count(*) AS n_tok
+      |         FROM t JOIN cost USING (tok) GROUP BY 1)
+      |SELECT doc_id, n_tok,
+      |  round(CAST(snll AS DOUBLE) / 1000000000.0 / n_tok, 6) AS avg_nll
+      |FROM sdoc ORDER BY doc_id""") { (s, d) =>
+    val counts = vocabCounts(s, d)
+    val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
+    val cost = counts.crossJoin(broadcast(total))
+      .select(col("tok"),
+        floor(log(col("total").cast("double") / col("cnt")) * 1000000000.0
+          + 0.5).cast("long").as("nll"))
+    documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .join(broadcast(cost), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nll")).cast("long").as("snll"),
+        count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("snll").cast("double") / 1000000000.0 / col("n_tok"), 6)
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language length-percentile trimming (outlier-length filtering,
+    * the standard pre-training length gate): exact p05/p95 of per-doc
+    * token counts per language, plus how many documents the [p05, p95]
+    * band keeps. Exact `percentile` ↔ `quantile_cont` parity is the q14
+    * pattern; exact (vs approx) is the right call here because token
+    * counts have BOUNDED distinct values, so the percentile buffer is a
+    * count-map over lengths, not the rows — at 100 TB switch to
+    * `approx_percentile` only for unbounded continuous metrics. Two
+    * corpus passes (quantiles, then the keep count against the
+    * broadcast per-lang bands), both map-parallel.
+    */
+  val q65LengthTrim: QueryDef = sql(
+    "q65_length_trim",
+    """WITH n AS (SELECT doc_id, lang,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |q AS (SELECT lang, quantile_cont(n_tok, 0.05) AS p05,
+      |        quantile_cont(n_tok, 0.95) AS p95 FROM n GROUP BY 1)
+      |SELECT n.lang AS lang, p05, p95, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_tok >= p05 AND n_tok <= p95
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM n JOIN q ON n.lang = q.lang
+      |GROUP BY 1, 2, 3 ORDER BY 1""") { (s, d) =>
+    val n = documents(s, d)
+      .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("n_tok"))
+    val q = n.groupBy(col("lang")).agg(
+      expr("percentile(n_tok, 0.05)").as("p05"),
+      expr("percentile(n_tok, 0.95)").as("p95"))
+    n.join(broadcast(q), "lang")
+      .groupBy(col("lang"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") >= col("p05") && col("n_tok") <= col("p95"), 1)
+          .otherwise(0)).cast("long").as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
-    q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q50TrainSplit,
+    q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q63DedupKeeplist,
+    q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
-    q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage)
+    q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
+    q64UnigramLogprob, q65LengthTrim)
 }
