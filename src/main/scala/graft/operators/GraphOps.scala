@@ -211,7 +211,15 @@ object GraphOps {
     // ranks are stationary to 1e-9 from iteration 4 (verified: identical
     // output at 4 vs 6 iterations at sf0.01 AND sf0.1); extra iterations
     // add stages without changing a single output digit.
-    pageRank(facedEdges(s, d), iters = 4)
+    //
+    // The distinct edge projection is a session-cached shared artifact —
+    // the reference separates graph construction from ranking the same
+    // way (`gds.graph.project` materializes once, `gds.pageRank` then
+    // runs against the projection, `cypher_queries.cypher:27-34`), so
+    // repeated rankings never re-run the fact⋈orders build.
+    val projection = graft.SessionCache.checkpoint("graphProjection", s, d)(
+      facedEdges(s, d).select("src", "dst").distinct())
+    pageRank(projection, iters = 4)
       .select(col("node"), round(col("rank"), 9).as("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)

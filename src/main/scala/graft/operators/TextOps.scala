@@ -129,16 +129,10 @@ object TextOps {
     * family (at 100 TB it would persist to storage rather than executor
     * memory — same shape, durable medium, cached per corpus snapshot
     * exactly like this). */
-  private val ckptCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]
-
-  /** Session-scoped checkpoint cache: local checkpoints have no
-    * public release, so every shared artifact is checkpointed at most
-    * once per (session, sfDir) and reused across queries and bench
-    * passes instead of accumulating a copy per consumer. */
+  /** Session-scoped checkpoint cache — see [[graft.SessionCache]]. */
   private def cachedCheckpoint(key: String, s: SparkSession, d: String)(
       plan: => DataFrame): DataFrame =
-    ckptCache.computeIfAbsent((s, d, key), _ => plan.localCheckpoint())
+    graft.SessionCache.checkpoint(key, s, d)(plan)
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     cachedCheckpoint("shingleIndex", s, d)(shingleIndexPlan(s, d))

@@ -138,6 +138,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "block totals lost their map-side partial aggregation")
   }
 
+  test("q64 LM scoring probes the corpus with a broadcast cost table — " +
+      "no corpus-side sort-merge join") {
+    val plan = finalPlan(SparkEntry.queries("q64_unigram_logprob")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "cost-table probe not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus shuffled to join the vocab-sized cost table")
+  }
+
+  test("q63 keep-list windows only per cluster, never over the corpus") {
+    val plan = finalPlan(SparkEntry.queries("q63_dedup_keeplist")(spark, sf))
+    // the only window partitions by cluster (cluster-sized partitions)
+    assert("windowspecdefinition\\(cluster#\\d+L?,".r.findFirstIn(plan).isDefined,
+      s"per-cluster ranking window missing\n$plan")
+    val specs = "windowspecdefinition\\([a-z_]+#".r.findAllIn(plan)
+      .toSeq.distinct
+    assert(specs.forall(_.contains("cluster")),
+      s"unexpected non-cluster window partitioning: $specs")
+  }
+
   test("PageRank iteration joins via pinned broadcasts, no sort-merge") {
     // the q24 plan itself ends at a checkpoint scan; audit one iteration
     // step directly.
