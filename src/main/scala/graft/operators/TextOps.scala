@@ -674,6 +674,9 @@ object TextOps {
     * dedup pipeline — group the verified MinHash pairs into connected
     * components. The propagation round count is mirrored exactly in the
     * oracle, so results are hash-verified rather than rows-only.
+    * `keep_id` here is the cluster's min-doc_id CANONICAL LABEL (stable
+    * across reruns); the policy-driven keeper (keep-longest) is the
+    * separate keep-list operator, q63.
     */
   val q49DedupClusters: QueryDef = sql(
     "q49_dedup_clusters",

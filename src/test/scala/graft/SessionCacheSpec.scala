@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-(session, sfDir, key) checkpoint memoization that the shared
+  * artifacts (shingle index, vocab counts, dedup labels, graph
+  * projection) rely on for both speed and bounded executor storage.
+  */
+class SessionCacheSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("same key returns the SAME checkpointed frame without " +
+      "re-evaluating the plan; different key or dir evaluates") {
+    var builds = 0
+    def plan = { builds += 1; Seq(1, 2, 3).toDF("x") }
+    val a = SessionCache.checkpoint("scs-test", spark, "dirA")(plan)
+    val b = SessionCache.checkpoint("scs-test", spark, "dirA")(plan)
+    assert(a eq b, "second call must return the cached instance")
+    assert(builds == 1, s"plan evaluated $builds times for one cache entry")
+    val c = SessionCache.checkpoint("scs-test", spark, "dirB")(plan)
+    assert(builds == 2 && !(c eq a), "different sfDir must build fresh")
+    val d = SessionCache.checkpoint("scs-test-2", spark, "dirA")(plan)
+    assert(builds == 3 && !(d eq a), "different key must build fresh")
+    assert(a.collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
+  }
+}
