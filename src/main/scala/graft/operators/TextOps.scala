@@ -646,10 +646,10 @@ object TextOps {
     * groupBy-min — the same shape PageRank iterates, join keys only,
     * no all-pairs. */
   private[graft] def dedupLabels(s: SparkSession, d: String): DataFrame = {
-    // materialize the (small) verified pair set first (outside the
-    // labels cache entry — computeIfAbsent must not nest): three label
+    // materialize the (small) verified pair set first: three label
     // iterations each reference it twice, and lazy lineage would re-run
-    // the whole LSH pipeline ~7×.
+    // the whole LSH pipeline ~7×. (SessionCache lookups are reentrant,
+    // so the chained index→pairs→labels entries are safe to nest.)
     val pairs = cachedCheckpoint("minhashPairs", s, d)(
       minHashPairs(s, d).select(col("d1"), col("d2")))
     cachedCheckpoint("dedupLabels", s, d) {

@@ -24,4 +24,21 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(builds == 3 && !(d eq a), "different key must build fresh")
     assert(a.collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
   }
+
+  test("chained artifacts may build one cache entry from inside " +
+      "another (reentrant lookup — no Recursive update)") {
+    // many nested keys so some land in the same hash bin as the outer
+    // entry — the exact condition that made computeIfAbsent throw
+    val outer = SessionCache.checkpoint("scs-outer", spark, "dirR") {
+      val inners = (0 until 32).map(i =>
+        SessionCache.checkpoint(s"scs-inner-$i", spark, "dirR")(
+          Seq(i).toDF("x")))
+      inners.reduce(_ union _)
+    }
+    assert(outer.count() == 32)
+    // and the inner entries are themselves cached
+    val again = SessionCache.checkpoint("scs-inner-0", spark, "dirR")(
+      fail("inner entry must be cached"))
+    assert(again.collect().head.getInt(0) == 0)
+  }
 }
