@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+import graft.QueryDef
+
 /** Structured-Streaming surface — SURVEY.md §2.H.
   *
   * The reference has no streaming (ingestion is an idempotent batch
@@ -34,12 +36,16 @@ object StreamingOps {
   }
 
   /** Tumbling-window counts with late-data tolerance: the streaming twin
-    * of the batch-verified q17 aggregation. */
+    * of the batch-verified q17 aggregation. The sum routes through the
+    * same fixed-scale decimal as q17 (`Exact.sumd2`) — decimal streaming
+    * state merges exactly, so the drained result is bit-identical to the
+    * batch plan no matter how micro-batches split the input. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.sumd2(col("value")).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -119,4 +125,53 @@ object StreamingOps {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** File-stream sources list a DIRECTORY; stage the sf events file into
+    * a deterministic per-sf temp dir (idempotent copy). */
+  private def stageEvents(d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = Paths.get(d).getFileName.toString
+    val dir = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_events_stage", name)
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(d, "events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** The STREAMING execution path, oracle-verified: runs the tumbling
+    * aggregation as a real Structured Streaming query (file source →
+    * watermarked stateful agg → memory sink, drained synchronously) and
+    * returns the sink table — hash-compared by the driver against the
+    * SAME DuckDB oracle as the batch twin q17. Complete output mode
+    * keeps the drained result independent of micro-batch boundaries
+    * (no state eviction, late rows still merge), and the decimal-routed
+    * sum makes the merge exact — so a streaming engine run is held to
+    * the identical bit-for-bit standard as batch, which is Structured
+    * Streaming's unified-model contract made checkable.
+    */
+  val q66StreamTumbling: QueryDef = QueryDef.sql(
+    "q66_stream_tumbling",
+    """SELECT make_timestamp(CAST(3600000000 * (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS BIGINT)) AS bucket,
+      |       event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""") { (s, d) =>
+    val out = s"stream_tumbling_${runSeq.incrementAndGet()}"
+    runToMemory(windowedCounts(eventStream(s, stageEvents(d))), out,
+      OutputMode.Complete)
+    // the streaming clock column is TIMESTAMP (watermarks want it); the
+    // batch loader and oracle speak TIMESTAMP_NTZ — same UTC wall clock
+    // (session tz pinned), so the cast only aligns the logical type
+    s.table(out)
+      .select(col("bucket").cast("timestamp_ntz").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** Streaming queries registered with the driver contract. */
+  def queries: Seq[QueryDef] = Seq(q66StreamTumbling)
 }

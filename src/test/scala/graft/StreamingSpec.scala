@@ -80,6 +80,20 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("q66 streaming execution equals batch q17 bit-for-bit " +
+      "(decimal state merge + Complete mode drain)") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q66_stream_tumbling")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = SparkEntry.queries("q17_events_tumbling")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty)
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (sRow, bRow) =>
+      assert(sRow == bRow, s"stream row $sRow != batch row $bRow")
+    }
+  }
+
   test("session windows produce at least one session per active user") {
     val stream = StreamingOps.eventStream(spark, eventsDir)
     StreamingOps.runToMemory(
