@@ -55,14 +55,16 @@ object StreamingOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Session windows per user — streaming twin of batch q19. */
+  /** Session windows per user — streaming twin of batch q19, with the
+    * same exact decimal sum so drained results match batch bit-for-bit. */
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.sumd2(col("value")).as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
-        col("n"))
+        col("n"), col("sum_value"))
 
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 
@@ -172,6 +174,37 @@ object StreamingOps {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Session windows as a REAL streaming run, oracle-verified like q66
+    * — the hardest streaming state shape (sessions merge as events
+    * arrive; Complete mode makes the drained result batch-identical
+    * regardless of micro-batch boundaries). Oracle = q19's relational
+    * session reconstruction, verbatim.
+    */
+  val q67StreamSession: QueryDef = QueryDef.sql(
+    "q67_stream_session",
+    """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
+      |y AS (SELECT user_id, tsu, value,
+      |  CASE WHEN lag(tsu) OVER w IS NULL
+      |         OR tsu - lag(tsu) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+      |z AS (SELECT user_id, tsu, value,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM y)
+      |SELECT user_id, min(tsu) AS session_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM z
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""") { (s, d) =>
+    val out = s"stream_session_${runSeq.incrementAndGet()}"
+    runToMemory(sessionCounts(eventStream(s, stageEvents(d))), out,
+      OutputMode.Complete)
+    s.table(out)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Streaming queries registered with the driver contract. */
-  def queries: Seq[QueryDef] = Seq(q66StreamTumbling)
+  def queries: Seq[QueryDef] = Seq(q66StreamTumbling, q67StreamSession)
 }

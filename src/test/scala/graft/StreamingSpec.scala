@@ -80,17 +80,20 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0)
   }
 
-  test("q66 streaming execution equals batch q17 bit-for-bit " +
-      "(decimal state merge + Complete mode drain)") {
+  test("streaming executions equal their batch twins bit-for-bit " +
+      "(q66~q17 tumbling, q67~q19 sessions; decimal state merge + " +
+      "Complete mode drain)") {
     val sf = "/root/testdata/sf0.001"
-    val stream = SparkEntry.queries("q66_stream_tumbling")(spark, sf)
-      .collect().map(_.toSeq)
-    val batch = SparkEntry.queries("q17_events_tumbling")(spark, sf)
-      .collect().map(_.toSeq)
-    assert(stream.nonEmpty)
-    assert(stream.length == batch.length)
-    stream.zip(batch).foreach { case (sRow, bRow) =>
-      assert(sRow == bRow, s"stream row $sRow != batch row $bRow")
+    for ((sq, bq) <- Seq(
+        "q66_stream_tumbling" -> "q17_events_tumbling",
+        "q67_stream_session" -> "q19_events_session")) {
+      val stream = SparkEntry.queries(sq)(spark, sf).collect().map(_.toSeq)
+      val batch = SparkEntry.queries(bq)(spark, sf).collect().map(_.toSeq)
+      assert(stream.nonEmpty)
+      assert(stream.length == batch.length, s"$sq vs $bq row counts")
+      stream.zip(batch).foreach { case (sRow, bRow) =>
+        assert(sRow == bRow, s"$sq row $sRow != $bq row $bRow")
+      }
     }
   }
 
