@@ -222,7 +222,66 @@ object EventOps {
       .orderBy(col("user_id"), col("id1"), col("id2"))
   }
 
+  /** Per-type z-score anomaly detection (monitoring / data-quality gate):
+    * each event type's mean and population stddev, plus how many events
+    * sit outside mean ± 2σ.
+    *
+    * Cross-engine exactness: both moments come from EXACT decimal sums —
+    * Σv as DECIMAL(18,2) and Σv² as the decimal product (exact at scale
+    * 4), rounded to scale 2 before the double cast so the cast itself is
+    * exact (the q38/Exact.sumd rationale: a scale-2 decimal of this
+    * magnitude converts identically in both engines, a wide scale-4 one
+    * may not once the scaled integer passes 2^53). From there
+    * mean/variance/threshold are the same IEEE double expressions over
+    * identical inputs, so the outlier COMPARISON (and hence the counts)
+    * is bit-deterministic, and the reported mean/std round at 6 digits.
+    *
+    * Scale shape: one hash-agg pass for the moments (map-side partial),
+    * per-type stats broadcast back over a second scan for the outlier
+    * count — never a window over the table (event_type is
+    * low-cardinality; a per-type window would serialize each type's
+    * whole history into one task).
+    */
+  val q71AnomalyZscore: QueryDef = sql(
+    "q71_anomaly_zscore",
+    """WITH b AS (SELECT event_type, value,
+      |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |s AS (SELECT event_type, count(*) AS n,
+      |        CAST(sum(v) AS DOUBLE) AS sv,
+      |        CAST(round(sum(v * v), 2) AS DOUBLE) AS sv2
+      |      FROM b GROUP BY 1),
+      |m AS (SELECT event_type, n, sv / n AS mean,
+      |        sqrt(sv2 / n - (sv / n) * (sv / n)) AS std FROM s),
+      |o AS (SELECT b.event_type, count(*) AS n_outliers
+      |      FROM b JOIN m USING (event_type)
+      |      WHERE abs(b.value - m.mean) > 2 * m.std GROUP BY 1)
+      |SELECT m.event_type, m.n,
+      |  CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers,
+      |  round(m.mean, 6) AS mean, round(m.std, 6) AS std
+      |FROM m LEFT JOIN o USING (event_type)
+      |ORDER BY m.event_type""") { (s, d) =>
+    val b = events(s, d).select(col("event_type"), col("value"),
+      dec2(col("value")).as("v"))
+    val m = b.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sv"),
+        round(sum(col("v") * col("v")), 2).cast("double").as("sv2"))
+      .withColumn("mean", col("sv") / col("n"))
+      .withColumn("std",
+        sqrt(col("sv2") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n"))))
+    val o = b.join(broadcast(m.select(col("event_type"), col("mean"), col("std"))),
+        Seq("event_type"))
+      .filter(abs(col("value") - col("mean")) > lit(2) * col("std"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"))
+    m.join(o, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+        round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps, q41LagLead,
-      q42AsofJoin, q43RangeJoin)
+      q42AsofJoin, q43RangeJoin, q71AnomalyZscore)
 }

@@ -475,7 +475,65 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** kNN majority-vote classification (weak-labeling / label-propagation
+    * over the embedding space): each probe (vec_id < 5) takes its 10
+    * exact-cosine nearest neighbors' `label`s and predicts the majority,
+    * ties broken toward the smaller label. This is the q33 top-k plan
+    * plus a vote: the probe set broadcasts, the corpus streams once
+    * through the codegen dot product, the per-probe top-10 is a 10-row
+    * window per probe, and the vote is a tiny (≤50-row) agg — nothing
+    * new shuffles, so the scale posture is exactly q33's (O(Q·N) scan
+    * with Q broadcast; swap the candidate source to the IVF/LSH bucket
+    * join for large Q, same vote tail).
+    */
+  val q72KnnClassify: QueryDef = sql(
+    "q72_knn_classify",
+    s"""WITH d AS (SELECT vec_id, label, embedding,
+      |             sqrt(${sqlDot("embedding", "embedding")}) AS nr
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, label AS true_label, embedding AS q_emb,
+      |        nr AS q_nr FROM d WHERE vec_id < 5),
+      |c AS (SELECT q_id, true_label, d.label AS label,
+      |        ${sqlDot("q_emb", "embedding")} / (q_nr * nr) AS cosine,
+      |        d.vec_id AS neighbor
+      |      FROM q JOIN d ON d.vec_id <> q_id),
+      |r AS (SELECT q_id, true_label, label,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS rn
+      |      FROM c),
+      |v AS (SELECT q_id, true_label, label, count(*) AS votes
+      |      FROM r WHERE rn <= 10 GROUP BY 1, 2, 3),
+      |p AS (SELECT q_id, true_label, label AS pred_label, votes,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr
+      |      FROM v)
+      |SELECT q_id, true_label, pred_label, CAST(votes AS BIGINT) AS votes
+      |FROM p WHERE vr = 1 ORDER BY q_id""") { (s, d) =>
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        nrm(col("embedding")).as("nr"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("embedding").as("q_emb"), col("nr").as("q_nr"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("label"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nr") * col("nr")))
+          .as("cosine"),
+        col("vec_id").as("neighbor"))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= 10)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+        col("votes"))
+      .orderBy(col("q_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf,
-      q56QuantizeInt8)
+      q56QuantizeInt8, q72KnnClassify)
 }

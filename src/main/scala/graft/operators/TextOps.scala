@@ -1244,6 +1244,92 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Corpus-wide chunk-level exact dedup (the CCNet paragraph-dedup
+    * shape at chunk granularity — this corpus has no newlines, so the
+    * dedup unit is the non-overlapping 8-token chunk): a chunk instance
+    * survives iff it is the globally FIRST occurrence of its content,
+    * ordered by (doc_id, chunk_id). Reports per-document how much
+    * survives — the signal repetition-heavy documents are filtered by.
+    *
+    * Scale shape: the keeper per distinct chunk is `min(encoded
+    * occurrence key)` grouped by the chunk's 128-bit content hash — a
+    * map-side-combinable hash agg whose shuffle carries one row per
+    * DISTINCT chunk (never per instance), with 16-byte keys (never raw
+    * text). No window, no sort, no join back to instance rows: the
+    * per-doc survivor count is a second small agg over the keeper
+    * table. The occurrence key packs (doc_id, chunk_id) into one long
+    * (chunk_id < 2^20 ⇔ docs < 8M tokens), so the argmin is a plain
+    * long `min` — exact, associative, order-independent.
+    */
+  val q68ChunkDedup: QueryDef = sql(
+    "q68_chunk_dedup",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |n AS (SELECT doc_id, w, CAST(ceil(len(w) / 8.0) AS INT) AS n_chunks FROM w),
+      |c AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id, w, n_chunks FROM n),
+      |ch AS (SELECT doc_id, n_chunks, chunk_id,
+      |         array_to_string(w[chunk_id * 8 + 1 : chunk_id * 8 + 8], ' ') AS chunk
+      |       FROM c),
+      |f AS (SELECT md5(chunk) AS h, min(doc_id * 1048576 + chunk_id) AS keeper
+      |      FROM ch GROUP BY 1),
+      |k AS (SELECT CAST(keeper // 1048576 AS BIGINT) AS doc_id,
+      |        count(*) AS kept_chunks FROM f GROUP BY 1)
+      |SELECT n.doc_id, n.n_chunks,
+      |  CAST(coalesce(k.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+      |  CAST(n.n_chunks - coalesce(k.kept_chunks, 0) AS BIGINT) AS dup_chunks
+      |FROM n LEFT JOIN k ON n.doc_id = k.doc_id
+      |ORDER BY n.doc_id""") { (s, d) =>
+    val C = 8
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .withColumn("n_chunks", ceil(size(col("w")) / lit(C.toDouble)).cast("int"))
+    val ch = docs
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(array_join(slice(col("w"), col("chunk_id") * C + 1, lit(C)), " "))
+          .as("h"))
+    val keepers = ch
+      .groupBy(col("h"))
+      .agg(min(col("doc_id") * lit(1048576L) + col("chunk_id")).as("keeper"))
+      .select(expr("keeper div 1048576").as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"))
+    docs.select(col("doc_id"), col("n_chunks"))
+      .join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        (col("n_chunks") - coalesce(col("kept_chunks"), lit(0L)))
+          .cast("long").as("dup_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus bigram statistics (tokenizer-merge-rule prep / collocation
+    * mining): top-25 adjacent token pairs by frequency, ties broken on
+    * the bigram text. Same plan skeleton as q59: the bigram explode is
+    * map-side (the adjacent-pair transform is a per-row array lambda,
+    * no self-join), the count is one hash agg over distinct bigrams,
+    * and the top-k is a TakeOrdered — never a global sort. */
+  val q69TopBigrams: QueryDef = sql(
+    "q69_top_bigrams",
+    """WITH w AS (SELECT string_split(trim(text), ' ') AS t FROM documents
+      |           WHERE len(string_split(trim(text), ' ')) >= 2),
+      |i AS (SELECT t, unnest(range(1, len(t))) AS i FROM w),
+      |b AS (SELECT t[i] || ' ' || t[i + 1] AS bigram FROM i)
+      |SELECT bigram, count(*) AS cnt FROM b
+      |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 25""") { (s, d) =>
+    documents(s, d)
+      .select(toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(25)
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
@@ -1251,5 +1337,5 @@ object TextOps {
     q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
     q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
-    q64UnigramLogprob, q65LengthTrim)
+    q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams)
 }

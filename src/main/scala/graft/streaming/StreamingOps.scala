@@ -205,6 +205,52 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stage the sf events file TWICE (two file names in one source
+    * directory) — a deliberately duplicated feed for the dedup query. */
+  private def stageEventsDup(d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = Paths.get(d).getFileName.toString
+    val dir = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_events_stage_dup", name)
+    Files.createDirectories(dir)
+    Seq("a.parquet", "b.parquet").foreach { f =>
+      Files.copy(Paths.get(d, "events.parquet"),
+        dir.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  /** Streaming exactly-once dedup, oracle-verified: the source feed
+    * carries every event TWICE (two staged copies of the file — the
+    * at-least-once-delivery shape), the engine-side
+    * `dropDuplicates(event_id)` collapses it, and the drained sink
+    * aggregates back to the per-type totals of the SINGLE-copy batch
+    * table — which is exactly the DuckDB oracle. Key-only streaming
+    * state (one entry per event_id, no watermark) makes the result
+    * independent of how micro-batches split the two copies; the
+    * registered variant `dropDuplicatesWithinWatermark` (above) is the
+    * bounded-state production shape once feeds declare a lateness
+    * horizon. The per-type totals are computed in batch over the sink:
+    * chaining the aggregation INTO the streaming query would be two
+    * stateful operators, which Complete mode (the drain-everything mode
+    * the other stream oracles rely on) does not support.
+    */
+  val q70StreamDedup: QueryDef = QueryDef.sql(
+    "q70_stream_dedup",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val out = s"stream_dedup_${runSeq.incrementAndGet()}"
+    val deduped = eventStream(s, stageEventsDup(d)).dropDuplicates("event_id")
+    runToMemory(deduped, out, OutputMode.Append)
+    s.table(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.sumd2(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming queries registered with the driver contract. */
-  def queries: Seq[QueryDef] = Seq(q66StreamTumbling, q67StreamSession)
+  def queries: Seq[QueryDef] =
+    Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup)
 }

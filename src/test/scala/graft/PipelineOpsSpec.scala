@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventOps, SimilarityOps, TextOps}
+import graft.streaming.StreamingOps
+
+/** Invariant checks for the round-6 pipeline additions (q68-q72) on
+  * sf0.001 — oracle parity is the driver's job; these pin the semantics
+  * that survive a re-plan (conservation laws, vote bounds, dedup
+  * exactness) so a regression shows up without DuckDB in the loop.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q68 chunk dedup conserves chunks and survivors match distinct count") {
+    val out = TextOps.q68ChunkDedup.fn(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == docs) // every doc reported, even all-dup ones
+    // survivors never exceed the doc's chunks, and dup + kept == total
+    assert(out.filter(col("kept_chunks") > col("n_chunks")).count() == 0)
+    assert(out.filter(
+      col("kept_chunks") + col("dup_chunks") =!= col("n_chunks")).count() == 0)
+    // Σ kept over docs == number of DISTINCT chunks in the corpus
+    val kept = out.agg(sum("kept_chunks")).collect().head.getLong(0)
+    val distinctChunks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .withColumn("n_chunks", ceil(size(col("w")) / 8.0).cast("int"))
+      .select(col("w"), explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
+      .select(array_join(slice(col("w"), col("i") * 8 + 1, lit(8)), " ").as("c"))
+      .distinct().count()
+    assert(kept == distinctChunks)
+    out.unpersist()
+  }
+
+  test("q69 top bigrams is a true descending top-k of the full bigram bag") {
+    val out = TextOps.q69TopBigrams.fn(spark, sf).collect()
+    assert(out.length == 25)
+    val counts = out.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // the 25th count is >= the count of any bigram outside the top-k
+    val naive = spark.read.parquet(s"$sf/documents.parquet")
+      .select(split(trim(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("bigram"))
+      .groupBy("bigram").count()
+    val inTop = out.map(_.getString(0)).toSet
+    val maxOutside = naive
+      .filter(!col("bigram").isin(inTop.toSeq: _*))
+      .agg(max("count")).collect().head.getLong(0)
+    assert(counts.last >= maxOutside)
+  }
+
+  test("q70 streaming dedup of a doubled feed equals single-copy batch totals") {
+    val got = StreamingOps.q70StreamDedup.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.sumd2(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q71 z-score stats are internally consistent") {
+    val out = EventOps.q71AnomalyZscore.fn(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("std") < 0).count() == 0)
+    assert(out.filter(col("n_outliers") >= col("n")).count() == 0)
+    // mean matches a plain double average to rounding tolerance
+    val naive = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(avg("value").as("m"))
+    val joined = out.join(naive, "event_type")
+      .filter(abs(col("mean") - col("m")) > 1e-6)
+    assert(joined.count() == 0)
+    out.unpersist()
+  }
+
+  test("q72 kNN vote matches a recomputed majority over the exact top-10") {
+    val out = SimilarityOps.q72KnnClassify.fn(spark, sf).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 10))
+    // recompute: q33's exact top-10 neighbors joined to labels
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("neighbor"), col("label"))
+    val votes = SimilarityOps.q33CosineTopK.fn(spark, sf)
+      .join(labels, "neighbor")
+      .groupBy("q_id", "label").count()
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getInt(1), r.getLong(2)))
+          .toSeq.sortBy { case (l, c) => (-c, l) }.head
+      }
+    out.foreach { r =>
+      val (lbl, cnt) = votes(r.getLong(0))
+      assert(r.getInt(2) == lbl && r.getLong(3) == cnt)
+    }
+  }
+}
