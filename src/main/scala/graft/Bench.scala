@@ -12,6 +12,15 @@ object Bench {
       // contention per query. 1 MB is plenty at these partition sizes.
       .config("spark.buffer.pageSize", "1m")
       .config("spark.ui.enabled", "false")
+      // the status stores retain per-execution plan graphs + per-stage
+      // metric aggregates even with the UI off; across a 72-query × 2-pass
+      // session that is hundreds of MB of old-gen — observed to slow the
+      // heaviest aggregation (q55) 6-10× late in the suite via GC
+      // pressure. Keep only a handful of executions live.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // generic warmup so JVM/classloader/codegen startup is not billed to

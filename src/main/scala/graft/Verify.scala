@@ -21,6 +21,13 @@ object Verify {
       // wise zero tens of MB each on sorter/map setup.
       .config("spark.buffer.pageSize", "1m")
       .config("spark.ui.enabled", "false")
+      // see Bench: the status stores otherwise retain every execution's
+      // plan graph + metrics across the 72-query run — old-gen pressure
+      // that slows the late heavy aggregations via GC.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
