@@ -118,6 +118,38 @@ object StreamingOps {
       }
   }
 
+  final case class CentAlert(user_id: Long, k: Long)
+
+  /** [[thresholdAlerts]] with EXACT integer state — the oracle-eligible
+    * form: each event contributes its |value| quantized to cents through
+    * the same DECIMAL(18,2) cast the batch aggregates use, the per-user
+    * state is a plain long sum (order-independent, so micro-batch
+    * boundaries cannot shift a crossing), and one alert row (user, k)
+    * is emitted per `stepCents` multiple crossed. The drained sink is
+    * therefore exactly {(u, k) : 1 ≤ k ≤ ⌊total_cents(u)/stepCents⌋} —
+    * a closed-form batch aggregate both engines compute identically.
+    */
+  def thresholdAlertsCents(
+      events: DataFrame, stepCents: Long): Dataset[CentAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        (abs(graft.functions.Exact.dec2(col("value"))) * 100).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CentAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          var total = prev
+          rows.foreach { case (_, c) => total += c }
+          state.update(total)
+          ((prev / stepCents + 1) to (total / stepCents)).iterator
+            .map(k => CentAlert(uid, k))
+      }
+  }
+
   /** Drive any of the above to a named in-memory sink until the source
     * is drained — the synchronous local smoke path. */
   def runToMemory(df: DataFrame, name: String,
@@ -250,7 +282,38 @@ object StreamingOps {
       .orderBy(col("event_type"))
   }
 
+  /** Custom keyed state (`flatMapGroupsWithState`) as a real streaming
+    * run, oracle-verified: per-user threshold alerts — one row per
+    * 50-unit multiple the user's running Σ|value| crosses — drained and
+    * summarized per user. The exact-cents state (see
+    * [[thresholdAlertsCents]]) makes the emitted alert set a closed-form
+    * function of the final totals, independent of micro-batch
+    * boundaries, so the 0..N-outputs-per-group state rung gets the same
+    * bit-exact driver verification as the windowed aggregations.
+    * Scale posture: state is 8 bytes per user, the shuffle is the one
+    * group-key exchange, and alerts stream out append-mode (no
+    * Complete-mode re-emission).
+    */
+  val q73StreamAlerts: QueryDef = QueryDef.sql(
+    "q73_stream_alerts",
+    """WITH t AS (SELECT user_id,
+      |    CAST(sum(CAST(abs(value) AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, CAST(cents // 5000 AS BIGINT) AS n_alerts,
+      |  CAST((cents // 5000) * 50 AS DOUBLE) AS max_crossed
+      |FROM t WHERE cents >= 5000 ORDER BY user_id""") { (s, d) =>
+    val out = s"stream_alerts_${runSeq.incrementAndGet()}"
+    val alerts = thresholdAlertsCents(
+      eventStream(s, stageEvents(d)), stepCents = 5000L)
+    runToMemory(alerts.toDF(), out, OutputMode.Append)
+    s.table(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_alerts"),
+        (max(col("k")) * 50.0).as("max_crossed"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming queries registered with the driver contract. */
   def queries: Seq[QueryDef] =
-    Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup)
+    Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts)
 }

@@ -82,6 +82,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q73 alerts are micro-batch-boundary independent and closed-form") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // split the events into two files and force one file per trigger,
+    // so the per-user state genuinely spans micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("alerts_split")
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$dir/even")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$dir/odd")
+    val staged = java.nio.file.Files.createTempDirectory("alerts_src")
+    Seq("even", "odd").foreach { half =>
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$half"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(f, staged.resolve(s"$half.parquet"))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(StreamingOps.rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    StreamingOps.runToMemory(
+      StreamingOps.thresholdAlertsCents(stream, 5000L).toDF(),
+      "alerts_split_out", OutputMode.Append)
+    val got = spark.table("alerts_split_out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("k").as("mk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // closed form: one alert per 50-unit multiple of the exact total
+    val want = ev
+      .select(col("user_id").cast("long"),
+        (abs(graft.functions.Exact.dec2(col("value"))) * 100).cast("long").as("c"))
+      .groupBy("user_id").agg(expr("sum(c) div 5000").as("n"))
+      .filter(col("n") >= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("q72 kNN vote matches a recomputed majority over the exact top-10") {
     val out = SimilarityOps.q72KnnClassify.fn(spark, sf).collect()
     assert(out.length == 5)
