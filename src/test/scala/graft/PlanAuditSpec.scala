@@ -175,4 +175,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "rank join fell back to a shuffle sort-merge join")
   }
+
+  test("q68 chunk dedup never windows or sorts the instance rows: the " +
+      "keeper is a hash-agg argmin over content hashes") {
+    val plan = finalPlan(SparkEntry.queries("q68_chunk_dedup")(spark, sf))
+    assert(!plan.contains("Window"), "chunk dedup must not window")
+    // the keeper agg partial-aggregates map-side, so the exchange
+    // carries one row per distinct chunk, not per instance
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"keeper argmin lost its map-side partial aggregation\n$plan")
+  }
+
+  test("q69 bigram top-k plans as TakeOrderedAndProject over one hash agg") {
+    val plan = finalPlan(SparkEntry.queries("q69_top_bigrams")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bigram top-k fell back to a global sort")
+    assert(!plan.contains("Join"), "bigram counting must not join")
+  }
+
+  test("q71 outlier count probes with broadcast stats — never a window " +
+      "or sort-merge join over the events table") {
+    val plan = finalPlan(SparkEntry.queries("q71_anomaly_zscore")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "stats probe not broadcast")
+    assert(!plan.contains("Window"),
+      "per-type window would serialize each type into one task")
+  }
 }

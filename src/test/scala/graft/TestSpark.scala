@@ -8,12 +8,18 @@ object TestSpark {
     val wh = java.nio.file.Files
       .createTempDirectory("graft-warehouse").toString
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[8]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
+      // see Bench: without caps the status stores retain every test
+      // query's plan graph + metrics for the whole shared session
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
