@@ -81,7 +81,8 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
       broadcastRanks: Boolean = true,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      edgesDistinct: Boolean = false): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     // setCheckpointDir is session-global; restore the caller's value so a
     // library call doesn't silently redirect unrelated jobs' checkpoints.
@@ -92,19 +93,25 @@ object GraphOps {
     try {
       def pin(df: DataFrame): DataFrame =
         if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-      val e = edges.select("src", "dst").distinct().cache()
+      // edgesDistinct lets a caller holding a materialized distinct
+      // projection (q24's session-cached artifact) skip a redundant
+      // corpus-wide dedup shuffle + cache round-trip.
+      val e =
+        if (edgesDistinct) edges.select("src", "dst")
+        else edges.select("src", "dst").distinct().cache()
       val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
       val eDeg = pin(e.join(outDeg, "src"))
       val ns = pin(nodes(e))
       val n = ns.count()
-      e.unpersist()
+      if (!edgesDistinct) e.unpersist()
       var ranks = ns.withColumn("rank", lit(1.0 / n))
       for (i <- 1 to iters) {
         ranks = pageRankStep(eDeg, ns, ranks, damping, n, broadcastRanks)
-        // checkpoint every 3rd iteration (and the last): bounds lineage and
+        // checkpoint every 3rd iteration and the last: bounds lineage and
         // recompute to a 3-iteration chain while keeping the number of
-        // eager materialization jobs low.
-        if (i % 3 == 0 || i == iters) ranks = pin(ranks)
+        // eager materialization jobs low. A mid-run pin within 2
+        // iterations of the end is skipped — the final pin covers it.
+        if (i == iters || (i % 3 == 0 && iters - i >= 3)) ranks = pin(ranks)
       }
       ranks
     } finally if (checkpointDir.isDefined) sc.setCheckpointDir(prevCheckpointDir.orNull)
@@ -219,7 +226,7 @@ object GraphOps {
     // repeated rankings never re-run the fact⋈orders build.
     val projection = graft.SessionCache.checkpoint("graphProjection", s, d)(
       facedEdges(s, d).select("src", "dst").distinct())
-    pageRank(projection, iters = 4)
+    pageRank(projection, iters = 4, edgesDistinct = true)
       .select(col("node"), round(col("rank"), 9).as("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)

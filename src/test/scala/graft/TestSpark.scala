@@ -14,6 +14,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
+      // see Bench: default Tungsten page size scales with the heap —
+      // with the 24g test JVM each short task zeroes a huge page, which
+      // dominated the iterative suites (PageRank convergence: 16 min →
+      // seconds with 1 MB pages)
+      .config("spark.buffer.pageSize", "1m")
       // see Bench: without caps the status stores retain every test
       // query's plan graph + metrics for the whole shared session
       .config("spark.sql.ui.retainedExecutions", "8")
