@@ -727,6 +727,50 @@ object TextOps {
       .orderBy(col("cluster"), col("doc_id"))
   }
 
+  /** APPLY the dedup keep-list — the final step of the dedup loop
+    * (detect pairs → cluster → choose keepers → filter the corpus):
+    * documents whose cluster ranked them below the keeper are dropped
+    * via a broadcast ANTI join, and the surviving corpus is summarized
+    * per source. The drop-list is cluster-sized (usually tiny vs the
+    * corpus), so the anti-join probe is map-side: one corpus pass, no
+    * corpus shuffle beyond the per-source agg. At 100 TB this is
+    * exactly how a materialized keep-list is consumed — the expensive
+    * clustering runs once, the cheap filter reruns per snapshot.
+    */
+  val q74DedupApply: QueryDef = sql(
+    "q74_dedup_apply",
+    s"""WITH $dedupLabelCtes,
+      |tl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+      |       FROM documents),
+      |m AS (SELECT l3.doc_id, lbl AS cluster, n_tok
+      |      FROM l3 JOIN tl ON tl.doc_id = l3.doc_id),
+      |r AS (SELECT cluster, doc_id, n_tok,
+      |        row_number() OVER (PARTITION BY cluster
+      |          ORDER BY n_tok DESC, doc_id) AS rn FROM m),
+      |drops AS (SELECT doc_id FROM r WHERE rn > 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS kept_tokens
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |GROUP BY source ORDER BY source""") { (s, d) =>
+    val toklen = documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tok"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    val drops = dedupLabels(s, d)
+      .select(col("doc_id"), col("lbl").as("cluster"))
+      .join(toklen, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"))
+    documents(s, d)
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text")))).cast("long").as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/valid/test split: bucket by a stable content-
     * independent hash of the document id (md5 → int64 → mod 10; 80/10/10)
     * — reproducible across runs, engines, and repartitioning, the
@@ -1334,7 +1378,7 @@ object TextOps {
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
     q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q63DedupKeeplist,
-    q50TrainSplit,
+    q74DedupApply, q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
     q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams)

@@ -82,6 +82,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q74 keeps exactly the documents the q63 keep-list does not drop") {
+    val drops = TextOps.q63DedupKeeplist.fn(spark, sf)
+      .filter(col("keep") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val want = docs
+      .filter(!col("doc_id").isin(drops.toSeq: _*))
+      .select(col("source"), size(split(trim(col("text")), " ")).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("kept_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = TextOps.q74DedupApply.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(drops.nonEmpty, "fixture should actually drop near-duplicates")
+  }
+
   test("q73 alerts are micro-batch-boundary independent and closed-form") {
     import org.apache.spark.sql.streaming.OutputMode
     // split the events into two files and force one file per trigger,
