@@ -30,7 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with 128 GiB available: a roomy heap keeps GC out of the
-  // benchmark numbers (44 sequential queries accumulate broadcast and
+  // benchmark numbers (74 sequential queries accumulate broadcast and
   // checkpoint blocks in one JVM).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
