@@ -6,11 +6,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped checkpoint cache for shared plan artifacts (the capped
   * shingle index, vocab counts, dedup labels, the graph projection):
-  * local checkpoints have no public release, so every shared artifact is
-  * checkpointed at most once per (session, sfDir, key) and reused across
-  * queries and bench passes instead of accumulating a copy per consumer.
-  * At 100 TB the same artifacts would persist to durable storage per
-  * corpus snapshot — same shape, durable medium.
+  * every shared artifact is materialized at most once per
+  * (session, sfDir, key) and reused across queries and bench passes
+  * instead of being rebuilt (or re-pinned) per consumer.
+  *
+  * Materialization is a RELIABLE disk checkpoint, not `localCheckpoint`:
+  * local-checkpoint blocks live in executor storage memory and have no
+  * public release API, so a 74-query × 2-pass bench session would pin
+  * them for its whole life — executor memory must stay FLAT across the
+  * suite. Disk checkpoints cost a re-read per consumer (these artifacts
+  * are MBs; noise next to the queries they feed) and executor memory
+  * holds nothing between queries. At 100 TB the same artifacts persist
+  * to durable storage per corpus snapshot — same shape, same medium
+  * class; on a cluster `setCheckpointDir` points at shared storage
+  * (HDFS/object store) instead of the driver-local tmp dir used here.
   *
   * Artifacts CHAIN (the pairs thunk builds the shingle index, which has
   * its own cache entry), so lookup must be REENTRANT:
@@ -24,13 +33,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object SessionCache {
   private val m = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
+  /** Ensure the session has a checkpoint dir without clobbering one a
+    * caller (or a cluster deployment) already configured. */
+  private def ensureCheckpointDir(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+  }
+
   def checkpoint(key: String, s: SparkSession, d: String)(
       plan: => DataFrame): DataFrame = {
     val k = (s, d, key)
     val existing = m.get(k)
     if (existing != null) existing
     else {
-      val built = plan.localCheckpoint() // may reentrantly call checkpoint
+      ensureCheckpointDir(s)
+      val built = plan.checkpoint() // may reentrantly call checkpoint
       val prev = m.putIfAbsent(k, built)
       if (prev != null) prev else built
     }

@@ -251,7 +251,7 @@ object EventOps {
       |        CAST(round(sum(v * v), 2) AS DOUBLE) AS sv2
       |      FROM b GROUP BY 1),
       |m AS (SELECT event_type, n, sv / n AS mean,
-      |        sqrt(sv2 / n - (sv / n) * (sv / n)) AS std FROM s),
+      |        sqrt(greatest(sv2 / n - (sv / n) * (sv / n), 0)) AS std FROM s),
       |o AS (SELECT b.event_type, count(*) AS n_outliers
       |      FROM b JOIN m USING (event_type)
       |      WHERE abs(b.value - m.mean) > 2 * m.std GROUP BY 1)
@@ -267,8 +267,14 @@ object EventOps {
         sum(col("v")).cast("double").as("sv"),
         round(sum(col("v") * col("v")), 2).cast("double").as("sv2"))
       .withColumn("mean", col("sv") / col("n"))
+      // clamp at 0: cancellation can push the variance term epsilon-negative
+      // for a near-constant type — Spark's sqrt would yield NaN but DuckDB's
+      // RAISES on negative input, so the clamp keeps both engines defined
+      // (and identical) on degenerate data. Same `greatest` in the oracle.
       .withColumn("std",
-        sqrt(col("sv2") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n"))))
+        sqrt(greatest(
+          col("sv2") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")),
+          lit(0d))))
     val o = b.join(broadcast(m.select(col("event_type"), col("mean"), col("std"))),
         Seq("event_type"))
       .filter(abs(col("value") - col("mean")) > lit(2) * col("std"))

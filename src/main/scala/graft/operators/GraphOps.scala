@@ -86,8 +86,11 @@ object GraphOps {
     val sc = edges.sparkSession.sparkContext
     // setCheckpointDir is session-global; restore the caller's value so a
     // library call doesn't silently redirect unrelated jobs' checkpoints.
-    // All checkpoint() calls below are eager, so every file this run
-    // writes lands before the restore.
+    // (Restoration is by containment, not identity: setCheckpointDir
+    // nests a fresh UUID subdir per call, so the restored dir is a new
+    // leaf UNDER the caller's previous tree.) All checkpoint() calls
+    // below are eager, so every file this run writes lands before the
+    // restore.
     val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
     try {
@@ -107,10 +110,12 @@ object GraphOps {
       var ranks = ns.withColumn("rank", lit(1.0 / n))
       for (i <- 1 to iters) {
         ranks = pageRankStep(eDeg, ns, ranks, damping, n, broadcastRanks)
-        // checkpoint every 3rd iteration and the last: bounds lineage and
-        // recompute to a 3-iteration chain while keeping the number of
-        // eager materialization jobs low. A mid-run pin within 2
-        // iterations of the end is skipped — the final pin covers it.
+        // checkpoint every 3rd iteration and the last, keeping the number
+        // of eager materialization jobs low. A mid-run pin within 2
+        // iterations of the end is skipped because the final pin covers
+        // it, so the unpinned lineage chain is usually 3 iterations but
+        // can reach 5 when that skip fires (e.g. iters=5 pins only at
+        // the end).
         if (i == iters || (i % 3 == 0 && iters - i >= 3)) ranks = pin(ranks)
       }
       ranks
@@ -208,26 +213,103 @@ object GraphOps {
     matchup(s, d, 10, 5)
   }
 
-  /** PageRank top-20 — G9. Not ANSI-SQL-expressible (iterative); the
-    * driver records a rows-only check, and a golden ScalaTest pins exact
-    * values on a fixed small graph. Ranks rounded to 9 digits so output
-    * is stable across partition-order float summation.
+  /** INTEGER-QUANTIZED PageRank — the oracle-eligible twin of
+    * [[pageRank]]: ranks live as BIGINT multiples of 1e-12 and every
+    * step is integer arithmetic (`div` = floor division on positives),
+    * so the fixpoint trajectory is EXACTLY reproducible in any engine —
+    * no float-summation-order nondeterminism to round away. Same plan
+    * shape as [[pageRank]]: node-sized rank/contrib broadcasts pinned,
+    * the only exchange per iteration is the node-sized contribs agg.
+    *
+    *   init      rq = S div n                    (S = 1e12)
+    *   contrib   rq div out_deg  summed per dst  (exact long sum)
+    *   update    rq' = (0.15·S div n) + (85 · msg) div 100
+    *
+    * Headroom at scale (int64): per-node msg ≤ total mass ≤ S = 1e12, so
+    * 85·msg ≤ 8.5e13 ≪ 2^63; the long contrib sum is ≤ S. The scale
+    * S = 1e12 keeps div-quantization error ≤ n·1e-12 per iteration while
+    * leaving six orders of headroom; a corpus with more than ~1e12 nodes
+    * would raise S (and the state width) together.
     */
-  val q24PageRank: QueryDef = noOracle("q24_graph_pagerank") { (s, d) =>
-    // 4 iterations: on this bipartite customer→supplier graph the rounded
-    // ranks are stationary to 1e-9 from iteration 4 (verified: identical
-    // output at 4 vs 6 iterations at sf0.01 AND sf0.1); extra iterations
-    // add stages without changing a single output digit.
-    //
-    // The distinct edge projection is a session-cached shared artifact —
-    // the reference separates graph construction from ranking the same
-    // way (`gds.graph.project` materializes once, `gds.pageRank` then
-    // runs against the projection, `cypher_queries.cypher:27-34`), so
-    // repeated rankings never re-run the fact⋈orders build.
+  private[graft] def pageRankQuantized(edges: DataFrame, iters: Int = 4,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select("src", "dst") // caller passes a distinct projection
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val ns = nodes(e).localCheckpoint()
+    val n = ns.count()
+    val teleportQ = (scale - scale * 85L / 100L) / n // 0.15·S div n, exact
+    var ranks = ns.withColumn("rq", lit(scale / n))
+    for (i <- 1 to iters) {
+      val contribs = eDeg
+        .join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst").as("node"), expr("rq div out_deg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("msg"))
+      ranks = ns.join(broadcast(contribs), Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleportQ) +
+            expr("(85 * coalesce(msg, CAST(0 AS BIGINT))) div 100")).as("rq"))
+      if (i == iters || i % 3 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** PageRank top-20 — G9, HASH-verified: the registered path runs the
+    * integer-quantized iteration ([[pageRankQuantized]]) and the oracle
+    * unrolls the identical four integer steps as chained CTEs, so both
+    * engines compute the same BIGINT trajectory and the final
+    * rank = rq/1e12 double division is bit-identical IEEE on identical
+    * operands. The float [[pageRank]] remains the G9 operator surface
+    * (golden + convergence specs); quantization here exists to hold the
+    * iterative operator to the same rows+schema+hash standard as
+    * everything else.
+    *
+    * 4 iterations: on this bipartite customer→supplier graph the float
+    * ranks are stationary to 1e-9 from iteration 4; the oracle unrolls
+    * exactly the same count, so the comparison is exact by construction
+    * at ANY iteration count — 4 keeps both plans short.
+    *
+    * The distinct edge projection is a session-cached shared artifact —
+    * the reference separates graph construction from ranking the same
+    * way (`gds.graph.project` materializes once, `gds.pageRank` then
+    * runs against the projection, `cypher_queries.cypher:27-34`), so
+    * repeated rankings never re-run the fact⋈orders build.
+    */
+  val q24PageRank: QueryDef = sql(
+    "q24_graph_pagerank",
+    """WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |                           's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+      |nd AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |p AS (SELECT count(*) AS n FROM nd),
+      |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM p) AS rq FROM nd),
+      |s1 AS (SELECT e.dst AS node, sum(r0.rq // deg.out_deg) AS msg
+      |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT nd.node, 150000000000 // (SELECT n FROM p)
+      |         + (85 * coalesce(s1.msg, 0)) // 100 AS rq
+      |       FROM nd LEFT JOIN s1 ON nd.node = s1.node),
+      |s2 AS (SELECT e.dst AS node, sum(r1.rq // deg.out_deg) AS msg
+      |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT nd.node, 150000000000 // (SELECT n FROM p)
+      |         + (85 * coalesce(s2.msg, 0)) // 100 AS rq
+      |       FROM nd LEFT JOIN s2 ON nd.node = s2.node),
+      |s3 AS (SELECT e.dst AS node, sum(r2.rq // deg.out_deg) AS msg
+      |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT nd.node, 150000000000 // (SELECT n FROM p)
+      |         + (85 * coalesce(s3.msg, 0)) // 100 AS rq
+      |       FROM nd LEFT JOIN s3 ON nd.node = s3.node),
+      |s4 AS (SELECT e.dst AS node, sum(r3.rq // deg.out_deg) AS msg
+      |       FROM e JOIN deg USING (src) JOIN r3 ON r3.node = e.src GROUP BY 1),
+      |r4 AS (SELECT nd.node, 150000000000 // (SELECT n FROM p)
+      |         + (85 * coalesce(s4.msg, 0)) // 100 AS rq
+      |       FROM nd LEFT JOIN s4 ON nd.node = s4.node)
+      |SELECT node, CAST(rq AS DOUBLE) / 1e12 AS rank
+      |FROM r4 ORDER BY rank DESC, node LIMIT 20""") { (s, d) =>
     val projection = graft.SessionCache.checkpoint("graphProjection", s, d)(
       facedEdges(s, d).select("src", "dst").distinct())
-    pageRank(projection, iters = 4, edgesDistinct = true)
-      .select(col("node"), round(col("rank"), 9).as("rank"))
+    pageRankQuantized(projection, iters = 4)
+      .select(col("node"), (col("rq").cast("double") / lit(1e12)).as("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
   }

@@ -100,18 +100,74 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Feature extraction through the stubbed decoder — not SQL-expressible
-    * (driver records rows-only); determinism pinned by unit tests.
-    * Surfaces per-type feature norms to keep the output compact. */
-  val q37MediaFeatures: QueryDef = noOracle("q37_media_features") { (s, d) =>
+  final case class MediaDecoded(
+      doc_id: Long, media_type: String, n_bytes: Int,
+      first_byte: Int, last_byte: Int, byte_sum: Long,
+      strides: Array[Long], features: Array[Float])
+
+  /** The REAL decode pass: parses a deterministic header from the raw
+    * payload (length, first/last byte, byte checksum) and computes the
+    * 8 integer stride sums the stub's float features are derived from
+    * (features(j) = strides(j) / n_bytes — byte sums stay < 2^24 so the
+    * stub's float accumulation equals the integer sum exactly). Replaces
+    * nothing downstream: [[extractFeatures]]/[[decodeStub]] keep the
+    * float-feature surface; this pass is the oracle-checkable decode.
+    * Same batched `mapPartitions` shape a real codec would use. */
+  def decodeWithHeader(media: Dataset[MediaRow]): Dataset[MediaDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val c = r.content
+        val strides = new Array[Long](8)
+        var sum = 0L
+        var i = 0
+        while (i < c.length) {
+          val b = (c(i) & 0xff).toLong
+          strides(i % 8) += b
+          sum += b
+          i += 1
+        }
+        val feats = Array.tabulate(8)(j =>
+          strides(j).toFloat / math.max(1, c.length))
+        MediaDecoded(r.doc_id, r.media_type, c.length,
+          if (c.length > 0) c(0) & 0xff else -1,
+          if (c.length > 0) c(c.length - 1) & 0xff else -1,
+          sum, strides, feats)
+      }
+    }
+  }
+
+  /** Media decode, HASH-verified: every registered column is parsed from
+    * the payload bytes inside the `mapPartitions` decoder and mirrored
+    * byte-for-byte by the DuckDB oracle (`ascii`/`octet_length`/list
+    * comprehension over char positions — exact integer arithmetic on
+    * both sides; the corpus is ASCII, so char codes ARE payload bytes,
+    * which the oracle relies on and the Spark side does not). The stride
+    * sums travel as a space-joined string (the q56 array-comparator
+    * lesson). The float feature vector itself stays un-hashed — it is
+    * strides/n_bytes, fully determined by the verified integers. */
+  val q37MediaFeatures: QueryDef = sql(
+    "q37_media_features",
+    """WITH b AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    text, octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |s AS (SELECT doc_id, media_type, n_bytes,
+      |    ascii(substr(text, 1, 1)) AS first_byte,
+      |    ascii(substr(text, n_bytes, 1)) AS last_byte,
+      |    [list_sum([ascii(substr(text, i + 1, 1)) FOR i IN range(j, n_bytes, 8)])
+      |     FOR j IN range(0, 8)] AS strides
+      |  FROM b)
+      |SELECT doc_id, media_type, n_bytes, first_byte, last_byte,
+      |  CAST(list_sum(strides) AS BIGINT) AS byte_sum,
+      |  array_to_string(strides, ' ') AS stride_sums
+      |FROM s ORDER BY doc_id""") { (s, d) =>
     import s.implicits._
-    val media = mediaTable(s, d).as[MediaRow]
-    val feats = extractFeatures(media)
-    feats.toDF()
-      .select(col("doc_id"), col("n_bytes"),
-        round(aggregate(col("features"),
-          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")),
-          6).as("feat_sq_norm"))
+    decodeWithHeader(mediaTable(s, d).as[MediaRow]).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("first_byte"), col("last_byte"), col("byte_sum"),
+        array_join(col("strides"), " ").as("stride_sums"))
       .orderBy(col("doc_id"))
   }
 

@@ -58,11 +58,18 @@ object ScaleOps {
     * longer than the query itself. 512 registers compile fast and still
     * bound error at 5%.
     */
-  val q39ApproxDistinct: QueryDef = noOracle("q39_approx_distinct") { (s, d) =>
-    // exact and sketch in SEPARATE aggregations joined on the group key:
-    // fusing them forces the countDistinct Expand into the same generated
-    // aggregate as the HLL buffer and the compile cost multiplies; two
-    // small scans + a 3-row join beat one giant generated method.
+  /** Exact and sketch distinct-counts side by side — exposed for the
+    * spec's error-bound pin; the registered q39 folds the sketch into a
+    * boolean so the row is DuckDB-hash-comparable (the raw HLL estimate
+    * is engine-specific and can never hash-match another engine).
+    *
+    * Exact and sketch run as SEPARATE aggregations joined on the group
+    * key: fusing them forces the countDistinct Expand into the same
+    * generated aggregate as the HLL buffer and the compile cost
+    * multiplies; two small scans + a 3-row join beat one giant generated
+    * method. */
+  private[graft] def approxVsExactOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val exact = lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
@@ -71,8 +78,23 @@ object ScaleOps {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"))
     exact.join(approx, "l_returnflag")
-      .select(col("l_returnflag"), col("exact_orders"),
-        col("approx_orders"), col("n"))
+  }
+
+  /** HLL++ sketch next to the exact count, verified by HASH: the output
+    * carries the exact count plus `within_rsd` — whether the sketch
+    * landed within 2× its configured rsd of truth — and the oracle
+    * asserts that bound as a literal TRUE. A sketch drifting out of
+    * bound therefore fails the driver's hash compare loudly, while the
+    * engine-specific estimate itself stays out of the hashed row. */
+  val q39ApproxDistinct: QueryDef = sql(
+    "q39_approx_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      |       count(*) AS n, TRUE AS within_rsd
+      |FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    approxVsExactOrders(s, d)
+      .select(col("l_returnflag"), col("exact_orders"), col("n"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * lit(0.1)).as("within_rsd"))
       .orderBy(col("l_returnflag"))
   }
 

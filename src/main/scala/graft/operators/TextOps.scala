@@ -1332,9 +1332,19 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"),
         md5(array_join(slice(col("w"), col("chunk_id") * C + 1, lit(C)), " "))
           .as("h"))
+    // the packed argmin is only injective while chunk_id < 2^20 and
+    // doc_id < 2^43; a violation (an ~8M-token document, or a synthetic
+    // doc_id space that outgrows 43 bits) must FAIL LOUDLY, not silently
+    // mis-attribute keepers — assert_true raises inside the aggregate, so
+    // the guard rides the existing scan and cannot be pruned away.
+    val packGuard = assert_true(
+      col("chunk_id") < lit(1L << 20) && col("doc_id") < lit(1L << 43),
+      lit("q68: (doc_id, chunk_id) outside packing range " +
+        "(requires chunk_id < 2^20 and doc_id < 2^43)"))
     val keepers = ch
       .groupBy(col("h"))
-      .agg(min(col("doc_id") * lit(1048576L) + col("chunk_id")).as("keeper"))
+      .agg(min(when(packGuard.isNull,
+        col("doc_id") * lit(1048576L) + col("chunk_id"))).as("keeper"))
       .select(expr("keeper div 1048576").as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_chunks"))

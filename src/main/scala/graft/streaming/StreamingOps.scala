@@ -151,9 +151,21 @@ object StreamingOps {
   }
 
   /** Drive any of the above to a named in-memory sink until the source
-    * is drained — the synchronous local smoke path. */
+    * is drained — the synchronous local smoke path.
+    *
+    * Stale `stream_*` sink tables from PRIOR runs are dropped first:
+    * memory sinks buffer their whole drained result in the driver, and a
+    * multi-query session (Verify sweep, two-attempt bench) would
+    * otherwise accumulate one full result set per streaming run for the
+    * JVM's lifetime. One generation is kept live — the one the caller is
+    * about to read. */
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Unit = {
+    val spark = df.sparkSession
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("stream_") &&
+        t.name != name)
+      .foreach(t => spark.catalog.dropTempView(t.name))
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable()
@@ -255,14 +267,17 @@ object StreamingOps {
   /** Streaming exactly-once dedup, oracle-verified: the source feed
     * carries every event TWICE (two staged copies of the file — the
     * at-least-once-delivery shape), the engine-side
-    * `dropDuplicates(event_id)` collapses it, and the drained sink
-    * aggregates back to the per-type totals of the SINGLE-copy batch
-    * table — which is exactly the DuckDB oracle. Key-only streaming
-    * state (one entry per event_id, no watermark) makes the result
-    * independent of how micro-batches split the two copies; the
-    * registered variant `dropDuplicatesWithinWatermark` (above) is the
-    * bounded-state production shape once feeds declare a lateness
-    * horizon. The per-type totals are computed in batch over the sink:
+    * `dropDuplicatesWithinWatermark(event_id)` collapses it, and the
+    * drained sink aggregates back to the per-type totals of the
+    * SINGLE-copy batch table — which is exactly the DuckDB oracle.
+    * The WATERMARKED dedup ([[dedupedStream]]) is the registered path:
+    * state is bounded to keys within the 1-hour lateness horizon
+    * instead of one entry per event_id forever, which is the only form
+    * that survives an unbounded feed. Both staged copies land in one
+    * micro-batch (no `maxFilesPerTrigger`), and would collapse
+    * identically across batches as long as the duplicate arrives within
+    * the horizon — the at-least-once redelivery contract this operator
+    * models. The per-type totals are computed in batch over the sink:
     * chaining the aggregation INTO the streaming query would be two
     * stateful operators, which Complete mode (the drain-everything mode
     * the other stream oracles rely on) does not support.
@@ -273,7 +288,7 @@ object StreamingOps {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
     val out = s"stream_dedup_${runSeq.incrementAndGet()}"
-    val deduped = eventStream(s, stageEventsDup(d)).dropDuplicates("event_id")
+    val deduped = dedupedStream(eventStream(s, stageEventsDup(d)))
     runToMemory(deduped, out, OutputMode.Append)
     s.table(out)
       .groupBy(col("event_type"))

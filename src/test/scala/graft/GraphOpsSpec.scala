@@ -129,9 +129,18 @@ class GraphOpsSpec extends AnyFunSuite {
       val reliable = GraphOps.pageRank(edges, iters = 7,
           checkpointDir = Some(dir))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      // setCheckpointDir is session-global: the call must restore the
-      // caller's value rather than leak its own
-      assert(spark.sparkContext.getCheckpointDir == checkpointDirBefore)
+      // setCheckpointDir is session-global: the call must point the
+      // session back at the caller's checkpoint tree rather than leak
+      // its own temp dir. Exact equality is unattainable — every
+      // setCheckpointDir call nests a fresh UUID subdir — so the
+      // invariant is containment: later checkpoints stay UNDER the
+      // caller's configured location (or stay unset if none was).
+      (checkpointDirBefore, spark.sparkContext.getCheckpointDir) match {
+        case (None, after) => assert(after.isEmpty, s"leaked dir: $after")
+        case (Some(b), Some(a)) =>
+          assert(a.startsWith(b), s"restored $a escapes caller tree $b")
+        case (Some(b), None) => fail(s"checkpoint dir $b was cleared")
+      }
       assert(local.keySet == reliable.keySet)
       local.foreach { case (n, v) =>
         assert(java.lang.Double.doubleToLongBits(reliable(n)) ==

@@ -38,6 +38,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(7) == (7 + 15) / 16.0f)
   }
 
+  test("header decode conserves byte sums and reproduces the stub's features") {
+    val media = MultimodalOps.mediaTable(spark, sf).as[MediaRow]
+    val dec = MultimodalOps.decodeWithHeader(media).collect()
+    assert(dec.length == 500)
+    dec.foreach { r =>
+      assert(r.strides.sum == r.byte_sum)
+      assert(r.n_bytes > 0 && r.first_byte >= 0 && r.last_byte <= 255)
+    }
+    // the float features are exactly strides / n_bytes — i.e. the stub's
+    // output, so the hashed integers fully determine the feature vector
+    val stub = MultimodalOps.extractFeatures(media)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    dec.foreach { r => assert(r.features.toSeq == stub(r.doc_id)) }
+  }
+
   test("frame sampling plan bounds indices to [0, n_frames)") {
     val plan = MultimodalOps.frameSamplePlan(
       MultimodalOps.mediaTable(spark, sf)).collect()

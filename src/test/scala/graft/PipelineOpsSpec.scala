@@ -57,6 +57,21 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("q70 streaming dedup of a doubled feed equals single-copy batch totals") {
+    // the registered path must be the BOUNDED-state dedup: state holds
+    // only keys within the watermark horizon, never one entry per
+    // event_id forever (the unbounded form OOMs the state store on a
+    // real feed). Pin the logical operator, not just the result.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamPlan = StreamingOps.dedupedStream(
+      spark.readStream.schema(StreamingOps.rawSchema)
+        .parquet(java.nio.file.Files.createTempDirectory("q70_pin").toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .queryExecution.analyzed
+    val nodes = streamPlan.collect { case n => n.nodeName }
+    assert(nodes.contains("DeduplicateWithinWatermark"),
+      s"expected watermark-bounded dedup, got: $nodes")
+    assert(!nodes.contains("Deduplicate"),
+      s"watermark-free Deduplicate must not appear: $nodes")
     val got = StreamingOps.q70StreamDedup.fn(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val want = graft.sources.Tables.events(spark, sf)
@@ -104,11 +119,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     // split the events into two files and force one file per trigger,
     // so the per-user state genuinely spans micro-batches
     val dir = java.nio.file.Files.createTempDirectory("alerts_split")
-    val ev = graft.sources.Tables.events(spark, sf)
-    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+    // split from the RAW file (ts still INT64 nanos) so the staged halves
+    // carry exactly the schema `rawSchema` + the div-1000 conversion below
+    // expect — staging from Tables.events would double-convert ts.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.filter(col("event_id") % 2 === 0).coalesce(1)
       .write.parquet(s"$dir/even")
-    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+    raw.filter(col("event_id") % 2 === 1).coalesce(1)
       .write.parquet(s"$dir/odd")
+    val ev = graft.sources.Tables.events(spark, sf)
     val staged = java.nio.file.Files.createTempDirectory("alerts_src")
     Seq("even", "odd").foreach { half =>
       val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$half"))

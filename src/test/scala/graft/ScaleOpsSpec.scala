@@ -26,13 +26,17 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within its error bound") {
-    val rows = ScaleOps.q39ApproxDistinct.fn(spark, sf).collect()
+    val rows = ScaleOps.approxVsExactOrders(spark, sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_orders").toDouble
       val approx = r.getAs[Long]("approx_orders").toDouble
       assert(math.abs(approx - exact) / exact < 0.1,
         s"${r.getAs[String]("l_returnflag")}: $approx vs $exact")
     }
+    // the registered (hash-compared) form reports the same bound as TRUE
+    val q39 = ScaleOps.q39ApproxDistinct.fn(spark, sf).collect()
+    assert(q39.nonEmpty && q39.forall(_.getAs[Boolean]("within_rsd")))
   }
 
   test("partitioned+sorted layout prunes partitions at scan time") {

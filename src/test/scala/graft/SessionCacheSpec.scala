@@ -25,6 +25,23 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(a.collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
   }
 
+  test("cache materializes as a RELIABLE disk checkpoint — executor " +
+      "memory stays flat across a many-query session") {
+    val df = SessionCache.checkpoint("scs-disk", spark, "dirD")(
+      Seq(1, 2, 3).toDF("x"))
+    assert(df.collect().length == 3)
+    val rdds = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    assert(rdds.nonEmpty, "expected the cached frame to scan a pinned RDD")
+    rdds.foreach { r =>
+      assert(r.getCheckpointFile.isDefined,
+        "expected a reliable (disk-file) checkpoint, not a local one")
+      assert(!r.getStorageLevel.useMemory,
+        s"cached artifact pins executor memory: ${r.getStorageLevel}")
+    }
+  }
+
   test("chained artifacts may build one cache entry from inside " +
       "another (reentrant lookup — no Recursive update)") {
     // many nested keys so some land in the same hash bin as the outer
