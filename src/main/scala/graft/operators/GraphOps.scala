@@ -241,17 +241,25 @@ object GraphOps {
     val teleportQ = (scale - scale * 85L / 100L) / n // 0.15·S div n, exact
     var ranks = ns.withColumn("rq", lit(scale / n))
     for (i <- 1 to iters) {
-      val contribs = eDeg
-        .join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst").as("node"), expr("rq div out_deg").as("contrib"))
-        .groupBy("node").agg(sum("contrib").as("msg"))
-      ranks = ns.join(broadcast(contribs), Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleportQ) +
-            expr("(85 * coalesce(msg, CAST(0 AS BIGINT))) div 100")).as("rq"))
+      ranks = pageRankQuantizedStep(eDeg, ns, ranks, teleportQ)
       if (i == iters || i % 3 == 0) ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** One integer PageRank iteration — same broadcast discipline as
+    * [[pageRankStep]] (both broadcast sides node-sized; the only
+    * exchange is the contribs agg), pinned by `PlanAuditSpec`. */
+  private[graft] def pageRankQuantizedStep(eDeg: DataFrame, ns: DataFrame,
+      ranks: DataFrame, teleportQ: Long): DataFrame = {
+    val contribs = eDeg
+      .join(broadcast(ranks), col("src") === col("node"))
+      .select(col("dst").as("node"), expr("rq div out_deg").as("contrib"))
+      .groupBy("node").agg(sum("contrib").as("msg"))
+    ns.join(broadcast(contribs), Seq("node"), "left")
+      .select(col("node"),
+        (lit(teleportQ) +
+          expr("(85 * coalesce(msg, CAST(0 AS BIGINT))) div 100")).as("rq"))
   }
 
   /** PageRank top-20 — G9, HASH-verified: the registered path runs the

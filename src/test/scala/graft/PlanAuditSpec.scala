@@ -176,6 +176,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "rank join fell back to a shuffle sort-merge join")
   }
 
+  test("quantized PageRank (q24's registered path) keeps the broadcast " +
+      "iteration shape: rank/contrib joins broadcast, no sort-merge") {
+    import org.apache.spark.sql.functions._
+    val edges = graft.operators.GraphOps.facedEdges(spark, sf)
+      .select("src", "dst").distinct()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val eDeg = edges.join(outDeg, "src").localCheckpoint()
+    val ns = graft.operators.GraphOps.nodes(edges).localCheckpoint()
+    val ranks = ns.withColumn("rq", lit(1000000L))
+    val plan = finalPlan(graft.operators.GraphOps.pageRankQuantizedStep(
+      eDeg, ns, ranks, teleportQ = 1000L))
+    assert(plan.contains("BroadcastHashJoin"),
+      "quantized rank join lost its broadcast pin")
+    assert(!plan.contains("SortMergeJoin"),
+      "quantized iteration fell back to shuffle sort-merge joins")
+  }
+
+  test("q39 joins two 3-row aggregates — the sketch join must broadcast " +
+      "and both aggs keep map-side partials") {
+    val plan = finalPlan(SparkEntry.queries("q39_approx_distinct")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "3-row sketch join not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "sort-merge join of two tiny aggs")
+  }
+
   test("q68 chunk dedup never windows or sorts the instance rows: the " +
       "keeper is a hash-agg argmin over content hashes") {
     val plan = finalPlan(SparkEntry.queries("q68_chunk_dedup")(spark, sf))
