@@ -26,6 +26,28 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized PageRank tracks the float ranks within quantization " +
+      "error and is exactly reproducible") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), ("d", "c"), ("a", "c"))
+      .toDF("src", "dst")
+    val float = GraphOps.pageRank(edges, iters = 4, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def runQ() = GraphOps.pageRankQuantized(edges, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = runQ()
+    assert(q.keySet == float.keySet)
+    // floor-div truncation loses < n·1e-12 of mass per contrib/update;
+    // after 4 iterations on a 4-node graph the drift stays far below
+    // any rank gap in the output ordering
+    float.foreach { case (n, v) =>
+      assert(math.abs(q(n) / 1e12 - v) < 1e-9,
+        s"node $n: quantized ${q(n) / 1e12} vs float $v")
+    }
+    // integer dynamics: a second run is bit-identical, no tolerance
+    assert(runQ() == q)
+  }
+
   test("pageRank convergence is non-trivial on a strongly connected " +
       "cyclic graph: matches a driver reference at every probed depth, " +
       "still moving at 10 iterations, geometrically settled later, and " +
