@@ -229,55 +229,68 @@ object TextOps {
   /** Verified near-duplicate pairs (d1 < d2, exact jaccard ≥ 0.5) — the
     * full q26 pipeline minus presentation; shared with the clustering
     * operator (q49). */
+  /** (doc_id, band, s) LSH band signatures over the shared capped index —
+    * one-pass signatures: the 16 minhashes are 16 declarative min()
+    * columns in a SINGLE Tungsten HashAggregate — one codegen pass
+    * over one row per token (not token×permutation as the relational
+    * oracle form shuffles), primitive fixed-width buffers, map-side
+    * partial combine, and the groupBy reuses the index's doc_id
+    * partitioning so no new shuffle. (The equivalent typed
+    * `MinHashAggregator` exists as the §2.I UDAF rung, but
+    * ObjectHashAggregate falls back to sort-based aggregation with
+    * serialized buffers past 128 groups — measured strictly slower
+    * here than the flat-min form.) Shared by the corpus-wide pair scan
+    * (q26/q49) and the incremental delta-vs-corpus dedup (q76). */
+  private def bandSignatures(s: SparkSession, d: String): DataFrame = {
+    val idx = shingleIndex(s, d)
+    val hashed = idx.select(col("doc_id"), (tokHash(col("tok")) % P).as("hv"))
+    val sigCols = perms.map { case (j, a, b) =>
+      min((lit(a) * col("hv") + lit(b)) % P).as(s"m$j") }
+    val sigArr = hashed.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    // 4 bands of 4: band b's signature string = m[4b..4b+3] joined —
+    // same j-ordered string the relational/oracle form aggregates.
+    val bandCols = (0 until 4).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        concat_ws(",", (0 until 4).map(j =>
+          col(s"m${bIdx * 4 + j}").cast("string")): _*).as("s")) }
+    sigArr
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.s").as("s"))
+  }
+
+  /** Exact-Jaccard verification of (d1, d2) candidate pairs through the
+    * inverted index: shared shingles counted per candidate pair (|A∩B|
+    * as an equi-join + count), |A∪B| = n1 + n2 - inter. Integer counts →
+    * the double division is bit-identical to the oracle's
+    * list_intersect form. Returns pairs with jac ≥ `threshold`. */
+  private def verifiedJaccard(s: SparkSession, d: String, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val idx = shingleIndex(s, d)
+    val sz = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ia = idx.select(col("doc_id").as("d1"), col("tok"))
+    val ib = idx.select(col("doc_id").as("d2"), col("tok"))
+    cand.join(ia, "d1").join(ib, Seq("d2", "tok"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
   def minHashPairs(s: SparkSession, d: String): DataFrame = {
-      val idx = shingleIndex(s, d)
-      val hashed = idx.select(col("doc_id"), (tokHash(col("tok")) % P).as("hv"))
-      // one-pass signatures: the 16 minhashes are 16 declarative min()
-      // columns in a SINGLE Tungsten HashAggregate — one codegen pass
-      // over one row per token (not token×permutation as the relational
-      // oracle form shuffles), primitive fixed-width buffers, map-side
-      // partial combine, and the groupBy reuses the index's doc_id
-      // partitioning so no new shuffle. (The equivalent typed
-      // `MinHashAggregator` exists as the §2.I UDAF rung, but
-      // ObjectHashAggregate falls back to sort-based aggregation with
-      // serialized buffers past 128 groups — measured strictly slower
-      // here than the flat-min form.)
-      val sigCols = perms.map { case (j, a, b) =>
-        min((lit(a) * col("hv") + lit(b)) % P).as(s"m$j") }
-      val sigArr = hashed.groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail: _*)
-      // 4 bands of 4: band b's signature string = m[4b..4b+3] joined —
-      // same j-ordered string the relational/oracle form aggregates.
-      val bandCols = (0 until 4).map { bIdx =>
-        struct(lit(bIdx).as("band"),
-          concat_ws(",", (0 until 4).map(j =>
-            col(s"m${bIdx * 4 + j}").cast("string")): _*).as("s")) }
-      val sig = sigArr
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.s").as("s"))
-      val x = sig.as("x")
-      val y = sig.as("y")
-      val cand = x.join(y,
-          col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      // exact-Jaccard verification through the inverted index: shared
-      // shingles counted per candidate pair (|A∩B| as an equi-join +
-      // count), |A∪B| = n1 + n2 - inter. Integer counts → the double
-      // division is bit-identical to the oracle's list_intersect form.
-      val sz = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val ia = idx.select(col("doc_id").as("d1"), col("tok"))
-      val ib = idx.select(col("doc_id").as("d2"), col("tok"))
-      cand.join(ia, "d1").join(ib, Seq("d2", "tok"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jac",
-          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"), col("jac"))
+    val sig = bandSignatures(s, d)
+    val x = sig.as("x")
+    val y = sig.as("y")
+    val cand = x.join(y,
+        col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    verifiedJaccard(s, d, cand, threshold = 0.5)
   }
 
   val q26MinHashLsh: QueryDef =
@@ -768,6 +781,74 @@ object TextOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks(col("text")))).cast("long").as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** INCREMENTAL near-dup dedup — the shape a 100 TB ingest actually
+    * runs: a NEW SOURCE (delta = `source = 'src0'`) arrives and is
+    * deduped against the already-ingested corpus WITHOUT re-scanning
+    * corpus×corpus. Delta band signatures probe the corpus signatures
+    * on the 4 band keys (delta-sized join work), within-batch dups meet
+    * on a delta×delta band join (keep-lowest-id), and candidates are
+    * exact-Jaccard-verified through the shared index. A delta doc is
+    * dropped if it matches ANY corpus doc (the corpus copy is already
+    * ingested and immutable) or an earlier delta doc. Output: the new
+    * batch's admission summary.
+    *
+    * The oracle specifies the RESULT, not the work plan: it reuses the
+    * corpus-wide verified pair set (q26's CTE chain) and keeps the
+    * pairs touching the delta — the same set the incremental
+    * formulation generates, since banding is symmetric. At scale the
+    * corpus signature side is the persisted artifact a real pipeline
+    * keeps per snapshot (exactly like the shared shingle index), so
+    * per-batch cost is delta-sized, not corpus-sized.
+    */
+  val q76IncrementalDedup: QueryDef = sql(
+    "q76_incremental_dedup",
+    s"""WITH $minHashPairsCtes,
+      |pr AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+      |del AS (SELECT doc_id, source FROM documents WHERE source = 'src0'),
+      |prs AS (SELECT pr.d1, pr.d2,
+      |          (a.source = 'src0') AS e1, (b.source = 'src0') AS e2
+      |        FROM pr JOIN documents a ON a.doc_id = pr.d1
+      |                JOIN documents b ON b.doc_id = pr.d2),
+      |dr AS (SELECT DISTINCT CASE WHEN e1 AND NOT e2 THEN d1 ELSE d2 END AS doc_id
+      |       FROM prs WHERE e1 OR e2)
+      |SELECT del.source, count(*) AS n_new,
+      |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested
+      |FROM del LEFT JOIN dr ON del.doc_id = dr.doc_id
+      |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val deltaIds = documents(s, d)
+      .filter(col("source") === "src0").select(col("doc_id"))
+    val sig = bandSignatures(s, d)
+    val sd = sig.join(broadcast(deltaIds), Seq("doc_id"), "left_semi")
+    val sc = sig.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+    // delta probes corpus: candidate = (corpus_id, delta_id) so the
+    // verified pair's d2 is ALWAYS the delta side to drop...
+    val candCross = sd.as("x")
+      .join(sc.as("y"),
+        col("x.band") === col("y.band") && col("x.s") === col("y.s"))
+      .select(col("y.doc_id").as("d1"), col("x.doc_id").as("d2"))
+      .distinct()
+    // ...and within-batch keep-first: d2 is the larger (later) delta id
+    val candIntra = sd.as("x")
+      .join(sd.as("y"),
+        col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val drops = verifiedJaccard(s, d, candCross.union(candIntra).distinct(),
+        threshold = 0.5)
+      .select(col("d2").as("doc_id")).distinct()
+    documents(s, d).filter(col("source") === "src0")
+      .join(broadcast(drops.withColumn("dropped", lit(1))), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("dropped").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_dropped"),
+        sum(when(col("dropped").isNull, 1).otherwise(0))
+          .cast("long").as("n_ingested"))
       .orderBy(col("source"))
   }
 
@@ -1388,7 +1469,7 @@ object TextOps {
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
     q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q63DedupKeeplist,
-    q74DedupApply, q50TrainSplit,
+    q74DedupApply, q76IncrementalDedup, q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
     q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams)

@@ -328,7 +328,39 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** STREAM-STATIC enrichment join, oracle-verified: the unbounded event
+    * stream joins a static dimension (customer market segment) inside
+    * the streaming query — the canonical enrichment shape for a
+    * training-data ingest pipeline (attach per-user/tenant/license
+    * metadata as events arrive). The dimension is broadcast: each
+    * micro-batch probes a driver-built hash relation, the stream side
+    * never shuffles for the join, and the only stateful operator is the
+    * downstream windowless aggregation (Complete mode ⇒ drained result
+    * is micro-batch-boundary independent; decimal sum ⇒ bit-exact vs
+    * the batch oracle). At 100 TB the same plan holds: dims that
+    * outgrow a broadcast fall back to a shuffled stream-static join,
+    * but segment-sized dims are exactly what broadcast is for.
+    */
+  val q75StreamEnrich: QueryDef = QueryDef.sql(
+    "q75_stream_enrich",
+    """SELECT c_mktsegment AS segment, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val out = s"stream_enrich_${runSeq.incrementAndGet()}"
+    val dim = graft.sources.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = eventStream(s, stageEvents(d))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.sumd2(col("value")).as("sum_value"))
+    runToMemory(enriched, out, OutputMode.Complete)
+    s.table(out).orderBy(col("segment"))
+  }
+
   /** Streaming queries registered with the driver contract. */
   def queries: Seq[QueryDef] =
-    Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts)
+    Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
+      q75StreamEnrich)
 }

@@ -156,6 +156,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q75 stream-static enrichment equals the batch join aggregate") {
+    val got = StreamingOps.q75StreamEnrich.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dim = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val want = graft.sources.Tables.events(spark, sf)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.sumd2(col("value")).as("sum_value"))
+      .orderBy(col("segment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q76 incremental dedup drops exactly the delta docs the " +
+      "corpus-wide pair set implicates") {
+    val out = TextOps.q76IncrementalDedup.fn(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("src0"))
+    val r = out.head
+    val (nNew, nDropped, nIngested) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val deltaDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === "src0")
+    assert(nNew == deltaDocs.count())
+    assert(nDropped + nIngested == nNew)
+    assert(nDropped >= 1, "fixture should drop at least one near-dup delta doc")
+    // recompute from the SYMMETRIC corpus-wide pair set: a delta doc is
+    // dropped iff it pairs with a corpus doc, or with a smaller delta id
+    val delta = deltaDocs.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = TextOps.minHashPairs(spark, sf)
+      .select("d1", "d2").collect().map(p => (p.getLong(0), p.getLong(1)))
+    val want = pairs.flatMap { case (a, b) =>
+      (delta(a), delta(b)) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case (true, true)  => Some(math.max(a, b))
+        case _             => None
+      }
+    }.toSet
+    assert(want.size == nDropped,
+      s"recomputed drops ${want.size} != reported $nDropped")
+  }
+
   test("q72 kNN vote matches a recomputed majority over the exact top-10") {
     val out = SimilarityOps.q72KnnClassify.fn(spark, sf).collect()
     assert(out.length == 5)

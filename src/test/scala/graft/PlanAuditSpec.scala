@@ -200,6 +200,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "sort-merge join of two tiny aggs")
   }
 
+  test("q76 incremental dedup meets on band keys only — no all-pairs " +
+      "join anywhere in the delta-vs-corpus plan") {
+    val plan = finalPlan(SparkEntry.queries("q76_incremental_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "all-pairs join in q76")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "theta-only join in q76")
+    // the delta-id probe and the final drop filter are broadcasts
+    assert(plan.contains("BroadcastHashJoin"), "delta probe not broadcast")
+  }
+
   test("q68 chunk dedup never windows or sorts the instance rows: the " +
       "keeper is a hash-agg argmin over content hashes") {
     val plan = finalPlan(SparkEntry.queries("q68_chunk_dedup")(spark, sf))
