@@ -13,7 +13,7 @@ object Bench {
       .config("spark.buffer.pageSize", "1m")
       .config("spark.ui.enabled", "false")
       // the status stores retain per-execution plan graphs + per-stage
-      // metric aggregates even with the UI off; across a 72-query × 2-pass
+      // metric aggregates even with the UI off; across a 76-query × 2-attempt
       // session that is hundreds of MB of old-gen — observed to slow the
       // heaviest aggregation (q55) 6-10× late in the suite via GC
       // pressure. Keep only a handful of executions live.
@@ -104,9 +104,15 @@ object Bench {
         else math.min(a, b)
       name -> best
     }
+    // a query that failed BOTH attempts stays visible as -1 in the
+    // per-query map but must not subtract from the headline total
+    val failures = results.filter(_._2 < 0).map(_._1)
+    if (failures.nonEmpty)
+      System.err.println(s"[bench] FAILED both attempts: ${failures.mkString(",")}")
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total =
+      if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},""" +
         s""""pass1":${obj(p1)},"pass2":${obj(p2)},"sf":"$sfDir"}"""

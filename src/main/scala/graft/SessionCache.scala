@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Materialization is a RELIABLE disk checkpoint, not `localCheckpoint`:
   * local-checkpoint blocks live in executor storage memory and have no
-  * public release API, so a 74-query × 2-pass bench session would pin
+  * public release API, so a 76-query × 2-attempt bench session would pin
   * them for its whole life — executor memory must stay FLAT across the
   * suite. Disk checkpoints cost a re-read per consumer (these artifacts
   * are MBs; noise next to the queries they feed) and executor memory

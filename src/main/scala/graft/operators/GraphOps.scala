@@ -232,7 +232,8 @@ object GraphOps {
     * would raise S (and the state width) together.
     */
   private[graft] def pageRankQuantized(edges: DataFrame, iters: Int = 4,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = true): DataFrame = {
     val e = edges.select("src", "dst") // caller passes a distinct projection
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val eDeg = e.join(outDeg, "src").localCheckpoint()
@@ -241,22 +242,31 @@ object GraphOps {
     val teleportQ = (scale - scale * 85L / 100L) / n // 0.15·S div n, exact
     var ranks = ns.withColumn("rq", lit(scale / n))
     for (i <- 1 to iters) {
-      ranks = pageRankQuantizedStep(eDeg, ns, ranks, teleportQ)
-      if (i == iters || i % 3 == 0) ranks = ranks.localCheckpoint()
+      ranks = pageRankQuantizedStep(eDeg, ns, ranks, teleportQ, broadcastRanks)
+      // same cadence as the float loop: a mid-run pin within 2
+      // iterations of the final pin is pure waste (superseded at once)
+      if (i == iters || (i % 3 == 0 && iters - i >= 3))
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
 
   /** One integer PageRank iteration — same broadcast discipline as
     * [[pageRankStep]] (both broadcast sides node-sized; the only
-    * exchange is the contribs agg), pinned by `PlanAuditSpec`. */
+    * exchange is the contribs agg), pinned by `PlanAuditSpec`.
+    * `broadcastRanks=false` is the same escape hatch as the float twin:
+    * graphs whose node table outgrows the broadcast threshold fall back
+    * to AQE-chosen joins. */
   private[graft] def pageRankQuantizedStep(eDeg: DataFrame, ns: DataFrame,
-      ranks: DataFrame, teleportQ: Long): DataFrame = {
+      ranks: DataFrame, teleportQ: Long,
+      broadcastRanks: Boolean = true): DataFrame = {
+    val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
     val contribs = eDeg
-      .join(broadcast(ranks), col("src") === col("node"))
+      .join(rankSide, col("src") === col("node"))
       .select(col("dst").as("node"), expr("rq div out_deg").as("contrib"))
       .groupBy("node").agg(sum("contrib").as("msg"))
-    ns.join(broadcast(contribs), Seq("node"), "left")
+    val contribSide = if (broadcastRanks) broadcast(contribs) else contribs
+    ns.join(contribSide, Seq("node"), "left")
       .select(col("node"),
         (lit(teleportQ) +
           expr("(85 * coalesce(msg, CAST(0 AS BIGINT))) div 100")).as("rq"))

@@ -144,8 +144,12 @@ object MultimodalOps {
     * both sides; the corpus is ASCII, so char codes ARE payload bytes,
     * which the oracle relies on and the Spark side does not). The stride
     * sums travel as a space-joined string (the q56 array-comparator
-    * lesson). The float feature vector itself stays un-hashed — it is
-    * strides/n_bytes, fully determined by the verified integers. */
+    * lesson). Degenerate payloads are mirrored too: strides with no
+    * positions coalesce to 0 (docs shorter than 8 bytes) and first/last
+    * byte report -1 on an empty payload in BOTH engines, so the oracle
+    * holds on any corpus, not just the current fixtures. The float
+    * feature vector itself stays un-hashed — it is strides/n_bytes,
+    * fully determined by the verified integers. */
   val q37MediaFeatures: QueryDef = sql(
     "q37_media_features",
     """WITH b AS (SELECT doc_id,
@@ -154,9 +158,9 @@ object MultimodalOps {
       |    text, octet_length(encode(text)) AS n_bytes
       |  FROM documents),
       |s AS (SELECT doc_id, media_type, n_bytes,
-      |    ascii(substr(text, 1, 1)) AS first_byte,
-      |    ascii(substr(text, n_bytes, 1)) AS last_byte,
-      |    [list_sum([ascii(substr(text, i + 1, 1)) FOR i IN range(j, n_bytes, 8)])
+      |    CASE WHEN n_bytes = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+      |    CASE WHEN n_bytes = 0 THEN -1 ELSE ascii(substr(text, n_bytes, 1)) END AS last_byte,
+      |    [coalesce(list_sum([ascii(substr(text, i + 1, 1)) FOR i IN range(j, n_bytes, 8)]), 0)
       |     FOR j IN range(0, 8)] AS strides
       |  FROM b)
       |SELECT doc_id, media_type, n_bytes, first_byte, last_byte,

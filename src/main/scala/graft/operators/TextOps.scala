@@ -240,8 +240,17 @@ object TextOps {
     * ObjectHashAggregate falls back to sort-based aggregation with
     * serialized buffers past 128 groups — measured strictly slower
     * here than the flat-min form.) Shared by the corpus-wide pair scan
-    * (q26/q49) and the incremental delta-vs-corpus dedup (q76). */
-  private def bandSignatures(s: SparkSession, d: String): DataFrame = {
+    * (q26/q49) and the incremental delta-vs-corpus dedup (q76) — and
+    * consumed 2-4 times per query (self-join sides, delta + corpus
+    * probes), so it is session-cached like the index it derives from:
+    * one corpus-wide signature aggregation per (session, sfDir), which
+    * is also the persisted-artifact posture a real pipeline takes (the
+    * signature table IS the dedup index a 100 TB ingest keeps per
+    * corpus snapshot). */
+  private def bandSignatures(s: SparkSession, d: String): DataFrame =
+    cachedCheckpoint("bandSignatures", s, d)(bandSignaturesPlan(s, d))
+
+  private def bandSignaturesPlan(s: SparkSession, d: String): DataFrame = {
     val idx = shingleIndex(s, d)
     val hashed = idx.select(col("doc_id"), (tokHash(col("tok")) % P).as("hv"))
     val sigCols = perms.map { case (j, a, b) =>
@@ -819,8 +828,8 @@ object TextOps {
       |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested
       |FROM del LEFT JOIN dr ON del.doc_id = dr.doc_id
       |GROUP BY 1 ORDER BY 1""") { (s, d) =>
-    val deltaIds = documents(s, d)
-      .filter(col("source") === "src0").select(col("doc_id"))
+    val delta = documents(s, d).filter(col("source") === "src0")
+    val deltaIds = delta.select(col("doc_id"))
     val sig = bandSignatures(s, d)
     val sd = sig.join(broadcast(deltaIds), Seq("doc_id"), "left_semi")
     val sc = sig.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
@@ -841,7 +850,7 @@ object TextOps {
     val drops = verifiedJaccard(s, d, candCross.union(candIntra).distinct(),
         threshold = 0.5)
       .select(col("d2").as("doc_id")).distinct()
-    documents(s, d).filter(col("source") === "src0")
+    delta
       .join(broadcast(drops.withColumn("dropped", lit(1))), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_new"),

@@ -53,6 +53,21 @@ class MultimodalSpec extends AnyFunSuite {
     dec.foreach { r => assert(r.features.toSeq == stub(r.doc_id)) }
   }
 
+  test("header decode handles short and empty payloads exactly as the " +
+      "oracle's degenerate-case arithmetic") {
+    val rows = Seq(
+      MultimodalOps.MediaRow(0, "image", "abc".getBytes("UTF-8")),
+      MultimodalOps.MediaRow(1, "audio", Array.emptyByteArray),
+      MultimodalOps.MediaRow(5, "video", "xy".getBytes("UTF-8"))).toDS()
+    val got = MultimodalOps.decodeWithHeader(rows)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(got(1).first_byte == -1 && got(1).last_byte == -1 &&
+      got(1).byte_sum == 0L && got(1).strides.toSeq == Seq.fill(8)(0L))
+    assert(got(0).strides.toSeq == Seq(97L, 98L, 99L, 0L, 0L, 0L, 0L, 0L))
+    assert(got(5).first_byte == 120 && got(5).last_byte == 121 &&
+      got(5).byte_sum == 241L)
+  }
+
   test("frame sampling plan bounds indices to [0, n_frames)") {
     val plan = MultimodalOps.frameSamplePlan(
       MultimodalOps.mediaTable(spark, sf)).collect()
