@@ -27,24 +27,18 @@ object Bench {
     // whichever query happens to run first
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // JVM-health telemetry per measurement (stderr only — auditability
-    // for the in-suite-vs-isolated timing gap): GC time spent INSIDE the
-    // timed region, post-GC live heap, metaspace, loaded classes.
+    // JVM-health telemetry per measurement, published per PASS in the
+    // bench JSON ("diag") so any >2× adjacent-pass outlier carries its
+    // attribution (GC churn vs host stall vs first-execution codegen) in
+    // the artifact itself, not just on stderr: GC time spent INSIDE the
+    // timed region, live heap after the run, metaspace, loaded classes.
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
-    def heapDiag(): String = {
-      val rt = Runtime.getRuntime
-      val used = (rt.totalMemory - rt.freeMemory) >> 20
-      val meta = ManagementFactory.getMemoryPoolMXBeans.asScala
-        .filter(_.getName.endsWith("Metaspace"))
-        .map(_.getUsage.getUsed >> 20).sum
-      val cls = ManagementFactory.getClassLoadingMXBean.getLoadedClassCount
-      s"heap=${used}M meta=${meta}M classes=$cls"
-    }
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    final case class Meas(secs: Double, gcMs: Long, heapMb: Long)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink materializes the FULL plan (final sorts, computed output
@@ -60,8 +54,15 @@ object Bench {
       // isn't billed to the next.
       System.gc()
       Thread.sleep(200)
-      System.err.println(f"[bench-diag] $name%-24s gc_in_run=${gcInRun}ms ${heapDiag()}")
-      if (failed) -1.0 else secs
+      val rt = Runtime.getRuntime
+      val used = (rt.totalMemory - rt.freeMemory) >> 20
+      val meta = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.endsWith("Metaspace"))
+        .map(_.getUsage.getUsed >> 20).sum
+      val cls = ManagementFactory.getClassLoadingMXBean.getLoadedClassCount
+      System.err.println(f"[bench-diag] $name%-24s gc_in_run=${gcInRun}ms " +
+        s"heap=${used}M meta=${meta}M classes=$cls")
+      Meas(if (failed) -1.0 else secs, gcInRun, used)
     }
     // Uniform ADJACENT best-of-2 (JMH warmup+measure): every query runs
     // twice back-to-back and the reported number is the per-query min,
@@ -87,35 +88,42 @@ object Bench {
       if (args.nonEmpty) Some(args(0).split(",").toSeq) else None
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
-    val attempts: Seq[(String, (Double, Double))] = ordered.map { case (name, fn) =>
+    val attempts: Seq[(String, (Meas, Meas))] = ordered.map { case (name, fn) =>
       val a = once(name, fn)
-      System.err.println(f"[bench] p1 $name%-24s $a%.2f s")
+      System.err.println(f"[bench] p1 $name%-24s ${a.secs}%.2f s")
       val b = once(name, fn)
-      System.err.println(f"[bench] p2 $name%-24s $b%.2f s")
+      System.err.println(f"[bench] p2 $name%-24s ${b.secs}%.2f s")
       name -> (a, b)
     }
-    val p1 = attempts.map { case (n, (a, _)) => n -> a }
-    val p2 = attempts.map { case (n, (_, b)) => n -> b }
+    val p1 = attempts.map { case (n, (a, _)) => n -> a.secs }
+    val p2 = attempts.map { case (n, (_, b)) => n -> b.secs }
     val results = attempts.map { case (name, (a, b)) =>
       // a failed attempt (-1) never masks a successful one
       val best =
-        if (a < 0) b
-        else if (b < 0) a
-        else math.min(a, b)
+        if (a.secs < 0) b.secs
+        else if (b.secs < 0) a.secs
+        else math.min(a.secs, b.secs)
       name -> best
     }
     // a query that failed BOTH attempts stays visible as -1 in the
-    // per-query map but must not subtract from the headline total
+    // per-query map but must not subtract from the headline total; the
+    // "failed" array makes total comparability machine-checkable
     val failures = results.filter(_._2 < 0).map(_._1)
     if (failures.nonEmpty)
       System.err.println(s"[bench] FAILED both attempts: ${failures.mkString(",")}")
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val diag = attempts.map { case (n, (a, b)) =>
+      s"\"$n\":{\"p1_gc_ms\":${a.gcMs},\"p2_gc_ms\":${b.gcMs}," +
+        s"\"p1_heap_mb\":${a.heapMb},\"p2_heap_mb\":${b.heapMb}}"
+    }.mkString("{", ",", "}")
+    val failedArr = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},""" +
-        s""""pass1":${obj(p1)},"pass2":${obj(p2)},"sf":"$sfDir"}"""
+        s""""pass1":${obj(p1)},"pass2":${obj(p2)},"failed":$failedArr,""" +
+        s""""diag":$diag,"sf":"$sfDir"}"""
     // belt + braces for the driver's parser: a file copy in target/, a
     // greppable sentinel line, and the contract's bare JSON as the
     // absolute LAST stdout line (after spark.stop(), so no shutdown

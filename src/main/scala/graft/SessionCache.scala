@@ -34,12 +34,24 @@ private[graft] object SessionCache {
   private val m = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
   /** Ensure the session has a checkpoint dir without clobbering one a
-    * caller (or a cluster deployment) already configured. */
+    * caller (or a cluster deployment) already configured. A dir WE
+    * create is a driver-local temp dir, removed by a JVM shutdown hook —
+    * repeated sessions must not accumulate checkpoint trees in /tmp. A
+    * caller-configured dir is never touched (on a cluster it is shared
+    * storage whose lifecycle the deployment owns). */
   private def ensureCheckpointDir(s: SparkSession): Unit = {
     val sc = s.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      sc.setCheckpointDir(dir.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del))
+          f.delete(): Unit
+        }
+        del(dir.toFile)
+      }))
+    }
   }
 
   def checkpoint(key: String, s: SparkSession, d: String)(

@@ -68,6 +68,12 @@ object ScaleOps {
     * generated aggregate as the HLL buffer and the compile cost
     * multiplies; two small scans + a 3-row join beat one giant generated
     * method. */
+  /** The HLL sketch's configured relative standard deviation; the q39
+    * acceptance bound is derived as 2×Rsd so the two can never drift
+    * apart (the "within 2× rsd" contract is definitional, not two
+    * coincidentally-matching literals). */
+  private[graft] val Rsd = 0.05
+
   private[graft] def approxVsExactOrders(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val exact = lineitem(s, d)
@@ -76,7 +82,7 @@ object ScaleOps {
         count(lit(1)).as("n"))
     val approx = lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_orderkey"), Rsd).as("approx_orders"))
     exact.join(approx, "l_returnflag")
   }
 
@@ -94,7 +100,7 @@ object ScaleOps {
     approxVsExactOrders(s, d)
       .select(col("l_returnflag"), col("exact_orders"), col("n"),
         (abs(col("approx_orders") - col("exact_orders")) <=
-          col("exact_orders") * lit(0.1)).as("within_rsd"))
+          col("exact_orders") * lit(2 * Rsd)).as("within_rsd"))
       .orderBy(col("l_returnflag"))
   }
 

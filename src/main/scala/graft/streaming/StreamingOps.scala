@@ -28,10 +28,18 @@ object StreamingOps {
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
-  /** Unbounded scan of an events directory (parquet file source). */
-  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Unbounded scan of an events directory (parquet file source).
+    * `maxFilesPerTrigger=1` (when `oneFilePerBatch`) pins the
+    * file→micro-batch mapping so a staged sentinel file (see
+    * [[stageEventsWithSentinels]]) is guaranteed to land in a LATER
+    * batch than the data it flushes. */
+  def eventStream(spark: SparkSession, dir: String,
+      oneFilePerBatch: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
+    val reader = spark.readStream.schema(rawSchema)
+    val r2 = if (oneFilePerBatch) reader.option("maxFilesPerTrigger", "1")
+             else reader
+    r2.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -150,26 +158,41 @@ object StreamingOps {
       }
   }
 
+  /** A drained streaming run: the sink contents snapshotted into a
+    * self-contained local DataFrame, plus the state-store row counts the
+    * bounded-state specs pin (max across progress events, and the final
+    * batch's total). */
+  final case class DrainResult(df: DataFrame, maxStateRows: Long,
+      finalStateRows: Long)
+
   /** Drive any of the above to a named in-memory sink until the source
     * is drained — the synchronous local smoke path.
     *
-    * Stale `stream_*` sink tables from PRIOR runs are dropped first:
-    * memory sinks buffer their whole drained result in the driver, and a
-    * multi-query session (Verify sweep, two-attempt bench) would
-    * otherwise accumulate one full result set per streaming run for the
-    * JVM's lifetime. One generation is kept live — the one the caller is
-    * about to read. */
+    * The returned DataFrame is a SNAPSHOT (LocalRelation over the sink's
+    * rows — which already live in the driver; a memory sink buffers its
+    * whole result there), not a lazy plan over the sink's temp view: the
+    * view is dropped before returning, so no per-run result set outlives
+    * its consumer in a multi-query session (Verify sweep, two-attempt
+    * bench), and the result stays valid however late a caller evaluates
+    * it. */
   def runToMemory(df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Append): Unit = {
+      mode: OutputMode = OutputMode.Append): DrainResult = {
     val spark = df.sparkSession
-    spark.catalog.listTables().collect()
-      .filter(t => t.isTemporary && t.name.startsWith("stream_") &&
-        t.name != name)
-      .foreach(t => spark.catalog.dropTempView(t.name))
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable()
     finally q.stop()
+    val stateRows = q.recentProgress.toSeq
+      .map(p => Option(p.stateOperators).map(_.map(_.numRowsTotal).sum)
+        .getOrElse(0L))
+    val sink = spark.table(name)
+    val snapshot = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
+      sink.schema)
+    spark.catalog.dropTempView(name)
+    DrainResult(snapshot,
+      if (stateRows.isEmpty) 0L else stateRows.max,
+      stateRows.lastOption.getOrElse(0L))
   }
 
   /** File-stream sources list a DIRECTORY; stage the sf events file into
@@ -185,18 +208,79 @@ object StreamingOps {
     dir.toString
   }
 
+  /** Marker value for the watermark-flush sentinel events staged by
+    * [[stageEventsWithSentinels]] — sinks filter on it. */
+  val SentinelType = "__graft_sentinel__"
+  /** 2100-01-01T00:00Z in the source's raw nanosecond clock — far past
+    * any data event, so `sentinel - watermark delay` closes every data
+    * window. */
+  private val SentinelNs = 4102444800L * 1000000000L
+
+  /** Stage the sf events file PLUS two far-future sentinel events, each
+    * in its own file, mod-times pinned so the file source (oldest-first,
+    * `maxFilesPerTrigger=1`) processes data → sentinel₁ → sentinel₂ as
+    * three ordered micro-batches. Why two: the watermark a batch runs
+    * under is derived from the max event time of PRIOR batches, so the
+    * batch that reads sentinel₁ still runs under the data-derived
+    * watermark — it is sentinel₂'s batch, running under the
+    * sentinel₁-derived watermark (already past every data event), that
+    * deterministically emits all remaining closed windows BEFORE
+    * `processAllAvailable` returns. Relying instead on Spark's no-data
+    * flush micro-batch would race the drain's return. This is the
+    * standard end-of-feed flush shape for a bounded replay of an
+    * unbounded pipeline; on a true unbounded feed no sentinel is needed
+    * — the next hour's data advances the watermark the same way. */
+  private[graft] def stageEventsWithSentinels(
+      spark: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = Paths.get(d).getFileName.toString
+    val dir = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_events_stage_wm", name)
+    Files.createDirectories(dir)
+    val data = dir.resolve("a_events.parquet")
+    Files.copy(Paths.get(d, "events.parquet"), data,
+      StandardCopyOption.REPLACE_EXISTING)
+    Seq(1, 2).foreach { i =>
+      val f = dir.resolve(s"b_sentinel$i.parquet")
+      if (!Files.exists(f)) {
+        val row = org.apache.spark.sql.Row(
+          -i.toLong, SentinelNs + i * 86400L * 1000000000L, -1L,
+          SentinelType, 0.0, null)
+        val tmp = Files.createTempDirectory("graft_sentinel").toString
+        spark.createDataFrame(
+          java.util.Collections.singletonList(row), rawSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet")).head
+        Files.move(Paths.get(part), f, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // strictly increasing, re-run-stable mod-times: the file source
+    // orders oldest-first on these, nothing else reads them
+    data.toFile.setLastModified(1000000L)
+    dir.resolve("b_sentinel1.parquet").toFile.setLastModified(2000000L)
+    dir.resolve("b_sentinel2.parquet").toFile.setLastModified(3000000L)
+    dir.toString
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger
 
   /** The STREAMING execution path, oracle-verified: runs the tumbling
     * aggregation as a real Structured Streaming query (file source →
     * watermarked stateful agg → memory sink, drained synchronously) and
-    * returns the sink table — hash-compared by the driver against the
-    * SAME DuckDB oracle as the batch twin q17. Complete output mode
-    * keeps the drained result independent of micro-batch boundaries
-    * (no state eviction, late rows still merge), and the decimal-routed
-    * sum makes the merge exact — so a streaming engine run is held to
-    * the identical bit-for-bit standard as batch, which is Structured
+    * returns the drained sink — hash-compared by the driver against the
+    * SAME DuckDB oracle as the batch twin q17. APPEND output mode with a
+    * staged sentinel flush ([[stageEventsWithSentinels]]): each window is
+    * emitted exactly once when the watermark passes its end and its state
+    * row is EVICTED — state stays bounded by the lateness horizon (~70
+    * min of windows per type) on an unbounded feed, where Complete mode
+    * would retain and re-emit every window forever. The decimal-routed
+    * sum keeps the pre-watermark merge exact, so the streaming run is
+    * held to the identical bit-for-bit standard as batch — Structured
     * Streaming's unified-model contract made checkable.
+    * `StreamingSpec` pins the bounded-state claim: final state-store
+    * rows after the drain ≤ the sentinel windows, never the window
+    * count.
     */
   val q66StreamTumbling: QueryDef = QueryDef.sql(
     "q66_stream_tumbling",
@@ -207,12 +291,15 @@ object StreamingOps {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""") { (s, d) =>
     val out = s"stream_tumbling_${runSeq.incrementAndGet()}"
-    runToMemory(windowedCounts(eventStream(s, stageEvents(d))), out,
-      OutputMode.Complete)
+    val drained = runToMemory(
+      windowedCounts(eventStream(s, stageEventsWithSentinels(s, d),
+        oneFilePerBatch = true)),
+      out, OutputMode.Append)
     // the streaming clock column is TIMESTAMP (watermarks want it); the
     // batch loader and oracle speak TIMESTAMP_NTZ — same UTC wall clock
     // (session tz pinned), so the cast only aligns the logical type
-    s.table(out)
+    drained.df
+      .filter(col("event_type") =!= SentinelType)
       .select(col("bucket").cast("timestamp_ntz").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
@@ -220,9 +307,12 @@ object StreamingOps {
 
   /** Session windows as a REAL streaming run, oracle-verified like q66
     * — the hardest streaming state shape (sessions merge as events
-    * arrive; Complete mode makes the drained result batch-identical
-    * regardless of micro-batch boundaries). Oracle = q19's relational
-    * session reconstruction, verbatim.
+    * arrive). APPEND mode + sentinel flush: a session is emitted exactly
+    * once when the watermark passes its close and its state is evicted,
+    * so per-(user, session) state is bounded by the lateness horizon —
+    * the only posture that survives unbounded session cardinality
+    * (Complete mode would hold and re-emit every session ever seen).
+    * Oracle = q19's relational session reconstruction, verbatim.
     */
   val q67StreamSession: QueryDef = QueryDef.sql(
     "q67_stream_session",
@@ -240,9 +330,12 @@ object StreamingOps {
       |GROUP BY user_id, sess
       |ORDER BY user_id, session_start""") { (s, d) =>
     val out = s"stream_session_${runSeq.incrementAndGet()}"
-    runToMemory(sessionCounts(eventStream(s, stageEvents(d))), out,
-      OutputMode.Complete)
-    s.table(out)
+    val drained = runToMemory(
+      sessionCounts(eventStream(s, stageEventsWithSentinels(s, d),
+        oneFilePerBatch = true)),
+      out, OutputMode.Append)
+    drained.df
+      .filter(col("user_id") >= 0) // sentinel sessions carry user_id -1
       .select(col("user_id"),
         col("session_start").cast("timestamp_ntz").as("session_start"),
         col("n"), col("sum_value"))
@@ -289,8 +382,7 @@ object StreamingOps {
       |FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
     val out = s"stream_dedup_${runSeq.incrementAndGet()}"
     val deduped = dedupedStream(eventStream(s, stageEventsDup(d)))
-    runToMemory(deduped, out, OutputMode.Append)
-    s.table(out)
+    runToMemory(deduped, out, OutputMode.Append).df
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.functions.Exact.sumd2(col("value")).as("sum_value"))
@@ -320,8 +412,7 @@ object StreamingOps {
     val out = s"stream_alerts_${runSeq.incrementAndGet()}"
     val alerts = thresholdAlertsCents(
       eventStream(s, stageEvents(d)), stepCents = 5000L)
-    runToMemory(alerts.toDF(), out, OutputMode.Append)
-    s.table(out)
+    runToMemory(alerts.toDF(), out, OutputMode.Append).df
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_alerts"),
         (max(col("k")) * 50.0).as("max_crossed"))
@@ -340,6 +431,13 @@ object StreamingOps {
     * the batch oracle). At 100 TB the same plan holds: dims that
     * outgrow a broadcast fall back to a shuffled stream-static join,
     * but segment-sized dims are exactly what broadcast is for.
+    *
+    * This drain stays in Complete mode DELIBERATELY: the aggregation is
+    * windowless, so its state is exactly one row per market segment —
+    * #segments (5) rows, a constant bound independent of feed length.
+    * Complete-mode hazard only exists when state cardinality grows with
+    * the feed (windows, sessions); a fixed-cardinality global rollup is
+    * the one case where it is the honest mode.
     */
   val q75StreamEnrich: QueryDef = QueryDef.sql(
     "q75_stream_enrich",
@@ -355,8 +453,8 @@ object StreamingOps {
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"),
         graft.functions.Exact.sumd2(col("value")).as("sum_value"))
-    runToMemory(enriched, out, OutputMode.Complete)
-    s.table(out).orderBy(col("segment"))
+    runToMemory(enriched, out, OutputMode.Complete).df
+      .orderBy(col("segment"))
   }
 
   /** Streaming queries registered with the driver contract. */

@@ -25,22 +25,20 @@ class StreamingSpec extends AnyFunSuite {
 
   test("windowed streaming aggregation matches the batch plan") {
     val stream = StreamingOps.eventStream(spark, eventsDir)
-    StreamingOps.runToMemory(
-      StreamingOps.windowedCounts(stream), "win_out", OutputMode.Complete)
-    val got = spark.table("win_out")
-      .select(sum("n").cast("long")).collect().head.getLong(0)
+    val out = StreamingOps.runToMemory(
+      StreamingOps.windowedCounts(stream), "win_out", OutputMode.Complete).df
+    val got = out.select(sum("n").cast("long")).collect().head.getLong(0)
     val batchCount = spark.read
       .schema(StreamingOps.rawSchema).parquet(eventsDir).count()
     assert(got == batchCount)
-    assert(spark.table("win_out").count() > 0)
+    assert(out.count() > 0)
   }
 
   test("dropDuplicatesWithinWatermark removes duplicate event_ids") {
     val stream = StreamingOps.eventStream(spark, eventsDir)
     val doubled = stream.union(stream) // every event twice
-    StreamingOps.runToMemory(
-      StreamingOps.dedupedStream(doubled), "dedup_out")
-    val n = spark.table("dedup_out").count()
+    val n = StreamingOps.runToMemory(
+      StreamingOps.dedupedStream(doubled), "dedup_out").df.count()
     val distinctIds = spark.read.schema(StreamingOps.rawSchema)
       .parquet(eventsDir).select("event_id").distinct().count()
     assert(n == distinctIds)
@@ -48,10 +46,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("mapGroupsWithState accumulates running per-user totals") {
     val stream = StreamingOps.eventStream(spark, eventsDir)
-    StreamingOps.runToMemory(
+    val out = StreamingOps.runToMemory(
       StreamingOps.runningUserTotals(stream).toDF(), "state_out",
-      OutputMode.Update)
-    val out = spark.table("state_out")
+      OutputMode.Update).df
     // the final update per user matches the batch group-by
     val lastPerUser = out.groupBy("user_id").agg(max("n").as("n"))
     val batch = spark.read.schema(StreamingOps.rawSchema).parquet(eventsDir)
@@ -62,11 +59,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState emits exactly floor(total/step) alerts per user") {
     val stream = StreamingOps.eventStream(spark, eventsDir)
-    StreamingOps.runToMemory(
+    val alerts = StreamingOps.runToMemory(
       StreamingOps.thresholdAlerts(stream, step = 50.0).toDF(), "alerts_out",
-      OutputMode.Append)
-    val got = spark.table("alerts_out")
-      .groupBy("user_id").agg(count(lit(1)).as("n_alerts"))
+      OutputMode.Append).df
+    val got = alerts.groupBy("user_id").agg(count(lit(1)).as("n_alerts"))
     // monotone accumulator → alert count is batch-boundary-independent:
     // floor(sum(|value|)/step) per user
     val expected = spark.read.schema(StreamingOps.rawSchema)
@@ -74,7 +70,7 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("user_id")
       .agg(floor(sum(abs(col("value"))) / 50.0).as("expected"))
       .filter(col("expected") > 0)
-    assert(spark.table("alerts_out").count() > 0)
+    assert(alerts.count() > 0)
     assert(expected.join(got, Seq("user_id"), "left")
       .filter(coalesce(col("n_alerts"), lit(0L)) =!= col("expected"))
       .count() == 0)
@@ -82,7 +78,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming executions equal their batch twins bit-for-bit " +
       "(q66~q17 tumbling, q67~q19 sessions; decimal state merge + " +
-      "Complete mode drain)") {
+      "Append-mode sentinel-flushed drain)") {
     val sf = "/root/testdata/sf0.001"
     for ((sq, bq) <- Seq(
         "q66_stream_tumbling" -> "q17_events_tumbling",
@@ -99,11 +95,36 @@ class StreamingSpec extends AnyFunSuite {
 
   test("session windows produce at least one session per active user") {
     val stream = StreamingOps.eventStream(spark, eventsDir)
-    StreamingOps.runToMemory(
-      StreamingOps.sessionCounts(stream), "sess_out", OutputMode.Complete)
-    val users = spark.table("sess_out").select("user_id").distinct().count()
+    val out = StreamingOps.runToMemory(
+      StreamingOps.sessionCounts(stream), "sess_out", OutputMode.Complete).df
+    val users = out.select("user_id").distinct().count()
     val batchUsers = spark.read.schema(StreamingOps.rawSchema)
       .parquet(eventsDir).select("user_id").distinct().count()
     assert(users == batchUsers)
+  }
+
+  test("Append-mode drains EVICT window/session state: final state-store " +
+      "rows ≤ sentinel residue, never the emitted-window count") {
+    val sf = "/root/testdata/sf0.001"
+    val staged = StreamingOps.stageEventsWithSentinels(spark, sf)
+    for ((name, plan) <- Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)](
+        "wm_tumbling" -> StreamingOps.windowedCounts,
+        "wm_session" -> StreamingOps.sessionCounts)) {
+      val drained = StreamingOps.runToMemory(
+        plan(StreamingOps.eventStream(spark, staged, oneFilePerBatch = true)),
+        s"state_evict_$name", OutputMode.Append)
+      val emitted = drained.df.count()
+      assert(emitted > 10, s"$name: expected many emitted windows")
+      // mid-drain state peaks at the open windows, then the sentinel
+      // advance closes and EVICTS them: only the (≤2) sentinel-own
+      // windows/sessions may remain. Complete mode would leave `emitted`
+      // rows resident (and re-emit them every trigger).
+      assert(drained.finalStateRows <= 2,
+        s"$name: state not evicted — ${drained.finalStateRows} rows remain " +
+          s"after drain (emitted $emitted)")
+      assert(drained.maxStateRows >= emitted - 2,
+        s"$name: sanity — state should have held the open windows mid-drain")
+    }
   }
 }
