@@ -1474,6 +1474,118 @@ object TextOps {
       .limit(25)
   }
 
+  /** Adjacent-pair counts over the current symbol sequences, top-1 by
+    * (count DESC, left, right) — one BPE-trainer iteration's argmax.
+    * Self-pairs (a = a) are excluded BY DESIGN: with distinct pair
+    * members, adjacent matches can never overlap, so "merge all
+    * occurrences" is a pure relational rewrite (no sequential
+    * greedy-scan state) and both engines compute the identical result. */
+  private[graft] def topPairPlan(seqs: DataFrame): DataFrame =
+    seqs.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "filter(transform(sequence(0, size(t) - 2), " +
+          "i -> struct(element_at(t, i + 1) AS a, element_at(t, i + 2) AS b)), " +
+          "p -> p.a != p.b)")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+
+  /** One merge pass: every adjacent (a, b) occurrence collapses into the
+    * single symbol "a b". Pure map-side array lambda — `get` is 0-based
+    * and null-safe out of bounds, so boundaries need no special cases;
+    * a position is consumed iff its LEFT neighbor starts a match, which
+    * cannot itself be a match start (that would need a = b). */
+  private def mergeExpr(a: String, b: String): String = {
+    def q(x: String) = x.replace("'", "''")
+    s"filter(transform(t, (x, i) -> CASE " +
+      s"WHEN x = '${q(a)}' AND get(t, i + 1) = '${q(b)}' THEN '${q(a)} ${q(b)}' " +
+      s"WHEN get(t, i - 1) = '${q(a)}' AND x = '${q(b)}' THEN NULL " +
+      s"ELSE x END), x -> x IS NOT NULL)"
+  }
+
+  /** Iterative BPE-style tokenizer-merge trainer (the stage after q69's
+    * bigram prep in a training-data pipeline): 3 merge rounds over the
+    * corpus token sequences, each round = count adjacent symbol pairs →
+    * take the most frequent (ties: lexicographic) → rewrite every
+    * occurrence into one merged symbol. Later rounds see earlier merges
+    * as atomic symbols, exactly like BPE vocabulary training at the word
+    * level. Output: the learned merge table (step, merged pair, count at
+    * merge time).
+    *
+    * Scale shape: each round is one corpus-wide explode + map-side-
+    * combinable hash agg (pair keys, never raw documents) topped by a
+    * TakeOrdered(1); the rewrite is a per-row array lambda (no shuffle,
+    * no join). The only driver-side transfer is the per-round argmax —
+    * ONE row — broadcast back into the next round's rewrite literal,
+    * which is precisely how distributed BPE trainers iterate (the merge
+    * rule is trainer state, not data). A production trainer runs
+    * thousands of rounds by batching the top-k NON-ADJACENT pairs per
+    * pass; the per-round plan is identical.
+    *
+    * Oracle: the identical three rounds unrolled as chained CTEs (the
+    * q24 PageRank recipe) — integer counts and the shared tie-break make
+    * the trajectory engine-exact, so the merge table hash-matches.
+    */
+  val q77BpeMerges: QueryDef = sql(
+    "q77_bpe_merges",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |p1 AS (SELECT doc_id, unnest(range(len(t))) AS i, unnest(t) AS sym FROM w),
+      |c1 AS (SELECT sym AS a, lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      |       FROM p1),
+      |t1 AS (SELECT a, b, count(*) AS cnt FROM c1
+      |       WHERE b IS NOT NULL AND a <> b
+      |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+      |r1 AS (SELECT doc_id, i, sym,
+      |         lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+      |         lag(sym) OVER (PARTITION BY doc_id ORDER BY i) AS prv
+      |       FROM p1),
+      |q1 AS (SELECT doc_id, i,
+      |         CASE WHEN sym = t.a AND nxt = t.b THEN t.a || ' ' || t.b
+      |              ELSE sym END AS sym
+      |       FROM r1 CROSS JOIN t1 t
+      |       WHERE NOT coalesce(prv = t.a AND sym = t.b, FALSE)),
+      |p2 AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+      |         sym FROM q1),
+      |c2 AS (SELECT sym AS a, lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      |       FROM p2),
+      |t2 AS (SELECT a, b, count(*) AS cnt FROM c2
+      |       WHERE b IS NOT NULL AND a <> b
+      |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+      |r2 AS (SELECT doc_id, i, sym,
+      |         lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+      |         lag(sym) OVER (PARTITION BY doc_id ORDER BY i) AS prv
+      |       FROM p2),
+      |q2 AS (SELECT doc_id, i,
+      |         CASE WHEN sym = t.a AND nxt = t.b THEN t.a || ' ' || t.b
+      |              ELSE sym END AS sym
+      |       FROM r2 CROSS JOIN t2 t
+      |       WHERE NOT coalesce(prv = t.a AND sym = t.b, FALSE)),
+      |p3 AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+      |         sym FROM q2),
+      |c3 AS (SELECT sym AS a, lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      |       FROM p3),
+      |t3 AS (SELECT a, b, count(*) AS cnt FROM c3
+      |       WHERE b IS NOT NULL AND a <> b
+      |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)
+      |SELECT 1 AS step, a || ' ' || b AS merged, cnt FROM t1
+      |UNION ALL SELECT 2, a || ' ' || b, cnt FROM t2
+      |UNION ALL SELECT 3, a || ' ' || b, cnt FROM t3
+      |ORDER BY step""") { (s, d) =>
+    var seqs = documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (step <- 1 to 3) {
+      val top = topPairPlan(seqs).collect()
+      require(top.nonEmpty, "q77: corpus has no mergeable adjacent pair")
+      val (a, b, cnt) =
+        (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      merges += ((step, s"$a $b", cnt))
+      if (step < 3) seqs = seqs.withColumn("t", expr(mergeExpr(a, b)))
+    }
+    import s.implicits._
+    merges.result().toDF("step", "merged", "cnt").orderBy("step")
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
@@ -1481,5 +1593,6 @@ object TextOps {
     q74DedupApply, q76IncrementalDedup, q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
     q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
-    q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams)
+    q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
+    q77BpeMerges)
 }

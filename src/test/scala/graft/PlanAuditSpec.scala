@@ -226,6 +226,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "bigram counting must not join")
   }
 
+  test("q77 BPE round: pair argmax is one hash-agg exchange topped by " +
+      "TakeOrdered — no join, no global sort, map-side partials") {
+    import org.apache.spark.sql.functions._
+    val seqs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+    val plan = finalPlan(graft.operators.TextOps.topPairPlan(seqs))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "pair argmax fell back to a global sort")
+    assert(!plan.contains("Join"), "pair counting must not join")
+    assert(plan.contains("partial_count"),
+      "pair counts lost their map-side partial aggregation")
+    val exchanges = finalExchanges(plan)
+    assert(exchanges == 1,
+      s"expected exactly the pair-key agg exchange, got $exchanges\n$plan")
+  }
+
+  test("PageRank broadcastRanks=false fallback: iteration joins stay " +
+      "equi (shuffle-hash/SMJ/AQE-broadcast), never nested-loop, with a " +
+      "bounded exchange budget") {
+    import org.apache.spark.sql.functions._
+    val edges = graft.operators.GraphOps.facedEdges(spark, sf)
+      .select("src", "dst").distinct()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val eDeg = edges.join(outDeg, "src").localCheckpoint()
+    val ns = graft.operators.GraphOps.nodes(edges).localCheckpoint()
+    for ((plan, label) <- Seq(
+        finalPlan(graft.operators.GraphOps.pageRankStep(
+          eDeg, ns, ns.withColumn("rank", lit(0.5)), 0.85, 2L,
+          broadcastRanks = false)) -> "float",
+        finalPlan(graft.operators.GraphOps.pageRankQuantizedStep(
+          eDeg, ns, ns.withColumn("rq", lit(1000000L)), teleportQ = 1000L,
+          broadcastRanks = false)) -> "quantized")) {
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$label fallback degenerated to a nested-loop join\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$label fallback degenerated to a cartesian\n$plan")
+      // per-iteration budget: ≤ 2 join distributions + the contribs agg
+      // on each side — anything beyond means a re-shuffle crept in
+      val exchanges = finalExchanges(plan)
+      assert(exchanges <= 5,
+        s"$label fallback iteration exchange budget blown: $exchanges\n$plan")
+    }
+  }
+
   test("q71 outlier count probes with broadcast stats — never a window " +
       "or sort-merge join over the events table") {
     val plan = finalPlan(SparkEntry.queries("q71_anomaly_zscore")(spark, sf))
