@@ -247,7 +247,7 @@ object TextOps {
     * is also the persisted-artifact posture a real pipeline takes (the
     * signature table IS the dedup index a 100 TB ingest keeps per
     * corpus snapshot). */
-  private def bandSignatures(s: SparkSession, d: String): DataFrame =
+  private[graft] def bandSignatures(s: SparkSession, d: String): DataFrame =
     cachedCheckpoint("bandSignatures", s, d)(bandSignaturesPlan(s, d))
 
   private def bandSignaturesPlan(s: SparkSession, d: String): DataFrame = {
@@ -273,7 +273,7 @@ object TextOps {
     * as an equi-join + count), |A∪B| = n1 + n2 - inter. Integer counts →
     * the double division is bit-identical to the oracle's
     * list_intersect form. Returns pairs with jac ≥ `threshold`. */
-  private def verifiedJaccard(s: SparkSession, d: String, cand: DataFrame,
+  private[graft] def verifiedJaccard(s: SparkSession, d: String, cand: DataFrame,
       threshold: Double): DataFrame = {
     val idx = shingleIndex(s, d)
     val sz = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -812,8 +812,10 @@ object TextOps {
     * keeps per snapshot (exactly like the shared shingle index), so
     * per-batch cost is delta-sized, not corpus-sized.
     */
-  val q76IncrementalDedup: QueryDef = sql(
-    "q76_incremental_dedup",
+  /** q76's oracle — ALSO the oracle of its streaming twin
+    * (q78, `StreamingOps`): the incremental formulation's admission
+    * summary, specified via the corpus-wide verified pair set. */
+  private[graft] val incrementalDedupOracle: String =
     s"""WITH $minHashPairsCtes,
       |pr AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
       |del AS (SELECT doc_id, source FROM documents WHERE source = 'src0'),
@@ -827,7 +829,10 @@ object TextOps {
       |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
       |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested
       |FROM del LEFT JOIN dr ON del.doc_id = dr.doc_id
-      |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      |GROUP BY 1 ORDER BY 1""".stripMargin.trim
+
+  val q76IncrementalDedup: QueryDef = sql(
+    "q76_incremental_dedup", incrementalDedupOracle) { (s, d) =>
     val delta = documents(s, d).filter(col("source") === "src0")
     val deltaIds = delta.select(col("doc_id"))
     val sig = bandSignatures(s, d)

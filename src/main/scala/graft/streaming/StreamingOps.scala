@@ -457,8 +457,140 @@ object StreamingOps {
       .orderBy(col("segment"))
   }
 
+  private val docSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+
+  /** Stage the delta corpus (source = 'src0') as THREE parquet files
+    * split on contiguous doc_id ranges, mod-times pinned ascending so
+    * the file source (`maxFilesPerTrigger=1`, oldest-first) delivers
+    * them as three ordered micro-batches — "earlier in the delta"
+    * coincides with "smaller doc_id", which is what lets the drained
+    * admission set match the batch oracle exactly. */
+  private def stageDeltaDocs(spark: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val name = Paths.get(d).getFileName.toString
+    val dir = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_delta_stage", name)
+    val done = dir.resolve("_staged")
+    if (!Files.exists(done)) {
+      Files.createDirectories(dir)
+      val delta = graft.sources.Tables.documents(spark, d)
+        .filter(col("source") === "src0")
+      val ids = delta.select(col("doc_id")).orderBy(col("doc_id"))
+        .collect().map(_.getLong(0)) // delta ID LIST only — batch-split metadata
+      require(ids.nonEmpty, "q78: no src0 delta documents")
+      val cuts = Seq(ids((ids.length - 1) / 3), ids(2 * (ids.length - 1) / 3))
+      val ranges = Seq(
+        (Long.MinValue, cuts.head), (cuts.head + 1, cuts(1)),
+        (cuts(1) + 1, Long.MaxValue))
+      ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val tmp = Files.createTempDirectory("graft_delta_part").toString
+        delta.filter(col("doc_id").between(lo, hi))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        Files.move(Paths.get(part), dir.resolve(s"delta_$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.createFile(done)
+    }
+    (0 to 2).foreach { i =>
+      dir.resolve(s"delta_$i.parquet").toFile
+        .setLastModified(1000000L * (i + 1)): Unit
+    }
+    dir.toString
+  }
+
+  /** STREAMING incremental delta-vs-corpus dedup — q76's ingest-time
+    * twin, drained against the IDENTICAL batch oracle: the new source's
+    * documents arrive as an ordered file stream (three micro-batches);
+    * each batch probes the persisted corpus signature artifact PLUS the
+    * signatures of every earlier-seen delta document on the 4 LSH band
+    * keys, candidates are exact-Jaccard-verified through the shared
+    * index, and per-batch admission decisions append to the sink. After
+    * each batch the batch's signatures (admitted AND dropped — "seen
+    * earlier" is what dedup is against, exactly as the corpus-wide pair
+    * set treats earlier delta docs) join the probe side. This unifies
+    * q70's within-stream dedup with q76's corpus admission — the shape a
+    * 100 TB ingest actually runs: per-batch cost is batch-sized joins
+    * against a persisted, incrementally-growing signature artifact,
+    * never corpus².
+    *
+    * The probe-side signature table is re-pinned (`localCheckpoint`)
+    * after each batch union, so lineage stays one batch deep and the
+    * growing artifact is exactly the materialized table a production
+    * pipeline persists per snapshot. Signature VALUES for batch docs
+    * come from the session-cached corpus signature table filtered to the
+    * batch (content-identical to computing them on ingest with the
+    * snapshot's stop-shingle list — and verified so by the shared
+    * oracle).
+    */
+  val q78StreamIncrDedup: QueryDef = QueryDef.sql(
+    "q78_stream_incr_dedup",
+    graft.operators.TextOps.incrementalDedupOracle) { (s, d) =>
+    import graft.operators.TextOps
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_admissions").toString
+    val sig = TextOps.bandSignatures(s, d)
+    val deltaIds = graft.sources.Tables.documents(s, d)
+      .filter(col("source") === "src0").select(col("doc_id"))
+    // the persisted per-snapshot artifact: signatures of everything
+    // already ingested (all non-delta docs)
+    var seen = sig.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDeltaDocs(s, d))
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select(col("doc_id"))
+        val sigB = sig.join(broadcast(ids), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        // batch probes everything seen so far: (seen, batch) candidates…
+        val candCross = sigB.as("x")
+          .join(seen.as("y"),
+            col("x.band") === col("y.band") && col("x.s") === col("y.s"))
+          .select(col("y.doc_id").as("d1"), col("x.doc_id").as("d2"))
+        // …plus within-batch keep-first (earlier doc_id wins)
+        val candIntra = sigB.as("x")
+          .join(sigB.as("y"),
+            col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        val drops = TextOps.verifiedJaccard(
+            s, d, candCross.union(candIntra).distinct(), threshold = 0.5)
+          .select(col("d2").as("doc_id")).distinct()
+          .withColumn("dropped", lit(1))
+        batch.select(col("doc_id"), col("source"))
+          .join(broadcast(drops), Seq("doc_id"), "left")
+          .write.mode("append").parquet(outDir)
+        seen = seen.union(sigB).localCheckpoint()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val res = s.read.parquet(outDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("dropped").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_dropped"),
+        sum(when(col("dropped").isNull, 1).otherwise(0))
+          .cast("long").as("n_ingested"))
+      .orderBy(col("source"))
+    // snapshot the (source-count-sized) summary and remove the per-run
+    // staging dir — nothing lazy may point at /tmp after the drain
+    val snap = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
+      res.schema)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(new java.io.File(outDir))
+    snap
+  }
+
   /** Streaming queries registered with the driver contract. */
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
-      q75StreamEnrich)
+      q75StreamEnrich, q78StreamIncrDedup)
 }
