@@ -206,8 +206,11 @@ object SimilarityOps {
     }
   }
 
-  /** q35's 8-hyperplane bucket family. */
-  private val hyperplanes: Array[Array[Float]] = lcgPlanes(8, 20260812L)
+  /** q35's hyperplane family: 12 tables × 4 sign bits (48 planes). */
+  private val AnnTables = 12
+  private val AnnBits = 4
+  private val hyperplanes: Array[Array[Float]] =
+    lcgPlanes(AnnTables * AnnBits, 20260812L)
 
   private def sqlPlaneLit(p: Array[Float]): String =
     p.map(v => {
@@ -215,50 +218,87 @@ object SimilarityOps {
       s"CAST($k AS DOUBLE) / 64"
     }).mkString("([", ", ", "])")
 
-  /** Sign-LSH bucketed ANN: 8-bit bucket from the signs of the vector's
-    * projections onto 8 fixed random hyperplanes; candidates meet on
-    * the bucket key (equi-join shuffle, never all-pairs), then exact
-    * cosine re-ranks the bucket. Returns top-5 per query with the rank.
+  /** MULTI-TABLE sign-LSH ANN: 12 hash tables, each bucketing on 4
+    * projection-sign bits; a query's candidates are the union of its 12
+    * bucket-mates (posted-list equi-join on (table, bucket), dedup'd
+    * BEFORE any vector is fetched), exact-cosine re-ranked to top-5.
+    *
+    * Geometry, chosen from MEASURED neighbor difficulty (`AnnRecallSpec`
+    * pins it): this corpus's true top-5 cosines run ≈ 0.26-0.43, i.e.
+    * per-plane sign-agreement p ≈ 0.60, so a single 8-bit table finds a
+    * true neighbor with p⁸ ≈ 1.6% — recall@5 ≈ 0.01, an index that
+    * hash-matches its oracle while being USELESS (exactly why recall is
+    * pinned separately from correctness). 12 tables × 4 bits lifts
+    * per-neighbor hit probability to 1-(1-p⁴)¹² ≈ 0.82 (measured ≈ 0.8,
+    * floor-pinned 0.6). The recall/cost dial: tables × 2^-bits bounds
+    * the candidate fraction; bits must grow with log₂(corpus) and table
+    * count with neighbor difficulty — near-random corpora like this one
+    * pay a high candidate fraction for recall, while clustered real
+    * embedding corpora (near-dup cosines ≥ 0.8 ⇒ p ≥ 0.9) get the same
+    * recall from far coarser tables.
+    *
+    * Scale shape: the index rows are (vec_id, table, bucket) ints —
+    * the posted-list artifact an ANN index persists — so the explode
+    * never duplicates vectors; candidate (q, neighbor) pairs dedup as
+    * ids alone, and vectors are fetched once per surviving pair.
     */
   val q35AnnLshBucketed: QueryDef = {
-    val sqlBucket = hyperplanes.zipWithIndex
-      .map { case (p, j) =>
-        s"(CASE WHEN ${sqlDot("embedding", sqlPlaneLit(p))} > 0 THEN ${1 << j} ELSE 0 END)" }
+    def sqlBucketOf(t: Int): String = (0 until AnnBits)
+      .map { j =>
+        s"(CASE WHEN ${sqlDot("embedding", sqlPlaneLit(hyperplanes(t * AnnBits + j)))} > 0 THEN ${1 << j} ELSE 0 END)" }
       .mkString(" + ")
+    val tableSelects = (0 until AnnTables)
+      .map(t => s"SELECT vec_id, $t AS t, ${sqlBucketOf(t)} AS b FROM d")
+      .mkString("\n", "\nUNION ALL\n", "")
     sql(
       "q35_ann_lsh_bucketed",
       s"""WITH d AS (SELECT vec_id, embedding,
-        |             sqrt(${sqlDot("embedding", "embedding")}) AS nr,
-        |             $sqlBucket AS bucket
+        |             sqrt(${sqlDot("embedding", "embedding")}) AS nr
         |           FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nr AS q_nr, bucket FROM d
-        |      WHERE vec_id < 20),
-        |c AS (SELECT q_id, d.vec_id AS neighbor,
-        |        ${sqlDot("q_emb", "embedding")} / (q_nr * nr) AS cosine
-        |      FROM q JOIN d ON d.bucket = q.bucket AND d.vec_id <> q_id),
+        |idx AS ($tableSelects),
+        |qi AS (SELECT vec_id AS q_id, t, b FROM idx WHERE vec_id < 20),
+        |cand AS (SELECT DISTINCT qi.q_id, idx.vec_id AS neighbor
+        |         FROM qi JOIN idx ON idx.t = qi.t AND idx.b = qi.b
+        |           AND idx.vec_id <> qi.q_id),
+        |c AS (SELECT q_id, neighbor,
+        |        ${sqlDot("qv.embedding", "nv.embedding")} / (qv.nr * nv.nr) AS cosine
+        |      FROM cand JOIN d qv ON qv.vec_id = q_id
+        |                JOIN d nv ON nv.vec_id = neighbor),
         |r AS (SELECT q_id, neighbor, cosine,
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS rn
         |      FROM c)
         |SELECT q_id, neighbor, cosine, rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""") { (s, d) =>
-      // projections via the codegen float dot against literal plane
-      // vectors — pure map-side, 8 fused expressions per row.
-      val bucket = hyperplanes.zipWithIndex
-        .map { case (p, j) =>
-          when(dot(col("embedding"), typedlit(p)) > 0, 1 << j).otherwise(0) }
+      // 48 codegen float-dot projections per row folded into 12 bucket
+      // ids — pure map-side; the index carries ids only.
+      def bucketOf(t: Int): Column = (0 until AnnBits)
+        .map { j =>
+          when(dot(col("embedding"), typedlit(hyperplanes(t * AnnBits + j))) > 0,
+            1 << j).otherwise(0) }
         .reduce(_ + _)
       val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"),
-          bucket.as("bucket"))
-      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
+      val tableCols = (0 until AnnTables).map(t =>
+        struct(lit(t).as("t"), bucketOf(t).as("b")))
+      val idx = e
+        .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      val qi = idx.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("t"), col("b"))
+      val cand = idx.join(broadcast(qi), Seq("t", "b"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor"))
+        .distinct()
+      val qv = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nr").as("q_nr"), col("bucket"))
+          col("nr").as("q_nr"))
+      val nv = e.select(col("vec_id").as("neighbor"),
+        col("embedding").as("n_emb"), col("nr").as("n_nr"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("neighbor"))
-      e.join(broadcast(q), Seq("bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor"),
-          (dot(col("q_emb"), col("embedding")) / (col("q_nr") * col("nr")))
+      cand.join(broadcast(qv), "q_id").join(nv, "neighbor")
+        .select(col("q_id"), col("neighbor"),
+          (dot(col("q_emb"), col("n_emb")) / (col("q_nr") * col("n_nr")))
             .as("cosine"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
