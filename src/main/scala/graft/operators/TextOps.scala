@@ -1577,7 +1577,19 @@ object TextOps {
       |UNION ALL SELECT 2, a || ' ' || b, cnt FROM t2
       |UNION ALL SELECT 3, a || ' ' || b, cnt FROM t3
       |ORDER BY step""") { (s, d) =>
-    var seqs = documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+    // the tokenized sequences go through an explicit-width exchange, and
+    // each round's rewrite is PINNED (localCheckpoint, the PageRank
+    // cadence): the merge lambda reads its input array 3× per element
+    // (self, left, right), so if `t` stayed a projection alias,
+    // CollapseProject would inline the full split-plus-prior-merges
+    // expression into every access — O(L²) CPU per document compounding
+    // per round (the q26 trap), observed as a single-thread multi-minute
+    // stall at sf1. Pinning makes each round's input a physical column;
+    // the rounds are short two-job chains, so the pin cost is noise.
+    var seqs = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (step <- 1 to 3) {
       val top = topPairPlan(seqs).collect()
@@ -1585,7 +1597,8 @@ object TextOps {
       val (a, b, cnt) =
         (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
       merges += ((step, s"$a $b", cnt))
-      if (step < 3) seqs = seqs.withColumn("t", expr(mergeExpr(a, b)))
+      if (step < 3)
+        seqs = seqs.withColumn("t", expr(mergeExpr(a, b))).localCheckpoint()
     }
     import s.implicits._
     merges.result().toDF("step", "merged", "cnt").orderBy("step")
