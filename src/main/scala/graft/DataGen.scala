@@ -77,8 +77,17 @@ object DataGen {
     val doc = read("documents"); val docS = stride(doc, "doc_id")
     val emb = read("embeddings"); val embS = stride(emb, "vec_id")
 
+    // c_name feeds the fuzzy entity-match (edit-distance blocking):
+    // verbatim replication would give every name `reps` exact copies —
+    // an artificially quadratic hot-key workload, not a scale-up. The
+    // two-character-pair replica tag keeps replicas ≥ 2 edits apart, so
+    // neither deletion-variant blocking keys nor dist ≤ 1 pairs span
+    // replicas and per-replica match structure is exactly preserved.
     writeSingle(replicate(cust)((d, r) =>
-      d.withColumn("c_custkey", col("c_custkey") + r * custS)), "customer")
+      d.withColumn("c_custkey", col("c_custkey") + r * custS)
+        .withColumn("c_name",
+          if (r == 0) col("c_name")
+          else concat(col("c_name"), lit(s"#$r#$r")))), "customer")
     writeSingle(replicate(supp)((d, r) =>
       d.withColumn("s_suppkey", col("s_suppkey") + r * suppS)), "supplier")
     writeSingle(replicate(prt)((d, r) =>

@@ -139,10 +139,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(StreamingOps.rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(staged.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    StreamingOps.runToMemory(
+    val drained = StreamingOps.runToMemory(
       StreamingOps.thresholdAlertsCents(stream, 5000L).toDF(),
       "alerts_split_out", OutputMode.Append)
-    val got = spark.table("alerts_split_out")
+    val got = drained.df
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"), max("k").as("mk"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
