@@ -1509,31 +1509,13 @@ object TextOps {
       s"ELSE x END), x -> x IS NOT NULL)"
   }
 
-  /** Iterative BPE-style tokenizer-merge trainer (the stage after q69's
-    * bigram prep in a training-data pipeline): 3 merge rounds over the
-    * corpus token sequences, each round = count adjacent symbol pairs →
-    * take the most frequent (ties: lexicographic) → rewrite every
-    * occurrence into one merged symbol. Later rounds see earlier merges
-    * as atomic symbols, exactly like BPE vocabulary training at the word
-    * level. Output: the learned merge table (step, merged pair, count at
-    * merge time).
-    *
-    * Scale shape: each round is one corpus-wide explode + map-side-
-    * combinable hash agg (pair keys, never raw documents) topped by a
-    * TakeOrdered(1); the rewrite is a per-row array lambda (no shuffle,
-    * no join). The only driver-side transfer is the per-round argmax —
-    * ONE row — broadcast back into the next round's rewrite literal,
-    * which is precisely how distributed BPE trainers iterate (the merge
-    * rule is trainer state, not data). A production trainer runs
-    * thousands of rounds by batching the top-k NON-ADJACENT pairs per
-    * pass; the per-round plan is identical.
-    *
-    * Oracle: the identical three rounds unrolled as chained CTEs (the
-    * q24 PageRank recipe) — integer counts and the shared tie-break make
-    * the trajectory engine-exact, so the merge table hash-matches.
-    */
-  val q77BpeMerges: QueryDef = sql(
-    "q77_bpe_merges",
+  /** Shared unrolled-CTE prefix for the BPE pair (q77 train / q79
+    * encode): tokenize → 3× (adjacent-pair argmax tN + lag/lead rewrite
+    * qN) — the q24 PageRank recipe. `w` is the tokenized corpus, `tN`
+    * the round-N merge argmax, `pN`/`qN` the renumbered / rewritten
+    * sequence states. q77 reads t1..t3; q79 additionally applies t3
+    * (r3/q3) and aggregates the final sequence state per document. */
+  private val bpeCtes: String =
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
       |p1 AS (SELECT doc_id, unnest(range(len(t))) AS i, unnest(t) AS sym FROM w),
       |c1 AS (SELECT sym AS a, lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS b
@@ -1572,36 +1554,173 @@ object TextOps {
       |       FROM p3),
       |t3 AS (SELECT a, b, count(*) AS cnt FROM c3
       |       WHERE b IS NOT NULL AND a <> b
-      |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)
-      |SELECT 1 AS step, a || ' ' || b AS merged, cnt FROM t1
-      |UNION ALL SELECT 2, a || ' ' || b, cnt FROM t2
-      |UNION ALL SELECT 3, a || ' ' || b, cnt FROM t3
-      |ORDER BY step""") { (s, d) =>
-    // the tokenized sequences go through an explicit-width exchange, and
-    // each round's rewrite is PINNED (localCheckpoint, the PageRank
-    // cadence): the merge lambda reads its input array 3× per element
-    // (self, left, right), so if `t` stayed a projection alias,
-    // CollapseProject would inline the full split-plus-prior-merges
-    // expression into every access — O(L²) CPU per document compounding
-    // per round (the q26 trap), observed as a single-thread multi-minute
-    // stall at sf1. Pinning makes each round's input a physical column;
-    // the rounds are short two-job chains, so the pin cost is noise.
+      |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+
+  /** The iterative trainer shared by q77/q79: 3 merge rounds over the
+    * corpus token sequences, each round = count adjacent symbol pairs →
+    * take the most frequent (ties: lexicographic) → rewrite every
+    * occurrence into one merged symbol. Later rounds see earlier merges
+    * as atomic symbols, exactly like BPE vocabulary training at the word
+    * level. Returns the merge table and the (optionally fully-rewritten)
+    * sequence state, with the pre-merge token count carried as `n_raw`.
+    *
+    * The tokenized sequences go through an explicit-width exchange, and
+    * each round's rewrite is PINNED (localCheckpoint, the PageRank
+    * cadence): the merge lambda reads its input array 3× per element
+    * (self, left, right), so if `t` stayed a projection alias,
+    * CollapseProject would inline the full split-plus-prior-merges
+    * expression into every access — O(L²) CPU per document compounding
+    * per round (the q26 trap), observed as a single-thread multi-minute
+    * stall at sf1. Pinning makes each round's input a physical column;
+    * the rounds are short two-job chains, so the pin cost is noise.
+    * `applyLast` controls whether the FINAL merge is applied to the
+    * sequences (the trainer's output is the merge table, so q77 skips
+    * the last rewrite; the encoder q79 needs the final state). */
+  private def bpeTrain(s: SparkSession, d: String, applyLast: Boolean)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     var seqs = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n_raw", size(col("t")).cast("long"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (step <- 1 to 3) {
       val top = topPairPlan(seqs).collect()
-      require(top.nonEmpty, "q77: corpus has no mergeable adjacent pair")
+      require(top.nonEmpty, "bpe: corpus has no mergeable adjacent pair")
       val (a, b, cnt) =
         (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
       merges += ((step, s"$a $b", cnt))
-      if (step < 3)
+      if (step < 3 || applyLast)
         seqs = seqs.withColumn("t", expr(mergeExpr(a, b))).localCheckpoint()
     }
+    (merges.result(), seqs)
+  }
+
+  /** Iterative BPE-style tokenizer-merge trainer (the stage after q69's
+    * bigram prep in a training-data pipeline) — see [[bpeTrain]]. Output:
+    * the learned merge table (step, merged pair, count at merge time).
+    *
+    * Scale shape: each round is one corpus-wide explode + map-side-
+    * combinable hash agg (pair keys, never raw documents) topped by a
+    * TakeOrdered(1); the rewrite is a per-row array lambda (no shuffle,
+    * no join). The only driver-side transfer is the per-round argmax —
+    * ONE row — broadcast back into the next round's rewrite literal,
+    * which is precisely how distributed BPE trainers iterate (the merge
+    * rule is trainer state, not data). A production trainer runs
+    * thousands of rounds by batching the top-k NON-ADJACENT pairs per
+    * pass; the per-round plan is identical.
+    *
+    * Oracle: the identical three rounds unrolled as chained CTEs (the
+    * q24 PageRank recipe) — integer counts and the shared tie-break make
+    * the trajectory engine-exact, so the merge table hash-matches.
+    */
+  val q77BpeMerges: QueryDef = sql(
+    "q77_bpe_merges",
+    bpeCtes +
+      """
+        |SELECT 1 AS step, a || ' ' || b AS merged, cnt FROM t1
+        |UNION ALL SELECT 2, a || ' ' || b, cnt FROM t2
+        |UNION ALL SELECT 3, a || ' ' || b, cnt FROM t3
+        |ORDER BY step""".stripMargin) { (s, d) =>
+    val (merges, _) = bpeTrain(s, d, applyLast = false)
     import s.implicits._
-    merges.result().toDF("step", "merged", "cnt").orderBy("step")
+    merges.toDF("step", "merged", "cnt").orderBy("step")
+  }
+
+  /** Tokenizer APPLY (encode) — the stage after q77's training in a
+    * training-data pipeline: rewrite every document through the learned
+    * merge table in rank order and emit per-document encoding stats
+    * (pre-merge token count, post-merge symbol count, merged-symbol
+    * count). Training and encoding share rewrite semantics by
+    * construction, so the encoder is exercised against the full
+    * trainer trajectory including the final merge.
+    *
+    * Scale shape: the encode pass is 3 chained MAP-SIDE array lambdas —
+    * the merge table is driver/trainer state broadcast into the rewrite
+    * literals, never a join — followed by one narrow projection; the
+    * only exchanges are the trainer's own. At 100 TB the merge table is
+    * a few thousand rules applied the same way (chained rewrites over a
+    * pinned physical column); per-doc stats stay one pass, no shuffle.
+    *
+    * Oracle: q77's unrolled CTE chain extended by the third rewrite
+    * (r3/q3), aggregated per document — merged symbols are exactly those
+    * containing a space (raw tokens are split on spaces, so they can't).
+    */
+  val q79BpeEncode: QueryDef = sql(
+    "q79_bpe_encode",
+    bpeCtes +
+      """,
+        |r3 AS (SELECT doc_id, i, sym,
+        |         lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+        |         lag(sym) OVER (PARTITION BY doc_id ORDER BY i) AS prv
+        |       FROM p3),
+        |q3 AS (SELECT doc_id, i,
+        |         CASE WHEN sym = t.a AND nxt = t.b THEN t.a || ' ' || t.b
+        |              ELSE sym END AS sym
+        |       FROM r3 CROSS JOIN t3 t
+        |       WHERE NOT coalesce(prv = t.a AND sym = t.b, FALSE)),
+        |e AS (SELECT doc_id, count(*) AS n_enc,
+        |        count(*) FILTER (WHERE contains(sym, ' ')) AS n_merged
+        |      FROM q3 GROUP BY 1),
+        |n AS (SELECT doc_id, len(t) AS n_raw FROM w)
+        |SELECT n.doc_id, n.n_raw, e.n_enc, e.n_merged
+        |FROM n JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (_, seqs) = bpeTrain(s, d, applyLast = true)
+    seqs.select(col("doc_id"), col("n_raw"),
+      size(col("t")).cast("long").as("n_enc"),
+      expr("size(filter(t, x -> contains(x, ' ')))").cast("long")
+        .as("n_merged"))
+      .orderBy("doc_id")
+  }
+
+  /** Epoch-upsampling data mixture — the mixing stage that follows
+    * dedup/quality/split in a training-data pipeline: given target
+    * token-share percentages per language, repeat each language's
+    * documents ⌈pct·T / (100·langToks)⌉ times so its repeated token
+    * mass reaches its target share of the corpus total T (downweighted
+    * languages stay at 1 epoch; upweighted ones repeat whole — epoch
+    * granularity, the standard mixture-training practice). Output: one
+    * row per (document, epoch).
+    *
+    * Scale shape: the per-language token totals and the grand total are
+    * two tiny aggregates joined back BROADCAST (|langs| rows and 1 row —
+    * never a shuffle of the corpus); the repetition factor is integer
+    * arithmetic (exact ceil via (a + b - 1) div b, engine-portable, no
+    * float rounding), and the epoch fan-out is a map-side
+    * explode(sequence(1, k)). One corpus pass end to end.
+    */
+  val q80EpochMixture: QueryDef = sql(
+    "q80_epoch_mixture",
+    """WITH d AS (SELECT doc_id, lang,
+      |            len(string_split(trim(text), ' ')) AS n_toks FROM documents),
+      |w AS (SELECT *, CASE lang WHEN 'en' THEN 40 WHEN 'fr' THEN 20
+      |                          WHEN 'de' THEN 15 WHEN 'es' THEN 15
+      |                          ELSE 10 END AS pct FROM d),
+      |l AS (SELECT lang, sum(n_toks) AS lang_toks FROM d GROUP BY 1),
+      |t AS (SELECT sum(n_toks) AS total_toks FROM d),
+      |k AS (SELECT w.doc_id, w.lang, w.n_toks,
+      |        CAST((w.pct * t.total_toks + 100 * l.lang_toks - 1)
+      |             // (100 * l.lang_toks) AS BIGINT) AS k
+      |      FROM w JOIN l USING (lang) CROSS JOIN t)
+      |SELECT doc_id, lang, CAST(unnest(range(1, k + 1)) AS BIGINT) AS epoch,
+      |       n_toks
+      |FROM k ORDER BY doc_id, epoch""") { (s, d) =>
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_toks"))
+    val pct = when(col("lang") === "en", 40).when(col("lang") === "fr", 20)
+      .when(col("lang") === "de", 15).when(col("lang") === "es", 15)
+      .otherwise(10).cast("long").as("pct")
+    val langToks = docs.groupBy("lang").agg(sum("n_toks").as("lang_toks"))
+    val totalToks = docs.agg(sum("n_toks").as("total_toks"))
+    docs.select(col("doc_id"), col("lang"), col("n_toks"), pct)
+      .join(broadcast(langToks), "lang")
+      .crossJoin(broadcast(totalToks))
+      .withColumn("k", expr(
+        "(pct * total_toks + 100 * lang_toks - 1) div (100 * lang_toks)"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1L, k)")).as("epoch"), col("n_toks"))
+      .orderBy("doc_id", "epoch")
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -1612,5 +1731,5 @@ object TextOps {
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
     q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
-    q77BpeMerges)
+    q77BpeMerges, q79BpeEncode, q80EpochMixture)
 }

@@ -242,6 +242,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly the pair-key agg exchange, got $exchanges\n$plan")
   }
 
+  test("q79 encode tail: map-side projection over the pinned sequences — " +
+      "no join, single presentation-sort exchange") {
+    val plan = finalPlan(SparkEntry.queries("q79_bpe_encode")(spark, sf))
+    assert(!plan.contains("Join"),
+      s"encode stats must not join — the merge table is trainer state\n$plan")
+    val exchanges = finalExchanges(plan)
+    assert(exchanges == 1,
+      s"expected only the final doc_id sort exchange, got $exchanges\n$plan")
+  }
+
+  test("q80 mixture: lang totals and grand total join back broadcast, " +
+      "never sort-merge; epoch fan-out is a generate, not a join") {
+    val plan = finalPlan(SparkEntry.queries("q80_epoch_mixture")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang totals fell out of broadcast\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row grand total should broadcast-nested-loop\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"mixture factors must not shuffle the corpus\n$plan")
+    assert(plan.contains("Generate"), s"epoch fan-out lost its explode\n$plan")
+    val exchanges = finalExchanges(plan)
+    assert(exchanges <= 4,
+      s"mixture exchange budget blown (2 tiny aggs + final sort): $exchanges\n$plan")
+  }
+
   test("PageRank broadcastRanks=false fallback: iteration joins stay " +
       "equi (shuffle-hash/SMJ/AQE-broadcast), never nested-loop, with a " +
       "bounded exchange budget") {
