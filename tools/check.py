@@ -45,6 +45,17 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # The driver's events.ts is parquet timestamp[ns]. A DataGen-scaled
+    # directory carries the same logical value as raw INT64 nanos (Spark
+    # cannot WRITE ns timestamps) — normalize the view so the oracles'
+    # CAST(ts AS TIMESTAMP) sees the identical logical column either way
+    # (ns -> us truncation matches DuckDB's own ns cast).
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if str(ts_type) == "int64":
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+            "(make_timestamp(CAST(ts // 1000 AS BIGINT)) AS ts) "
+            f"FROM '{sf_dir}/events.parquet'")
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
