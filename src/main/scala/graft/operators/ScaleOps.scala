@@ -104,5 +104,64 @@ object ScaleOps {
       .orderBy(col("l_returnflag"))
   }
 
-  def all: Seq[QueryDef] = Seq(q38SaltedAgg, q39ApproxDistinct)
+  /** The quantile sketch's configured accuracy (approx_percentile's
+    * inverse rank-error: observed rank error ≤ n/Accuracy + 1). The q82
+    * acceptance bound derives from it the same way q39's does from Rsd. */
+  private[graft] val QuantileAccuracy = 1000
+
+  /** Quantile sketch next to the exact order statistic, verified by
+    * HASH — the q39 recipe applied to percentiles (the scalable path
+    * for "median of 100 TB": an exact percentile needs a global sort or
+    * per-group materialization; the KLL-style sketch Spark's
+    * `approx_percentile` implements is one bounded-memory pass with a
+    * mergeable buffer). Values route through exact integer CENTS
+    * (DECIMAL(18,2) × 100), so the exact median is an order statistic
+    * both engines compute identically — no float interpolation to
+    * drift. The sketch's guarantee is on RANK, not value, so the bound
+    * check re-ranks the sketch's answer against the data (one broadcast
+    * join + count) and asserts |rank − target| ≤ n/accuracy + 1; the
+    * oracle pins that boolean as literal TRUE, keeping the
+    * engine-specific sketch value itself out of the hashed row. */
+  val q82ApproxQuantile: QueryDef = sql(
+    "q82_approx_quantile",
+    """WITH v AS (SELECT l_returnflag,
+      |            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |              AS c
+      |           FROM lineitem),
+      |r AS (SELECT l_returnflag, c,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+      |        count(*) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM v)
+      |SELECT l_returnflag, c AS exact_median_cents, n,
+      |       TRUE AS within_rank_bound
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY l_returnflag""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cents = lineitem(s, d)
+      .select(col("l_returnflag"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("c"))
+    val w = Window.partitionBy(col("l_returnflag"))
+    val exact = cents
+      .withColumn("rn", row_number().over(w.orderBy(col("c"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("l_returnflag"), col("c").as("exact_median_cents"),
+        col("n"))
+    val approx = cents.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("c"), lit(0.5),
+        lit(QuantileAccuracy)).as("approx_c"))
+    // rank the sketch's answer against the data: guarantee is on rank
+    val rank = cents.join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("c") <= col("approx_c"), 1L).otherwise(0L))
+        .as("rank_of_approx"))
+    exact.join(broadcast(rank), "l_returnflag")
+      .select(col("l_returnflag"), col("exact_median_cents"), col("n"),
+        (abs(col("rank_of_approx") - expr("(n + 1) div 2")) <=
+          expr(s"n div $QuantileAccuracy") + 1).as("within_rank_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def all: Seq[QueryDef] = Seq(q38SaltedAgg, q39ApproxDistinct,
+    q82ApproxQuantile)
 }

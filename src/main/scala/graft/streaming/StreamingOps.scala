@@ -590,7 +590,56 @@ object StreamingOps {
   }
 
   /** Streaming queries registered with the driver contract. */
+  /** Stream-stream INTERVAL join as a real streaming run — the §2.H
+    * join shape a batch rewrite cannot emulate incrementally:
+    * click→purchase attribution within a 1-hour window, BOTH sides
+    * watermarked, so the join buffers each side's rows only until the
+    * other side's watermark clears the interval bound — join state is
+    * evicted by event time and stays bounded by watermark + interval on
+    * an unbounded feed. The inner interval join emits in APPEND mode as
+    * soon as both rows have arrived; the staged sentinel files advance
+    * the watermark through the drain so buffered state is released
+    * (sentinels never enter the join — their type matches neither
+    * side's filter — but they flow through the watermark operators,
+    * which sit upstream of the type filters for exactly this reason).
+    * Oracle: the identical batch interval join — same inclusive bounds,
+    * same µs lag arithmetic — so the streaming run is held to the same
+    * bit-for-bit standard as every batch query.
+    */
+  val q81StreamIntervalJoin: QueryDef = QueryDef.sql(
+    "q81_stream_interval_join",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |            CAST(ts AS TIMESTAMP) AS tsu FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, tsu AS cts FROM e
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, tsu AS pts FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT c.user_id, click_id, purchase_id,
+      |       CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS lag_us
+      |FROM c JOIN p ON p.user_id = c.user_id
+      |  AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""") { (s, d) =>
+    val staged = stageEventsWithSentinels(s, d)
+    def side(tpe: String, uid: String, id: String, t: String) =
+      eventStream(s, staged, oneFilePerBatch = true)
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(uid), col("event_id").as(id),
+          col("ts").as(t))
+    val clicks = side("click", "c_uid", "click_id", "cts")
+    val purchases = side("purchase", "p_uid", "purchase_id", "pts")
+    val joined = clicks.join(purchases,
+      expr("c_uid = p_uid AND pts >= cts AND pts <= cts + interval 1 hour"))
+    val out = s"stream_ijoin_${runSeq.incrementAndGet()}"
+    val drained = runToMemory(
+      joined.select(col("c_uid").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us")),
+      out, OutputMode.Append)
+    drained.df.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
-      q75StreamEnrich, q78StreamIncrDedup)
+      q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin)
 }

@@ -39,6 +39,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q39.nonEmpty && q39.forall(_.getAs[Boolean]("within_rsd")))
   }
 
+  test("approx_percentile's answer ranks within n/accuracy of the " +
+      "exact median and the registered form pins it TRUE") {
+    val rows = ScaleOps.q82ApproxQuantile.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_rank_bound")),
+      rows.map(r => s"${r.getAs[String]("l_returnflag")}: " +
+        s"median=${r.getAs[Long]("exact_median_cents")}").mkString(", "))
+    // the exact order statistic is a real data value (cents are integer)
+    rows.foreach(r => assert(r.getAs[Long]("exact_median_cents") > 0))
+  }
+
   test("partitioned+sorted layout prunes partitions at scan time") {
     val out = Files.createTempDirectory("layout").toString + "/li"
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

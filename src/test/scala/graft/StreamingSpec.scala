@@ -127,4 +127,55 @@ class StreamingSpec extends AnyFunSuite {
         s"$name: sanity — state should have held the open windows mid-drain")
     }
   }
+
+  test("stream-stream interval join matches its batch twin and EVICTS " +
+      "join state once the watermark clears the interval") {
+    val sf = "/root/testdata/sf0.001"
+    val got = StreamingOps.q81StreamIntervalJoin.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got.nonEmpty, "expected click→purchase pairs at sf0.001")
+    // batch twin over the same loader
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").as("tsu"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("tsu").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("tsu").as("pts"))
+    val want = c.join(p, expr(
+        "cu = pu AND pts >= cts AND pts <= cts + interval 1 hour"))
+      .select(col("cu"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want, s"stream pairs != batch pairs\n${got.diff(want)}" +
+      s"\n${want.diff(got)}")
+    // state eviction: rebuild the join raw to read the drain metrics —
+    // the sentinel batches advance the watermark past all data, so the
+    // buffered rows of BOTH sides are released; only (≤2) sentinel-epoch
+    // residue may remain resident after the drain
+    val staged = StreamingOps.stageEventsWithSentinels(spark, sf)
+    def side(tpe: String, uid: String, id: String, t: String) =
+      StreamingOps.eventStream(spark, staged, oneFilePerBatch = true)
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(uid), col("event_id").as(id),
+          col("ts").as(t))
+    val drained = StreamingOps.runToMemory(
+      side("click", "cu", "click_id", "cts").join(
+        side("purchase", "pu", "purchase_id", "pts"),
+        expr("cu = pu AND pts >= cts AND pts <= cts + interval 1 hour")),
+      "ijoin_state_probe", OutputMode.Append)
+    assert(drained.maxStateRows > 0,
+      "sanity — the join must have buffered rows mid-drain")
+    // the symmetric hash join's two per-side stores keep a few
+    // bookkeeping rows; the point is the DATA buffers are gone
+    assert(drained.finalStateRows <= 4 &&
+        drained.finalStateRows < drained.maxStateRows / 10,
+      s"join state not evicted — ${drained.finalStateRows} of peak " +
+        s"${drained.maxStateRows} rows remain")
+  }
 }
