@@ -620,14 +620,9 @@ object StreamingOps {
       |  AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
       |ORDER BY 1, 2, 3""") { (s, d) =>
     val staged = stageEventsWithSentinels(s, d)
-    def side(tpe: String, uid: String, id: String, t: String) =
-      eventStream(s, staged, oneFilePerBatch = true)
-        .withWatermark("ts", "1 hour")
-        .filter(col("event_type") === tpe)
-        .select(col("user_id").as(uid), col("event_id").as(id),
-          col("ts").as(t))
-    val clicks = side("click", "c_uid", "click_id", "cts")
-    val purchases = side("purchase", "p_uid", "purchase_id", "pts")
+    val clicks = joinSide(s, staged, "click", "c_uid", "click_id", "cts")
+    val purchases =
+      joinSide(s, staged, "purchase", "p_uid", "purchase_id", "pts")
     val joined = clicks.join(purchases,
       expr("c_uid = p_uid AND pts >= cts AND pts <= cts + interval 1 hour"))
     val out = s"stream_ijoin_${runSeq.incrementAndGet()}"
@@ -636,10 +631,77 @@ object StreamingOps {
         col("purchase_id"),
         (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us")),
       out, OutputMode.Append)
-    drained.df.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    drained.df.filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** One side of a stream-stream join: watermark the RAW feed, then
+    * narrow to the wanted type while LETTING SENTINEL ROWS THROUGH.
+    * The subtlety this encodes: Catalyst pushes non-event-time
+    * predicates BELOW the EventTimeWatermark operator, so a type filter
+    * that excludes the sentinels drops them before they can advance the
+    * watermark — the join then never learns the feed ended, the
+    * tail-of-feed buffers are never evicted, and an outer join never
+    * emits its last null rows (measured: every unmatched click younger
+    * than min(side maxima) − lateness − interval silently vanished from
+    * the drain until the sentinels were let through). Sentinel rows
+    * carry user_id −1, so join output they participate in is dropped at
+    * the SINK side instead, where the watermark no longer cares. */
+  private def joinSide(s: SparkSession, staged: String, tpe: String,
+      uid: String, id: String, t: String): DataFrame =
+    eventStream(s, staged, oneFilePerBatch = true)
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type") === tpe ||
+        col("event_type") === SentinelType)
+      .select(col("user_id").as(uid), col("event_id").as(id),
+        col("ts").as(t))
+
+  /** LEFT OUTER stream-stream interval join — the subtlest streaming
+    * emission semantic in the engine: a matched pair emits as soon as
+    * both rows arrive (like q81's inner join), but an UNMATCHED click
+    * can only emit its null-extended row once the watermark proves no
+    * matching purchase can still arrive — i.e. when event time passes
+    * the end of its interval plus the lateness horizon. Getting these
+    * rows out at all REQUIRES the watermark to advance past the data
+    * (the sentinel flush reaching the watermark operator — see
+    * [[joinSide]] for the pushdown trap this query exposed), which is
+    * why this query exists: it pins the null-emission path, not just
+    * the match path. Same bounded join state as q81 (both sides'
+    * buffers evicted by event time). Oracle: the batch LEFT JOIN with
+    * identical inclusive bounds — null purchase columns and all.
+    */
+  val q83StreamOuterJoin: QueryDef = QueryDef.sql(
+    "q83_stream_outer_join",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |            CAST(ts AS TIMESTAMP) AS tsu FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, tsu AS cts FROM e
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, tsu AS pts FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT c.user_id, click_id, purchase_id,
+      |       CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS lag_us
+      |FROM c LEFT JOIN p ON p.user_id = c.user_id
+      |  AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""") { (s, d) =>
+    val staged = stageEventsWithSentinels(s, d)
+    val clicks = joinSide(s, staged, "click", "c_uid", "click_id", "cts")
+    val purchases =
+      joinSide(s, staged, "purchase", "p_uid", "purchase_id", "pts")
+    val joined = clicks.join(purchases,
+      expr("c_uid = p_uid AND pts >= cts AND pts <= cts + interval 1 hour"),
+      "leftOuter")
+    val out = s"stream_ojoin_${runSeq.incrementAndGet()}"
+    val drained = runToMemory(
+      joined.select(col("c_uid").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us")),
+      out, OutputMode.Append)
+    drained.df.filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
-      q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin)
+      q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin,
+      q83StreamOuterJoin)
 }

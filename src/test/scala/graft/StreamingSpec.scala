@@ -158,10 +158,13 @@ class StreamingSpec extends AnyFunSuite {
     // buffered rows of BOTH sides are released; only (≤2) sentinel-epoch
     // residue may remain resident after the drain
     val staged = StreamingOps.stageEventsWithSentinels(spark, sf)
+    // mirrors StreamingOps.joinSide: the type filter must let sentinel
+    // rows through (Catalyst pushes it below the watermark operator)
     def side(tpe: String, uid: String, id: String, t: String) =
       StreamingOps.eventStream(spark, staged, oneFilePerBatch = true)
         .withWatermark("ts", "1 hour")
-        .filter(col("event_type") === tpe)
+        .filter(col("event_type") === tpe ||
+          col("event_type") === StreamingOps.SentinelType)
         .select(col("user_id").as(uid), col("event_id").as(id),
           col("ts").as(t))
     val drained = StreamingOps.runToMemory(
