@@ -1072,6 +1072,59 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pruned decontamination — the same n-gram-overlap semantics
+    * as [[q54Decontaminate]] scaled to a LARGE probe set (here the
+    * "eval suite" is docs 0-4): instead of shipping the probe relation
+    * into a broadcast hash join that every corpus row must probe, the
+    * probe's distinct shingle hashes are aggregated ONCE into a Bloom
+    * filter (~10 bits/key vs the join relation's 8-byte keys plus hash
+    * machinery), and the corpus scan filters through it INSIDE
+    * whole-stage codegen ([[graft.functions.BloomMightContainLong]]).
+    * Only Bloom survivors — true matches plus the filter's false
+    * positives — reach the exact broadcast join, which removes the
+    * false positives; since a Bloom filter has no false NEGATIVES the
+    * composition is bit-identical to the oracle's plain join for any
+    * fpp. The two probe-side actions (count + filter build) are
+    * driver-sized AGGREGATES of the artifact, the shape a production
+    * pass reads from snapshot stats — no data rows cross the driver.
+    */
+  val q84BloomDecontaminate: QueryDef = sql(
+    "q84_bloom_decontaminate",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |d0 AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
+      |      FROM w),
+      |t0 AS (SELECT doc_id, unnest(tk) AS tok FROM d0),
+      |tdf AS (SELECT tok, count(*) AS df FROM t0 GROUP BY 1),
+      |t AS (SELECT doc_id, tok FROM t0 JOIN tdf USING (tok) WHERE df <= 1000),
+      |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t),
+      |probe AS (SELECT DISTINCT h FROM th WHERE doc_id < 5)
+      |SELECT th.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM th JOIN probe USING (h)
+      |WHERE th.doc_id >= 5
+      |GROUP BY 1 HAVING count(*) >= 3
+      |ORDER BY doc_id""") { (s, d) => bloomDecontaminate(s, d, useBloom = true) }
+
+  /** q84's body with the Bloom stage toggleable, so the spec can prove
+    * the pruned plan equals the plain join it accelerates. */
+  private[graft] def bloomDecontaminate(s: SparkSession, d: String,
+      useBloom: Boolean): DataFrame = {
+    val th = shingleIndex(s, d)
+      .select(col("doc_id"), tokHash(col("tok")).as("h"))
+    val probe = th.filter(col("doc_id") < 5).select(col("h")).distinct()
+    val corpus = th.filter(col("doc_id") >= 5)
+    val pruned = if (useBloom) {
+      val bloom = probe.stat.bloomFilter("h", math.max(probe.count(), 1L), 0.03)
+      corpus.filter(graft.functions.BloomFunctions.mightContainLong(col("h"), bloom))
+    } else corpus
+    pruned
+      .join(broadcast(probe), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Asymmetric CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ 0.8 — catches
     * a small document embedded in a larger one (quotes, boilerplate,
     * snippet reuse), which symmetric Jaccard structurally misses (a
@@ -1729,7 +1782,7 @@ object TextOps {
     q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q63DedupKeeplist,
     q74DedupApply, q76IncrementalDedup, q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
-    q55Containment, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
+    q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
     q77BpeMerges, q79BpeEncode, q80EpochMixture)
 }
