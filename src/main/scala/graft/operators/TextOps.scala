@@ -1039,6 +1039,37 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Per-group top-k (the 3 longest documents per (lang, source)) via
+    * the bounded [[graft.functions.TopKLongPairs]] Aggregator — the
+    * per-domain quota/exemplar selection stage of a curation pipeline.
+    * The oracle states the semantics as the window idiom
+    * (`row_number() OVER (PARTITION BY ...) <= k`), but the registered
+    * plan deliberately is NOT that: a window would shuffle every corpus
+    * row and sort whole groups to discard all but k; the aggregator
+    * ships at most k rows per (partition, group) through the shuffle
+    * with map-side partial combine — per-group TakeOrderedAndProject.
+    * `GroupedTopKSpec` pins the window-free plan and partial-mode
+    * aggregation.
+    */
+  val q85GroupedTopK: QueryDef = sql(
+    "q85_grouped_topk",
+    """WITH r AS (SELECT lang, source, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY lang, source
+      |                           ORDER BY n_chars DESC, doc_id) AS rnk
+      |      FROM documents)
+      |SELECT lang, source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
+      |FROM r WHERE rnk <= 3 ORDER BY lang, source, rnk""") { (s, d) =>
+    val topk = udaf(new graft.functions.TopKLongPairs(3))
+    documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+      .select(col("lang"), col("source"), posexplode(col("top")))
+      .select(col("lang"), col("source"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("doc_id"), col("col._1").as("n_chars"))
+      .orderBy(col("lang"), col("source"), col("rnk"))
+  }
+
   /** Benchmark decontamination: find every document sharing ≥ 3 distinct
     * 2-word shingles with a benchmark document (doc 0 stands in for the
     * eval set). The probe set is one document's shingles — broadcast —
@@ -1781,7 +1812,8 @@ object TextOps {
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
     q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q63DedupKeeplist,
     q74DedupApply, q76IncrementalDedup, q50TrainSplit,
-    q51TfIdf, q52Repetition, q53StratifiedSample, q54Decontaminate,
+    q51TfIdf, q52Repetition, q53StratifiedSample, q85GroupedTopK,
+    q54Decontaminate,
     q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
     q77BpeMerges, q79BpeEncode, q80EpochMixture)
