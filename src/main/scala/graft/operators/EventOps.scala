@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -287,7 +288,78 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Ordered funnel conversion (view → click → purchase within 48 h of
+    * the view) — the sequential-pattern query class (Flink/Trino
+    * MATCH_RECOGNIZE, ClickHouse windowFunnel) that plain relational
+    * algebra states as a chained self-join. The oracle IS that 3-way
+    * join; the registered plan is the scale shape: ONE shuffle on
+    * user_id, then `flatMapSortedGroups` (Spark's secondary sort — the
+    * per-user event stream arrives time-ordered from the shuffle sort,
+    * never materialized per group) folding an O(1)-state automaton:
+    *
+    *   lastView  = latest view so far,
+    *   bestStart = max over clicks so far of (latest view ≤ that click),
+    *
+    * and a purchase converts iff `p − bestStart ≤ W` — algebraically
+    * `∃ v ≤ c ≤ p with p − v ≤ W` ⟺ `p − max_{c≤p} latestView(c) ≤ W`,
+    * so the fold is exactly the join's semantics (FunnelSpec pins the
+    * equivalence on adversarial orderings, the oracle pins it on data).
+    * At 100 TB the join shape shuffles the events table three times and
+    * explodes on active users; this shape shuffles it once and streams.
+    * Ties sort view < click < purchase so the non-strict `≤` chain
+    * matches the oracle at equal timestamps.
+    */
+  val q86Funnel: QueryDef = sql(
+    "q86_funnel",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+      |v AS (SELECT user_id, tsu FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, tsu FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, tsu FROM e WHERE event_type = 'purchase')
+      |SELECT p.user_id, CAST(epoch_us(min(p.tsu)) AS BIGINT) AS purchase_us
+      |FROM p JOIN c ON c.user_id = p.user_id AND c.tsu <= p.tsu
+      |       JOIN v ON v.user_id = c.user_id AND v.tsu <= c.tsu
+      |             AND p.tsu <= v.tsu + INTERVAL 48 HOUR
+      |GROUP BY p.user_id ORDER BY p.user_id""") { (s, d) =>
+    import s.implicits._
+    funnelConverted(
+      events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1).otherwise(2).as("rank"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .as[(Long, Int, Long)],
+      windowUs = 48L * 3600L * 1000000L)(s)
+      .orderBy(col("user_id"))
+  }
+
+  /** The funnel automaton over (user_id, rank, us) rows; package-visible
+    * so FunnelSpec can drive it with adversarial synthetic orderings. */
+  private[graft] def funnelConverted(
+      e: org.apache.spark.sql.Dataset[(Long, Int, Long)], windowUs: Long)(
+      s: SparkSession): DataFrame = {
+    import s.implicits._
+    e.groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("rank")) { (uid, it) =>
+        var lastView = Long.MinValue
+        var bestStart = Long.MinValue
+        var out: List[(Long, Long)] = Nil
+        while (out.isEmpty && it.hasNext) {
+          val (_, rank, us) = it.next()
+          rank match {
+            case 0 => if (us > lastView) lastView = us
+            case 1 => if (lastView > bestStart) bestStart = lastView
+            case _ =>
+              if (bestStart != Long.MinValue && us - bestStart <= windowUs)
+                out = List((uid, us))
+          }
+        }
+        out
+      }
+      .toDF("user_id", "purchase_us")
+  }
+
   def all: Seq[QueryDef] =
     Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps, q41LagLead,
-      q42AsofJoin, q43RangeJoin, q71AnomalyZscore)
+      q42AsofJoin, q43RangeJoin, q71AnomalyZscore, q86Funnel)
 }
