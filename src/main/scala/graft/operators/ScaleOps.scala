@@ -162,6 +162,44 @@ object ScaleOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Incremental aggregate refresh — the mergeable-aggregate pattern a
+    * 100 TB pipeline uses to keep per-key rollups current without ever
+    * rescanning history: a per-customer (count, decimal-sum) SNAPSHOT
+    * over the closed order history (< 2001) persists as a session-cached
+    * disk-checkpoint artifact (the per-corpus-snapshot posture of
+    * q76/q78's signature table); a refresh aggregates ONLY the delta
+    * (2001 orders) and full-outer-merges the two partials on the key.
+    * Exactness is algebraic, not approximate: count and decimal SUM are
+    * commutative monoids, so partial-then-merge equals the oracle's
+    * one-shot aggregate over the whole table bit-for-bit. Per-refresh
+    * cost is delta-sized aggregation + a key-merge join against the
+    * artifact — the same work a compaction pass does — instead of the
+    * full-history rescan the oracle formulation implies.
+    */
+  val q87IncrAggRefresh: QueryDef = sql(
+    "q87_incr_agg_refresh",
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY o_custkey""") { (s, d) =>
+    val split = lit("2001-01-01").cast("timestamp")
+    val snap = graft.SessionCache.checkpoint("orderAggSnapshot", s, d) {
+      orders(s, d).filter(col("o_orderdate") < split)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n0"), sum(dec2(col("o_totalprice"))).as("t0"))
+    }
+    val delta = orders(s, d).filter(col("o_orderdate") >= split)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n1"), sum(dec2(col("o_totalprice"))).as("t1"))
+    snap.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("t0"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("t1"), lit(0).cast("decimal(28,2)")))
+          .cast("double").as("total"))
+      .orderBy(col("o_custkey"))
+  }
+
   def all: Seq[QueryDef] = Seq(q38SaltedAgg, q39ApproxDistinct,
-    q82ApproxQuantile)
+    q82ApproxQuantile, q87IncrAggRefresh)
 }

@@ -61,4 +61,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     val n = spark.read.parquet(out).filter(col("l_returnflag") === "R").count()
     assert(n == li.filter(col("l_returnflag") === "R").count())
   }
+
+  test("incremental refresh equals the one-shot aggregate bit-for-bit") {
+    val got = ScaleOps.q87IncrAggRefresh.fn(spark, sf)
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // every history row must come from the artifact, not a rescan: the
+    // snapshot side of the merge is a checkpoint scan in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"snapshot side should read the checkpointed artifact\n$plan")
+  }
 }
