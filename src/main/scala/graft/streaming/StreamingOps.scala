@@ -700,8 +700,119 @@ object StreamingOps {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  final case class FunnelHit(user_id: Long, purchase_us: Long)
+
+  /** Stage the events file as THREE parquet files split on event-time
+    * terciles, mod-times pinned ascending: the file source
+    * (`maxFilesPerTrigger=1`, oldest-first) replays the feed as three
+    * micro-batches in event-time order — every event in batch i
+    * precedes every event in batch i+1, so per-user cross-batch order
+    * is globally time-ordered, which is what lets keyed sequential
+    * state (the funnel automaton) carry across batch boundaries
+    * without an event-time reorder buffer. */
+  private[graft] def stageEventsOrdered(
+      spark: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = Paths.get(d).getFileName.toString
+    val dir = Paths.get(
+      sys.props("java.io.tmpdir"), "graft_events_stage_ord", name)
+    val done = dir.resolve("_staged")
+    if (!Files.exists(done)) {
+      Files.createDirectories(dir)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(rawSchema)
+        .parquet(Paths.get(d, "events.parquet").toString)
+      val mm = raw.agg(min(col("ts")), max(col("ts"))).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val step = math.max((hi - lo) / 3, 1L)
+      (0 to 2).foreach { i =>
+        val from = lo + i * step
+        val until = if (i == 2) hi + 1 else lo + (i + 1) * step
+        val tmp = Files.createTempDirectory("graft_evord").toString
+        raw.filter(col("ts") >= from && col("ts") < until)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val f = dir.resolve(s"part$i.parquet")
+        Files.move(Paths.get(part), f, StandardCopyOption.REPLACE_EXISTING)
+        f.toFile.setLastModified(1000000L * (i + 1))
+      }
+      Files.createFile(done)
+    }
+    dir.toString
+  }
+
+  /** The q86 funnel automaton as KEYED STREAMING STATE: 17 bytes per
+    * user — (lastView, bestStart, done) — carried across micro-batches;
+    * within a batch the per-user slice is sorted by (ts, step-rank)
+    * before folding, the bounded reorder buffer a micro-batch engine
+    * gets for free because a batch's rows are already in hand. Emits
+    * each user's first converting purchase exactly once (Append mode),
+    * then the `done` flag makes every later batch a no-op for that user.
+    */
+  def funnelHits(events: DataFrame, windowUs: Long): Dataset[FunnelHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1).otherwise(2),
+        unix_micros(col("ts")))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Boolean), FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Boolean)]) =>
+          var (lastView, bestStart, done) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue, false))
+          var hit: List[FunnelHit] = Nil
+          rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, rank, us) =>
+            if (!done) rank match {
+              case 0 => if (us > lastView) lastView = us
+              case 1 => if (lastView > bestStart) bestStart = lastView
+              case _ =>
+                if (bestStart != Long.MinValue && us - bestStart <= windowUs) {
+                  done = true
+                  hit = List(FunnelHit(uid, us))
+                }
+            }
+          }
+          state.update((lastView, bestStart, done))
+          hit.iterator
+      }
+  }
+
+  /** STREAMING funnel, oracle-verified against batch q86's 3-way-join
+    * oracle: the ingest-time shape of sequential-pattern detection — a
+    * file source replays the feed as three event-time-ordered
+    * micro-batches ([[stageEventsOrdered]]) and the [[funnelHits]]
+    * automaton folds each user's stream under flatMapGroupsWithState,
+    * state crossing batch boundaries (a view in batch 1 completes a
+    * funnel whose purchase arrives in batch 3). Constant per-user state
+    * and exactly-once emission; `StreamingSpec` pins the state bound and
+    * batch-boundary carry. */
+  val q88StreamFunnel: QueryDef = QueryDef.sql(
+    "q88_stream_funnel",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+      |v AS (SELECT user_id, tsu FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, tsu FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, tsu FROM e WHERE event_type = 'purchase')
+      |SELECT p.user_id, CAST(epoch_us(min(p.tsu)) AS BIGINT) AS purchase_us
+      |FROM p JOIN c ON c.user_id = p.user_id AND c.tsu <= p.tsu
+      |       JOIN v ON v.user_id = c.user_id AND v.tsu <= c.tsu
+      |             AND p.tsu <= v.tsu + INTERVAL 48 HOUR
+      |GROUP BY p.user_id ORDER BY p.user_id""") { (s, d) =>
+    val out = s"stream_funnel_${runSeq.incrementAndGet()}"
+    val hits = funnelHits(
+      eventStream(s, stageEventsOrdered(s, d), oneFilePerBatch = true),
+      windowUs = 48L * 3600L * 1000000L)
+    runToMemory(hits.toDF(), out, OutputMode.Append).df
+      .orderBy(col("user_id"))
+  }
+
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
       q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin,
-      q83StreamOuterJoin)
+      q83StreamOuterJoin, q88StreamFunnel)
 }

@@ -181,4 +181,30 @@ class StreamingSpec extends AnyFunSuite {
       s"join state not evicted — ${drained.finalStateRows} of peak " +
         s"${drained.maxStateRows} rows remain")
   }
+
+  test("streaming funnel carries automaton state across event-time-ordered " +
+      "micro-batches and equals batch q86 with constant per-user state") {
+    val sf = "/root/testdata/sf0.01"
+    // three tercile batches: conversions whose funnel spans batch
+    // boundaries only emit if (lastView, bestStart) survive the crossing
+    val staged = StreamingOps.stageEventsOrdered(spark, sf)
+    assert(new java.io.File(staged).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 3)
+    val drained = StreamingOps.runToMemory(
+      StreamingOps.funnelHits(
+        StreamingOps.eventStream(spark, staged, oneFilePerBatch = true),
+        windowUs = 48L * 3600L * 1000000L).toDF(),
+      "funnel_state_probe", OutputMode.Append)
+    val got = drained.df.orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.operators.EventOps.q86Funnel.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"streaming funnel diverged from batch twin")
+    // state is one (lastView, bestStart, done) row per user seen — never
+    // per-event: bounded by user cardinality at every micro-batch
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(drained.maxStateRows <= nUsers,
+      s"state ${drained.maxStateRows} rows exceeds user count $nUsers")
+  }
 }
