@@ -667,13 +667,18 @@ object TextOps {
     * keep-list (q63) consume it. Each round is one edge⋈label join +
     * groupBy-min — the same shape PageRank iterates, join keys only,
     * no all-pairs. */
-  private[graft] def dedupLabels(s: SparkSession, d: String): DataFrame = {
-    // materialize the (small) verified pair set first: three label
-    // iterations each reference it twice, and lazy lineage would re-run
-    // the whole LSH pipeline ~7×. (SessionCache lookups are reentrant,
-    // so the chained index→pairs→labels entries are safe to nest.)
-    val pairs = cachedCheckpoint("minhashPairs", s, d)(
+  /** Verified near-dup pair set (d1 < d2), materialized once per
+    * (session, sfDir): the label propagation references it 2× per round
+    * and the pair-graph analytics (q89) reference it 3× — lazy lineage
+    * would re-run the whole LSH pipeline each time. */
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    cachedCheckpoint("minhashPairs", s, d)(
       minHashPairs(s, d).select(col("d1"), col("d2")))
+
+  private[graft] def dedupLabels(s: SparkSession, d: String): DataFrame = {
+    // (SessionCache lookups are reentrant, so the chained
+    // index→pairs→labels entries are safe to nest.)
+    val pairs = verifiedPairs(s, d)
     cachedCheckpoint("dedupLabels", s, d) {
       val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
@@ -709,6 +714,79 @@ object TextOps {
       .groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("cluster"))
+  }
+
+  /** Triangle count + global clustering coefficient of the verified
+    * near-dup pair graph — the structural audit a dedup pipeline runs on
+    * its pair set: near-dup clusters should be near-cliques (every wedge
+    * closed, cc ≈ 1); a low coefficient means chained borderline pairs
+    * are bridging unrelated documents and the Jaccard threshold is too
+    * loose. Distributed-triangle counting done the scale-correct way:
+    * every edge is ORIENTED from its lower-(degree, id) endpoint to the
+    * higher one — an acyclic total order, so each triangle survives as
+    * exactly one (a→b, b→c, a→c) path and is counted once, and, the
+    * actual point, the wedge-generating self-join on the middle vertex
+    * fans out by OUT-degree, which the orientation caps at O(√m) even if
+    * some hub document pairs with everything (the unoriented join fans
+    * out by raw degree — quadratic in the hub). Wedges and the closing
+    * check are plain equi-joins on the cached pair artifact; nothing is
+    * all-pairs, and the counts are exact integers (the one double — the
+    * coefficient — is a single exactly-rounded IEEE division mirrored by
+    * the oracle).
+    */
+  val q89TriangleCount: QueryDef = sql(
+    "q89_triangle_count",
+    s"""WITH $minHashPairsCtes,
+      |pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+      |deg AS (SELECT v, count(*) AS deg
+      |        FROM (SELECT d1 AS v FROM pairs UNION ALL SELECT d2 FROM pairs)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN da.deg < db.deg
+      |                    OR (da.deg = db.deg AND p.d1 < p.d2)
+      |               THEN p.d1 ELSE p.d2 END AS src,
+      |             CASE WHEN da.deg < db.deg
+      |                    OR (da.deg = db.deg AND p.d1 < p.d2)
+      |               THEN p.d2 ELSE p.d1 END AS dst
+      |      FROM pairs p JOIN deg da ON da.v = p.d1
+      |                   JOIN deg db ON db.v = p.d2),
+      |tri AS (SELECT count(*) AS n_triangles
+      |        FROM o e1 JOIN o e2 ON e2.src = e1.dst
+      |             JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |wn AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+      |              count(*) AS n_nodes FROM deg),
+      |m AS (SELECT count(*) AS n_edges FROM pairs)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |       CAST(3 * n_triangles AS DOUBLE) / n_wedges AS global_cc
+      |FROM wn, m, tri""") { (s, d) =>
+    val pairs = verifiedPairs(s, d)
+    val deg = pairs.select(col("d1").as("v"))
+      .union(pairs.select(col("d2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient by (degree, id): lower endpoint in that order is src. The
+    // degree table is node-sized; at local scale AQE broadcasts it, at
+    // 100 TB it stays a shuffle join — no hint pinned, same reasoning
+    // as q63's labels join.
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("d1") < col("d2"))
+    val o = pairs
+      .join(deg.select(col("v").as("d1"), col("deg").as("da")), "d1")
+      .join(deg.select(col("v").as("d2"), col("deg").as("db")), "d2")
+      .select(when(lower, col("d1")).otherwise(col("d2")).as("src"),
+        when(lower, col("d2")).otherwise(col("d1")).as("dst"))
+    val wedgeClose = o.as("e1")
+      .join(o.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(o.as("e3"), col("e3.src") === col("e1.src") &&
+        col("e3.dst") === col("e2.dst"))
+    val tri = wedgeClose.agg(count(lit(1)).as("n_triangles"))
+    val wn = deg.agg(
+      sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val m = pairs.agg(count(lit(1)).as("n_edges"))
+    wn.crossJoin(m).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        ((lit(3) * col("n_triangles")).cast("double") /
+          col("n_wedges").cast("double")).as("global_cc"))
   }
 
   /** Dedup KEEP-LIST — the corpus-level artifact a dedup pipeline
@@ -1810,7 +1888,8 @@ object TextOps {
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
-    q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q63DedupKeeplist,
+    q40SimHashPairs, q48FuzzyMatch, q49DedupClusters, q89TriangleCount,
+    q63DedupKeeplist,
     q74DedupApply, q76IncrementalDedup, q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q85GroupedTopK,
     q54Decontaminate,
