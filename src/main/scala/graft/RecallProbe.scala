@@ -20,13 +20,20 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { sf =>
-      val banded = SparkEntry.queries("q34_embed_near_pairs")(spark, sf)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = graft.operators.SimilarityOps
-        .embedNearPairsAllPairs(spark, sf)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (banded, tBanded) = timed(
+        SparkEntry.queries("q34_embed_near_pairs")(spark, sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val (exact, tExact) = timed(
+        graft.operators.SimilarityOps
+          .embedNearPairsAllPairs(spark, sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
       val miss = exact.size - (banded & exact).size
-      println(f"$sf: banded=${banded.size} exact=${exact.size} " +
+      println(f"$sf: banded=${banded.size} (${tBanded}%.1fs) " +
+        f"exact=${exact.size} (${tExact}%.1fs) " +
         f"missed=$miss recall=${(exact.size - miss).toDouble / exact.size}%.4f")
     }
     spark.stop()

@@ -87,10 +87,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "q44 aggregation fell out of codegen HashAggregate")
   }
 
-  test("q34 candidates come from band equi-joins, not all-pairs") {
+  test("q34 below the knee: candidates come from band equi-joins, " +
+    "not all-pairs") {
     val plan = finalPlan(SparkEntry.queries("q34_embed_near_pairs")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"), "all-pairs BNLJ in q34")
     assert(!plan.contains("CartesianProduct"), "cartesian in q34")
+  }
+
+  test("q34 above the knee: cost gate switches to the blocked exact " +
+    "product (one BNLJ scan, no band shuffle)") {
+    // a >PairExactKnee corpus: replicate sf0.001's 500 vectors 10x with
+    // distinct ids (content is irrelevant to the PLAN-shape assertion).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_knee").toFile
+    dir.deleteOnExit()
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    base.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * lit(100000)).as("vec_id"),
+        col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = SparkEntry.queries("q34_embed_near_pairs")(spark, dir.toString)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"exact tier should be one broadcast product scan\n$plan")
+    assert(!plan.contains("explode"), s"band generator ran above the knee\n$plan")
   }
 
   test("q48 fuzzy-match candidates come from an equi-join, not all-pairs") {
