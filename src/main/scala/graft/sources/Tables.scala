@@ -25,18 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** The events table carries nanosecond parquet timestamps, which
-    * Spark's reader rejects by default. Read them as raw INT64 nanos
-    * (legacy conf) and surface a microsecond TIMESTAMP_NTZ `ts` —
-    * timezone-naive end to end, so results compare exactly with engines
-    * that read the same file natively (DuckDB truncates ns→us the same
-    * way integer division does).
+  /** The events table's `ts` has carried two physical encodings across
+    * driver testdata generations: INT64 nanosecond epochs and native
+    * microsecond TIMESTAMP. Probe the footer schema and surface a
+    * microsecond TIMESTAMP_NTZ `ts` either way — timezone-naive end to
+    * end, so results compare exactly with engines that read the same
+    * file natively (DuckDB truncates ns→us the same way integer
+    * division does; the session timezone is pinned UTC so LTZ↔NTZ
+    * casts are µs-exact).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, d, "events")
+    val ts =
+      if (raw.schema("ts").dataType == LongType)
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      else col("ts").cast("timestamp_ntz")
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

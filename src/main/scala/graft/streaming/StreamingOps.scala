@@ -23,10 +23,31 @@ import graft.QueryDef
   */
 object StreamingOps {
 
-  /** events schema as stored (ns timestamps read as raw INT64). */
+  /** events schema as STAGED — every stream directory this module
+    * writes holds the canonical µs TIMESTAMP_NTZ encoding (see
+    * [[normalizedEvents]]), so file-source readers never branch on the
+    * source's physical encoding. */
   val rawSchema: StructType = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING")
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING")
+
+  /** Batch read of the sf events file normalized to the canonical
+    * schema. The driver's `events.parquet` has carried two physical
+    * encodings across testdata generations (INT64 nanosecond epochs;
+    * native µs TIMESTAMP) — probe the footer and normalize, exactly as
+    * `sources.Tables.events` does (session tz pinned UTC keeps the
+    * LTZ↔NTZ hop µs-exact). */
+  private[graft] def normalizedEvents(
+      spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read
+      .parquet(java.nio.file.Paths.get(d, "events.parquet").toString)
+    val ts =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      else col("ts").cast("timestamp_ntz")
+    raw.withColumn("ts", ts)
+  }
 
   /** Unbounded scan of an events directory (parquet file source).
     * `maxFilesPerTrigger=1` (when `oneFilePerBatch`) pins the
@@ -35,12 +56,13 @@ object StreamingOps {
     * batch than the data it flushes. */
   def eventStream(spark: SparkSession, dir: String,
       oneFilePerBatch: Boolean = false): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream.schema(rawSchema)
     val r2 = if (oneFilePerBatch) reader.option("maxFilesPerTrigger", "1")
              else reader
+    // watermarks demand TIMESTAMP (not NTZ); session tz is pinned UTC,
+    // so the cast is µs-exact and sinks cast back to NTZ for the oracle
     r2.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling-window counts with late-data tolerance: the streaming twin
@@ -195,26 +217,49 @@ object StreamingOps {
       stateRows.lastOption.getOrElse(0L))
   }
 
+  /** Write the sf events file into `target` in the CANONICAL staged
+    * encoding (µs TIMESTAMP_NTZ = [[rawSchema]]). Fast path: a source
+    * already canonical is hard-copied byte-for-byte; a legacy
+    * INT64-nanos source is rewritten once through [[normalizedEvents]].
+    */
+  private def stageCanonical(spark: SparkSession, d: String,
+      target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcIsLong = spark.read.parquet(src.toString)
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    if (srcIsLong) {
+      val tmp = Files.createTempDirectory("graft_evcanon").toString
+      normalizedEvents(spark, d)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(part), target, StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    (): Unit
+  }
+
   /** File-stream sources list a DIRECTORY; stage the sf events file into
     * a deterministic per-sf temp dir (idempotent copy). */
-  private def stageEvents(d: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+  private def stageEvents(spark: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
     val name = Paths.get(d).getFileName.toString
     val dir = Paths.get(
-      sys.props("java.io.tmpdir"), "graft_events_stage", name)
+      sys.props("java.io.tmpdir"), "graft_events_stage_us", name)
     Files.createDirectories(dir)
-    Files.copy(Paths.get(d, "events.parquet"),
-      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    stageCanonical(spark, d, dir.resolve("events.parquet"))
     dir.toString
   }
 
   /** Marker value for the watermark-flush sentinel events staged by
     * [[stageEventsWithSentinels]] — sinks filter on it. */
   val SentinelType = "__graft_sentinel__"
-  /** 2100-01-01T00:00Z in the source's raw nanosecond clock — far past
-    * any data event, so `sentinel - watermark delay` closes every data
-    * window. */
-  private val SentinelNs = 4102444800L * 1000000000L
+  /** 2100-01-01T00:00 epoch seconds — far past any data event, so
+    * `sentinel - watermark delay` closes every data window. */
+  private val SentinelSec = 4102444800L
 
   /** Stage the sf events file PLUS two far-future sentinel events, each
     * in its own file, mod-times pinned so the file source (oldest-first,
@@ -232,27 +277,29 @@ object StreamingOps {
     * — the next hour's data advances the watermark the same way. */
   private[graft] def stageEventsWithSentinels(
       spark: SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val name = Paths.get(d).getFileName.toString
     val dir = Paths.get(
-      sys.props("java.io.tmpdir"), "graft_events_stage_wm", name)
+      sys.props("java.io.tmpdir"), "graft_events_stage_wm_us", name)
     Files.createDirectories(dir)
     val data = dir.resolve("a_events.parquet")
-    Files.copy(Paths.get(d, "events.parquet"), data,
-      StandardCopyOption.REPLACE_EXISTING)
+    stageCanonical(spark, d, data)
     Seq(1, 2).foreach { i =>
       val f = dir.resolve(s"b_sentinel$i.parquet")
       if (!Files.exists(f)) {
         val row = org.apache.spark.sql.Row(
-          -i.toLong, SentinelNs + i * 86400L * 1000000000L, -1L,
-          SentinelType, 0.0, null)
+          -i.toLong,
+          java.time.LocalDateTime.ofEpochSecond(
+            SentinelSec + i * 86400L, 0, java.time.ZoneOffset.UTC),
+          -1L, SentinelType, 0.0, null)
         val tmp = Files.createTempDirectory("graft_sentinel").toString
         spark.createDataFrame(
           java.util.Collections.singletonList(row), rawSchema)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
           .filter(p => p.endsWith(".parquet")).head
-        Files.move(Paths.get(part), f, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(Paths.get(part), f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
     // strictly increasing, re-run-stable mod-times: the file source
@@ -344,15 +391,14 @@ object StreamingOps {
 
   /** Stage the sf events file TWICE (two file names in one source
     * directory) — a deliberately duplicated feed for the dedup query. */
-  private def stageEventsDup(d: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+  private def stageEventsDup(spark: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
     val name = Paths.get(d).getFileName.toString
     val dir = Paths.get(
-      sys.props("java.io.tmpdir"), "graft_events_stage_dup", name)
+      sys.props("java.io.tmpdir"), "graft_events_stage_dup_us", name)
     Files.createDirectories(dir)
     Seq("a.parquet", "b.parquet").foreach { f =>
-      Files.copy(Paths.get(d, "events.parquet"),
-        dir.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+      stageCanonical(spark, d, dir.resolve(f))
     }
     dir.toString
   }
@@ -381,7 +427,7 @@ object StreamingOps {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""") { (s, d) =>
     val out = s"stream_dedup_${runSeq.incrementAndGet()}"
-    val deduped = dedupedStream(eventStream(s, stageEventsDup(d)))
+    val deduped = dedupedStream(eventStream(s, stageEventsDup(s, d)))
     runToMemory(deduped, out, OutputMode.Append).df
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -411,7 +457,7 @@ object StreamingOps {
       |FROM t WHERE cents >= 5000 ORDER BY user_id""") { (s, d) =>
     val out = s"stream_alerts_${runSeq.incrementAndGet()}"
     val alerts = thresholdAlertsCents(
-      eventStream(s, stageEvents(d)), stepCents = 5000L)
+      eventStream(s, stageEvents(s, d)), stepCents = 5000L)
     runToMemory(alerts.toDF(), out, OutputMode.Append).df
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_alerts"),
@@ -448,7 +494,7 @@ object StreamingOps {
     val out = s"stream_enrich_${runSeq.incrementAndGet()}"
     val dim = graft.sources.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val enriched = eventStream(s, stageEvents(d))
+    val enriched = eventStream(s, stageEvents(s, d))
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"),
@@ -629,7 +675,7 @@ object StreamingOps {
     val drained = runToMemory(
       joined.select(col("c_uid").as("user_id"), col("click_id"),
         col("purchase_id"),
-        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us")),
+        (unix_micros(col("pts").cast("timestamp")) - unix_micros(col("cts").cast("timestamp"))).as("lag_us")),
       out, OutputMode.Append)
     drained.df.filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
@@ -694,7 +740,7 @@ object StreamingOps {
     val drained = runToMemory(
       joined.select(col("c_uid").as("user_id"), col("click_id"),
         col("purchase_id"),
-        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us")),
+        (unix_micros(col("pts").cast("timestamp")) - unix_micros(col("cts").cast("timestamp"))).as("lag_us")),
       out, OutputMode.Append)
     drained.df.filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
@@ -715,21 +761,21 @@ object StreamingOps {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val name = Paths.get(d).getFileName.toString
     val dir = Paths.get(
-      sys.props("java.io.tmpdir"), "graft_events_stage_ord", name)
+      sys.props("java.io.tmpdir"), "graft_events_stage_ord_us", name)
     val done = dir.resolve("_staged")
     if (!Files.exists(done)) {
       Files.createDirectories(dir)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.schema(rawSchema)
-        .parquet(Paths.get(d, "events.parquet").toString)
-      val mm = raw.agg(min(col("ts")), max(col("ts"))).head
+      val raw = normalizedEvents(spark, d)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val mm = raw.agg(min(col("ts_us")), max(col("ts_us"))).head
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val step = math.max((hi - lo) / 3, 1L)
       (0 to 2).foreach { i =>
         val from = lo + i * step
         val until = if (i == 2) hi + 1 else lo + (i + 1) * step
         val tmp = Files.createTempDirectory("graft_evord").toString
-        raw.filter(col("ts") >= from && col("ts") < until)
+        raw.filter(col("ts_us") >= from && col("ts_us") < until)
+          .drop("ts_us")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
           .filter(_.endsWith(".parquet")).head
@@ -758,7 +804,7 @@ object StreamingOps {
       .select(col("user_id").cast("long"),
         when(col("event_type") === "view", 0)
           .when(col("event_type") === "click", 1).otherwise(2),
-        unix_micros(col("ts")))
+        unix_micros(col("ts").cast("timestamp")))
       .as[(Long, Int, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Boolean), FunnelHit](

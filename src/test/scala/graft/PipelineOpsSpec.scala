@@ -61,11 +61,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     // only keys within the watermark horizon, never one entry per
     // event_id forever (the unbounded form OOMs the state store on a
     // real feed). Pin the logical operator, not just the result.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamPlan = StreamingOps.dedupedStream(
-      spark.readStream.schema(StreamingOps.rawSchema)
-        .parquet(java.nio.file.Files.createTempDirectory("q70_pin").toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      StreamingOps.eventStream(spark,
+        java.nio.file.Files.createTempDirectory("q70_pin").toString))
       .queryExecution.analyzed
     val nodes = streamPlan.collect { case n => n.nodeName }
     assert(nodes.contains("DeduplicateWithinWatermark"),
@@ -119,26 +117,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     // split the events into two files and force one file per trigger,
     // so the per-user state genuinely spans micro-batches
     val dir = java.nio.file.Files.createTempDirectory("alerts_split")
-    // split from the RAW file (ts still INT64 nanos) so the staged halves
-    // carry exactly the schema `rawSchema` + the div-1000 conversion below
-    // expect — staging from Tables.events would double-convert ts.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // split from the NORMALIZED read so the staged halves carry exactly
+    // the canonical `rawSchema` encoding (µs TIMESTAMP_NTZ) the stream
+    // reader expects, whatever the source file's physical encoding.
+    val raw = StreamingOps.normalizedEvents(spark, sf)
     raw.filter(col("event_id") % 2 === 0).coalesce(1)
       .write.parquet(s"$dir/even")
     raw.filter(col("event_id") % 2 === 1).coalesce(1)
       .write.parquet(s"$dir/odd")
-    val ev = graft.sources.Tables.events(spark, sf)
     val staged = java.nio.file.Files.createTempDirectory("alerts_src")
     Seq("even", "odd").foreach { half =>
       val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$half"))
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
       java.nio.file.Files.copy(f, staged.resolve(s"$half.parquet"))
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.schema(StreamingOps.rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val drained = StreamingOps.runToMemory(
       StreamingOps.thresholdAlertsCents(stream, 5000L).toDF(),
       "alerts_split_out", OutputMode.Append)
@@ -147,7 +141,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), max("k").as("mk"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // closed form: one alert per 50-unit multiple of the exact total
-    val want = ev
+    val want = graft.sources.Tables.events(spark, sf)
       .select(col("user_id").cast("long"),
         (abs(graft.functions.Exact.dec2(col("value"))) * 100).cast("long").as("c"))
       .groupBy("user_id").agg(expr("sum(c) div 5000").as("n"))

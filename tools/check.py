@@ -45,11 +45,12 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    # The driver's events.ts is parquet timestamp[ns]. A DataGen-scaled
-    # directory carries the same logical value as raw INT64 nanos (Spark
-    # cannot WRITE ns timestamps) — normalize the view so the oracles'
-    # CAST(ts AS TIMESTAMP) sees the identical logical column either way
-    # (ns -> us truncation matches DuckDB's own ns cast).
+    # events.ts has carried several physical encodings across driver
+    # testdata generations: timestamp[ns], raw INT64 nanos (DataGen
+    # output from the ns era), and native timestamp[us] (current).
+    # Normalize the view so the oracles' CAST(ts AS TIMESTAMP) sees the
+    # identical logical µs column in every case (ns -> us truncation
+    # matches DuckDB's own ns cast).
     ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
     if str(ts_type) == "int64":
         con.execute(
