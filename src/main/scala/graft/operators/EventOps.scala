@@ -359,7 +359,104 @@ object EventOps {
       .toDF("user_id", "purchase_us")
   }
 
+  /** Cohort retention matrix — the product-analytics staple every event
+    * warehouse runs (Mixpanel/Amplitude retention, dbt cohort models):
+    * users cohorted by FIRST-seen day, then for each (cohort day, day
+    * offset) the count of cohort members active that day, plus the
+    * cohort size and an integer-exact retention ratio in ppm
+    * (`(1e6·n_active) div cohort_size` — integer division matches
+    * bit-for-bit across engines, no float tolerance).
+    *
+    * Scale posture: first-seen is one hash agg on user_id; the join
+    * back to events is on the same key, so the exchange is reused (no
+    * second shuffle of the fact side); per-user-day dedup + the matrix
+    * agg are map-side-combinable hash aggs. Nothing is user-collected;
+    * every stage is key-partitioned — the shape survives a 100 TB feed.
+    */
+  val q90CohortRetention: QueryDef = sql(
+    "q90_cohort_retention",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+      |f AS (SELECT user_id, CAST(min(tsu) AS DATE) AS cohort_day
+      |      FROM e GROUP BY 1),
+      |x AS (SELECT DISTINCT e.user_id, f.cohort_day,
+      |        date_diff('day', f.cohort_day, CAST(e.tsu AS DATE)) AS day_offset
+      |      FROM e JOIN f USING (user_id)),
+      |c AS (SELECT cohort_day, count(*) AS cohort_size
+      |      FROM x WHERE day_offset = 0 GROUP BY 1),
+      |m AS (SELECT cohort_day, day_offset, count(*) AS n_active
+      |      FROM x GROUP BY 1, 2)
+      |SELECT m.cohort_day, m.day_offset, m.n_active, c.cohort_size,
+      |  (1000000 * m.n_active) // c.cohort_size AS retention_ppm
+      |FROM m JOIN c USING (cohort_day)
+      |ORDER BY 1, 2""") { (s, d) =>
+    val e = events(s, d).select(col("user_id"), col("ts").as("tsu"))
+    val f = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("tsu"))).as("cohort_day"))
+    val x = e.join(f, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(to_date(col("tsu")), col("cohort_day"))
+          .cast("long").as("day_offset"))
+      .distinct()
+    val c = x.filter(col("day_offset") === 0)
+      .groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    val m = x.groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // cohort_size is day-cardinality — broadcast keeps the matrix join
+    // shuffle-free at any fact scale
+    m.join(broadcast(c), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("(1000000 * n_active) div cohort_size").as("retention_ppm"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** SCD Type-2 dimension build from a change feed — the warehouse-ETL
+    * operator that turns per-key event streams into versioned validity
+    * intervals (Kimball slowly-changing dimensions; Delta/Iceberg MERGE
+    * pipelines run this shape on every load). Per user, ordered by
+    * event time: collapse runs of the same state (`event_type`), then
+    * each surviving change opens a version valid [its ts, next change's
+    * ts) — the current version's `valid_to` is NULL.
+    *
+    * Scale posture: ONE shuffle on user_id; the run-collapse lag and
+    * the interval lead/version row_number share the identical
+    * (partition, order) spec, so Catalyst plans a single sort under
+    * both window groups. No joins, no driver state — per-key linear
+    * work, the shape that holds at 100 TB of CDC feed.
+    */
+  val q91Scd2: QueryDef = sql(
+    "q91_scd2_intervals",
+    """WITH e AS (SELECT user_id, event_id, event_type AS state,
+      |             CAST(ts AS TIMESTAMP) AS tsu FROM events),
+      |ch AS (SELECT user_id, event_id, state, tsu,
+      |         lag(state) OVER (PARTITION BY user_id
+      |           ORDER BY tsu, event_id) AS prev
+      |       FROM e),
+      |k AS (SELECT user_id, event_id, state, tsu FROM ch
+      |      WHERE prev IS NULL OR prev <> state)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  state, tsu AS valid_from,
+      |  lead(tsu) OVER w AS valid_to
+      |FROM k WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+      |ORDER BY user_id, version""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), col("ts").as("tsu"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("state"), col("tsu").as("valid_from"),
+        lead(col("tsu"), 1).over(w).as("valid_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps, q41LagLead,
-      q42AsofJoin, q43RangeJoin, q71AnomalyZscore, q86Funnel)
+      q42AsofJoin, q43RangeJoin, q71AnomalyZscore, q86Funnel,
+      q90CohortRetention, q91Scd2)
 }
