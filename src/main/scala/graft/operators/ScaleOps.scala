@@ -200,6 +200,46 @@ object ScaleOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** Exact heavy-hitters via a Misra-Gries candidate sketch — the
+    * frequent-items pattern for a token stream too wide to group
+    * exactly: a full `groupBy(token)` shuffles every distinct token to
+    * find the few that matter, while the MG summary
+    * ([[graft.functions.MisraGries]]) keeps an O(k) buffer per
+    * partial, combines map-side, and provably retains every token with
+    * frequency > n/(k+1). The capacity (199) is 2× the query threshold
+    * (freq > n/100), so the candidate set is a strict superset of the
+    * answer; an exact count of JUST the candidates (broadcast
+    * semi-join, then hash agg over ≤199 keys) removes false positives.
+    * The registered result is therefore EXACT — the sketch only prunes
+    * — and the oracle is the plain HAVING over a full group-by, which
+    * at 100 TB is precisely the plan this shape replaces.
+    */
+  val q92HeavyHitters: QueryDef = sql(
+    "q92_heavy_hitters",
+    """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |n AS (SELECT count(*) AS total FROM t),
+      |c AS (SELECT tok, count(*) AS freq FROM t GROUP BY 1)
+      |SELECT tok, freq, (1000000 * freq) // n.total AS freq_ppm
+      |FROM c CROSS JOIN n
+      |WHERE 100 * freq > n.total
+      |ORDER BY freq DESC, tok""") { (s, d) =>
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+    val mg = new graft.functions.MisraGries(199)
+    val cands = toks.as[String].select(mg.toColumn).toDF("cands")
+      .select(explode(col("cands")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(lit(100) * col("freq") > col("total"))
+      .select(col("tok"), col("freq"),
+        expr("(1000000 * freq) div total").as("freq_ppm"))
+      .orderBy(col("freq").desc, col("tok"))
+  }
+
   def all: Seq[QueryDef] = Seq(q38SaltedAgg, q39ApproxDistinct,
-    q82ApproxQuantile, q87IncrAggRefresh)
+    q82ApproxQuantile, q87IncrAggRefresh, q92HeavyHitters)
 }

@@ -50,6 +50,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("exact_median_cents") > 0))
   }
 
+  test("Misra-Gries summary retains every item above n/(k+1) under " +
+      "adversarial ordering and arbitrary merge splits") {
+    val mg = new graft.functions.MisraGries(9) // guarantee: freq > n/10
+    // stream: 'hot' 30×, 'warm' 15×, 100 singleton distractors → n=145;
+    // n/10 = 14.5, so hot AND warm must survive any processing order
+    val hot = Seq.fill(30)("hot"); val warm = Seq.fill(15)("warm")
+    val noise = (0 until 100).map(i => s"x$i")
+    // adversarial: all distractors first, hitters last; then reversed;
+    // then interleaved — and merged from uneven partition splits
+    for (stream <- Seq(noise ++ hot ++ warm, (hot ++ warm ++ noise).reverse,
+        noise.zipAll(hot ++ warm, "pad", "pad2").flatMap(t => Seq(t._1, t._2)))) {
+      for (split <- Seq(1, 7, 145)) {
+        val parts = stream.grouped(math.max(stream.size / split, 1)).toSeq
+        val merged = parts.map(_.foldLeft(mg.zero)(mg.reduce))
+          .foldLeft(mg.zero)(mg.merge)
+        val out = mg.finish(merged).toSet
+        assert(out.contains("hot") && out.contains("warm"),
+          s"split=$split lost a guaranteed hitter: $out")
+        assert(merged.size <= 9, s"buffer exceeded capacity: ${merged.size}")
+      }
+    }
+    // end-to-end: q92 equals the exact HAVING over a full group-by
+    val got = ScaleOps.q92HeavyHitters.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+    val total = toks.count()
+    val want = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 100 > total)
+      .orderBy(col("freq").desc, col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"sketch-pruned exact != plain exact")
+    assert(got.nonEmpty, "fixture should have heavy hitters")
+  }
+
   test("partitioned+sorted layout prunes partitions at scan time") {
     val out = Files.createTempDirectory("layout").toString + "/li"
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
