@@ -1885,6 +1885,118 @@ object TextOps {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Boilerplate detection — the web-corpus cleaning stage (headers,
+    * footers, nav chrome, license blurbs) that CCNet/RefinedWeb-style
+    * pipelines run before dedup: a document's BOILERPLATE RATIO is the
+    * fraction of its distinct shingles that are corpus-frequent
+    * (df ≥ 100). Reuses the shared capped shingle index — the same
+    * per-corpus-snapshot artifact the dedup family reads, so the
+    * boilerplate pass adds one token-keyed df aggregation and a
+    * BROADCAST probe, no new corpus scan: the frequent set is at most
+    * index_rows/100 entries (each needs ≥100 occurrences), the same
+    * driver-small bound as the index's own hot-shingle set. Ratios are
+    * integer ppm — no float tolerance. Oracle replicates the index
+    * semantics (q27's CTE prefix) including the df ≤ 1000 cap, inactive
+    * at test scale.
+    */
+  val q93Boilerplate: QueryDef = sql(
+    "q93_boilerplate",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |           FROM documents),
+      |d0 AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
+      |      FROM w),
+      |t0 AS (SELECT doc_id, unnest(tk) AS tok FROM d0),
+      |tdf AS (SELECT tok, count(*) AS df FROM t0 GROUP BY 1),
+      |t AS (SELECT doc_id, tok, df FROM t0 JOIN tdf USING (tok)
+      |      WHERE df <= 1000)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_frequent,
+      |  CAST((1000000 * sum(CASE WHEN df >= 100 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS boilerplate_ppm
+      |FROM t GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val t = shingleIndex(s, d)
+    val freq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 100)
+      .select(col("tok"), lit(1).as("hit"))
+    t.join(broadcast(freq), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_frequent"))
+      .select(col("doc_id"), col("n_shingles"), col("n_frequent"),
+        expr("(1000000 * n_frequent) div n_shingles").as("boilerplate_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 retrieval scoring (Robertson-Sparck Jones; k1 = 1.2,
+    * b = 0.75) — the ranking function behind retrieval-augmented data
+    * curation: score every document against a query-term set and keep
+    * the top 20. The query is DERIVED deterministically (document-
+    * frequency ranks 5-7) so both engines resolve the identical terms
+    * with no fixture literal. Each (doc, term) score is ONE
+    * deterministic IEEE double expression over exact integers (tf, df,
+    * dl) — identical bit-for-bit across engines, the q51 recipe — and
+    * is quantized to integer micro-units BEFORE the per-doc sum, so the
+    * aggregation is exact integer addition (order-independent; a float
+    * sum's addition order would differ between engines — the PageRank
+    * quantization recipe). Scale shape: per-doc term frequencies and
+    * lengths are one
+    * corpus-scan hash agg each; the 3-term posting probe is a BROADCAST
+    * semi-pattern (query terms are O(1)), the length join touches only
+    * matching docs, and the top-20 is TakeOrderedAndProject — no sort
+    * of the corpus.
+    */
+  val q94Bm25: QueryDef = sql(
+    "q94_bm25_topk",
+    """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS ntok FROM dl),
+      |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT tok, df FROM dfq ORDER BY df DESC, tok LIMIT 3 OFFSET 4),
+      |sc AS (SELECT tf.doc_id,
+      |         CAST(round(1000000 *
+      |           ln(1 + (st.nd - q.df + 0.5) / (q.df + 0.5)) *
+      |           (tf.tf * 2.2) /
+      |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * st.nd / st.ntok)))
+      |           AS BIGINT) AS s
+      |       FROM tf JOIN q USING (tok)
+      |            JOIN dl ON dl.doc_id = tf.doc_id
+      |            CROSS JOIN st)
+      |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_micro,
+      |       CAST(count(*) AS BIGINT) AS n_terms
+      |FROM sc GROUP BY 1
+      |ORDER BY bm25_micro DESC, doc_id LIMIT 20""") { (s, d) =>
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"),
+      sum(col("dl")).cast("long").as("ntok"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df ranks 5-7: TakeOrdered on the vocab, never a full sort
+    val q = dfq.orderBy(col("df").desc, col("tok")).offset(4).limit(3)
+    val sc = tf.join(broadcast(q.withColumnRenamed("df", "qdf")), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        round(lit(1000000) *
+          log(lit(1) + (col("nd") - col("qdf") + lit(0.5)) /
+            (col("qdf") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") * col("nd") / col("ntok"))))
+          .cast("long").as("s"))
+    sc.groupBy(col("doc_id"))
+      .agg(sum(col("s")).cast("long").as("bm25_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
@@ -1895,5 +2007,5 @@ object TextOps {
     q54Decontaminate,
     q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
-    q77BpeMerges, q79BpeEncode, q80EpochMixture)
+    q77BpeMerges, q79BpeEncode, q80EpochMixture, q93Boilerplate, q94Bm25)
 }
