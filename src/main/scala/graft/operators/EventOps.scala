@@ -381,14 +381,15 @@ object EventOps {
       |x AS (SELECT DISTINCT e.user_id, f.cohort_day,
       |        date_diff('day', f.cohort_day, CAST(e.tsu AS DATE)) AS day_offset
       |      FROM e JOIN f USING (user_id)),
-      |c AS (SELECT cohort_day, count(*) AS cohort_size
-      |      FROM x WHERE day_offset = 0 GROUP BY 1),
       |m AS (SELECT cohort_day, day_offset, count(*) AS n_active
-      |      FROM x GROUP BY 1, 2)
-      |SELECT m.cohort_day, m.day_offset, m.n_active, c.cohort_size,
-      |  (1000000 * m.n_active) // c.cohort_size AS retention_ppm
-      |FROM m JOIN c USING (cohort_day)
-      |ORDER BY 1, 2""") { (s, d) =>
+      |      FROM x GROUP BY 1, 2),
+      |w AS (SELECT cohort_day, day_offset, n_active,
+      |        max(CASE WHEN day_offset = 0 THEN n_active END)
+      |          OVER (PARTITION BY cohort_day) AS cohort_size
+      |      FROM m)
+      |SELECT cohort_day, day_offset, n_active, cohort_size,
+      |  (1000000 * n_active) // cohort_size AS retention_ppm
+      |FROM w ORDER BY 1, 2""") { (s, d) =>
     val e = events(s, d).select(col("user_id"), col("ts").as("tsu"))
     val f = e.groupBy(col("user_id"))
       .agg(to_date(min(col("tsu"))).as("cohort_day"))
@@ -397,13 +398,16 @@ object EventOps {
         datediff(to_date(col("tsu")), col("cohort_day"))
           .cast("long").as("day_offset"))
       .distinct()
-    val c = x.filter(col("day_offset") === 0)
-      .groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
     val m = x.groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_active"))
-    // cohort_size is day-cardinality — broadcast keeps the matrix join
-    // shuffle-free at any fact scale
-    m.join(broadcast(c), "cohort_day")
+    // cohort size IS the matrix's own offset-0 row (everyone is active
+    // on their first day): a window over the MATRIX — cohort-day ×
+    // offset cardinality, nothing fact-sized — beats a self-join, whose
+    // broadcast branch would re-run the whole fact pipeline
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day"))
+    m.withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active"))).over(w))
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
         col("cohort_size"),
         expr("(1000000 * n_active) div cohort_size").as("retention_ppm"))

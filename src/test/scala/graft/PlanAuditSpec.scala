@@ -322,4 +322,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       "per-type window would serialize each type into one task")
   }
+
+  test("q91 SCD2 is join-free: one user_id shuffle feeds both window " +
+      "groups through a single sort") {
+    val plan = finalPlan(SparkEntry.queries("q91_scd2_intervals")(spark, sf))
+    assert(!plan.contains("Join"), s"SCD2 build must not join\n$plan")
+    // the run-collapse lag and the version/lead windows share one
+    // (partition, order) spec: exactly one hash-partition exchange on
+    // user_id (+ the output orderBy's range exchange), and the second
+    // Window must NOT re-sort — filter preserves the first sort's order
+    val sorts = plan.linesIterator.count(_.trim.startsWith("+- Sort"))
+    assert(sorts <= 2, s"windows re-sorted: $sorts sorts\n$plan")
+  }
+
+  test("q90 cohort matrix: one fact pipeline — cohort sizes come from " +
+      "a window over the matrix, never a second aggregation branch") {
+    val plan = finalPlan(SparkEntry.queries("q90_cohort_retention")(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    // first-seen agg + events⋈first-seen (user_id, reused) + per-user-day
+    // dedup + matrix agg + matrix window + output sort — a second
+    // fact-sized branch (the self-join formulation AQE fails to dedup)
+    // would push this past the budget
+    assert(finalExchanges(plan) <= 5,
+      s"exchange budget blown: ${finalExchanges(plan)}\n$plan")
+    val joins = plan.split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("HashJoin"))
+    assert(joins <= 1, s"matrix should not self-join: $joins joins\n$plan")
+  }
+
+  test("q92 heavy hitters: MG sketch aggregates object-hash map-side; " +
+      "the exact pass probes candidates with a broadcast semi-join") {
+    val plan = finalPlan(SparkEntry.queries("q92_heavy_hitters")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"),
+      "MG aggregator should run as an object-hash aggregate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "candidate probe should be a broadcast semi-join")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing in the sketch path may shuffle-sort the token stream")
+  }
+
+  test("q93 boilerplate: frequent-shingle probe broadcasts; no " +
+      "sort-merge join over the index") {
+    val plan = finalPlan(SparkEntry.queries("q93_boilerplate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "frequent probe not broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"index shuffled for the probe")
+  }
+
+  test("q94 BM25: O(1) query terms broadcast into the postings; top-20 " +
+      "is TakeOrderedAndProject, never a corpus sort") {
+    val plan = finalPlan(SparkEntry.queries("q94_bm25_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), "top-k fell to a sort")
+    assert(plan.contains("BroadcastHashJoin"), "term probe not broadcast")
+  }
 }
