@@ -240,6 +240,56 @@ object ScaleOps {
       .orderBy(col("freq").desc, col("tok"))
   }
 
+  /** Salted SKEW JOIN — the join-side counterpart of q38's salted
+    * aggregation: when one join key owns a disproportionate share of
+    * the fact table, a plain hash join sends that key's every row to
+    * ONE reducer. Differential salting spreads exactly the hot keys:
+    * a first pass finds keys above a frequency threshold (the hot set
+    * is tiny by construction — broadcast), hot fact rows get a random
+    * salt in [0, B), the dim side EXPLODES its hot rows into B salted
+    * copies (cold rows salt 0, no expansion), and the join runs on
+    * (key, salt) — hot keys now occupy B reducers. Result is EXACTLY
+    * the unsalted join (the oracle), only the shuffle distribution
+    * changes; decimal routing keeps the split aggregation exact.
+    * AQE's skew-join rewrite does this at runtime for sort-merge
+    * joins; the manual form is the one that composes with bucketed /
+    * pre-partitioned pipelines where AQE cannot re-split.
+    */
+  val q95SkewJoin: QueryDef = sql(
+    "q95_skew_join",
+    """SELECT c_mktsegment AS segment, e.event_type, count(*) AS n,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val buckets = 8
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      dec2(col("value")).as("v"))
+    // hot = keys with > 1% of the fact rows; count via one map-side-
+    // combinable agg — the hot set is ≤ 100 keys by definition
+    val tot = e.agg(count(lit(1)).as("tot"))
+    val hot = e.groupBy(col("user_id")).agg(count(lit(1)).as("kn"))
+      .crossJoin(broadcast(tot))
+      .filter(col("kn") * 100 > col("tot"))
+      .select(col("user_id"), lit(1).as("is_hot"))
+    val salted = e.join(broadcast(hot), Seq("user_id"), "left")
+      .withColumn("salt",
+        when(col("is_hot").isNotNull,
+          pmod(hash(monotonically_increasing_id()), lit(buckets)))
+          .otherwise(lit(0)))
+    val dim = customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .join(broadcast(hot), Seq("user_id"), "left")
+      .withColumn("salt",
+        explode(when(col("is_hot").isNotNull,
+            sequence(lit(0), lit(buckets - 1)))
+          .otherwise(array(lit(0)))))
+    salted.join(dim, Seq("user_id", "salt"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .orderBy(col("segment"), col("event_type"))
+  }
+
   def all: Seq[QueryDef] = Seq(q38SaltedAgg, q39ApproxDistinct,
-    q82ApproxQuantile, q87IncrAggRefresh, q92HeavyHitters)
+    q82ApproxQuantile, q87IncrAggRefresh, q92HeavyHitters, q95SkewJoin)
 }

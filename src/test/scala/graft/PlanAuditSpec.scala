@@ -368,6 +368,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"index shuffled for the probe")
   }
 
+  test("q95 skew join: hot dim rows fan out into salted copies and the " +
+      "fact join carries the salt in its key") {
+    val plan = finalPlan(SparkEntry.queries("q95_skew_join")(spark, sf))
+    assert(plan.contains("Generate explode"),
+      "dim side must explode salted copies")
+    val saltedJoin = plan.split("== Initial Plan ==")(0).linesIterator
+      .exists(l => l.contains("Join") && l.contains("salt"))
+    assert(saltedJoin, s"join key must include the salt\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q94 BM25: O(1) query terms broadcast into the postings; top-20 " +
       "is TakeOrderedAndProject, never a corpus sort") {
     val plan = finalPlan(SparkEntry.queries("q94_bm25_topk")(spark, sf))
