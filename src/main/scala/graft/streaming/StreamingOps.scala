@@ -857,8 +857,60 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming cardinality monitoring — per-window approximate distinct
+    * users as a REAL streaming run: the HLL++ buffer is a mergeable
+    * aggregation state, so `approx_count_distinct` runs under a
+    * watermarked streaming window exactly like a sum — per-(window,
+    * type) sketch state, evicted on watermark advance (Append mode +
+    * sentinel flush, the q66 harness). This is how a 100 TB feed tracks
+    * unique actors per hour: an exact streaming distinct would hold
+    * every user id per open window in the state store; the sketch holds
+    * 512 registers. Verified by HASH via a DETERMINISTIC property: the
+    * drained streaming estimate must EQUAL the batch estimate of the
+    * identical aggregate — the HLL++ estimate is a pure
+    * order-independent function of the input value set, so any loss in
+    * the state-store buffer merge across micro-batches breaks equality
+    * loudly. (A relative-error bound à la q39 is NOT hashable here:
+    * per-hour windows can hold 4 users, where one register collision
+    * breaks any 2×rsd check — the q39 bound is only meaningful at
+    * aggregate cardinalities, which `ScaleOpsSpec` covers.) The hashed
+    * row carries the batch-exact count, the row count, and the
+    * equality boolean; the engine-specific estimate stays out. */
+  val q96StreamDistinct: QueryDef = QueryDef.sql(
+    "q96_stream_distinct",
+    """SELECT make_timestamp(CAST(3600000000 * (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS BIGINT)) AS bucket,
+      |       event_type, count(DISTINCT user_id) AS exact_users,
+      |       count(*) AS n, TRUE AS stream_equals_batch
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val rsd = graft.operators.ScaleOps.Rsd
+    val out = s"stream_distinct_${runSeq.incrementAndGet()}"
+    val drained = runToMemory(
+      eventStream(s, stageEventsWithSentinels(s, d), oneFilePerBatch = true)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users")),
+      out, OutputMode.Append)
+    val sketch = drained.df
+      .filter(col("event_type") =!= SentinelType)
+      .select(col("window.start").cast("timestamp_ntz").as("bucket"),
+        col("event_type"), col("approx_users"))
+    graft.sources.Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), rsd).as("batch_approx"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("exact_users"), col("n"), col("batch_approx"))
+      .join(sketch, Seq("bucket", "event_type"))
+      .select(col("bucket"), col("event_type"), col("exact_users"),
+        col("n"),
+        (col("approx_users") === col("batch_approx"))
+          .as("stream_equals_batch"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
       q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin,
-      q83StreamOuterJoin, q88StreamFunnel)
+      q83StreamOuterJoin, q88StreamFunnel, q96StreamDistinct)
 }
