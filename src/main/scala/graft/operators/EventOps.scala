@@ -459,8 +459,68 @@ object EventOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** POINT-IN-TIME join — the feature-store operation that makes
+    * training data leak-free: each fact row joins the dimension version
+    * that was valid AT ITS EVENT TIME, never a later one. The dimension
+    * here is q91's SCD2 change feed (contiguous validity intervals), so
+    * PIT ≡ as-of to the change points: most recent valid_from ≤ ts. The
+    * scalable form is q42's composition — union facts and version
+    * starts, ONE shuffle on the entity key, and a last-non-null
+    * carry-forward window (dim rows ordered before facts at equal ts,
+    * so a fact at a change instant sees the NEW version, matching the
+    * oracle's inclusive ASOF) — not the interval theta join a naive
+    * formulation shuffles per bound. Output: events counted by the
+    * state their user was in when they acted. Oracle: DuckDB's native
+    * ASOF JOIN against the identical change feed.
+    */
+  val q97PitJoin: QueryDef = sql(
+    "q97_pit_join",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |            CAST(ts AS TIMESTAMP) AS tsu FROM events),
+      |ch0 AS (SELECT user_id, event_type AS state, tsu,
+      |          lag(event_type) OVER (PARTITION BY user_id
+      |            ORDER BY tsu, event_id) AS prev
+      |        FROM e),
+      |ch AS (SELECT user_id, state, tsu FROM ch0
+      |       WHERE prev IS NULL OR prev <> state),
+      |pit AS (SELECT e.user_id, e.event_type, ch.state
+      |        FROM e ASOF JOIN ch
+      |          ON e.user_id = ch.user_id AND e.tsu >= ch.tsu)
+      |SELECT state, event_type, count(*) AS n,
+      |       count(DISTINCT user_id) AS users
+      |FROM pit GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts").as("tsu"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val ch = e
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("tsu"),
+        col("event_type").as("dim_state"))
+    // union-carry: dim rows (is_fact=0) sort before facts (is_fact=1)
+    // at equal ts — a fact at a change instant sees the new version
+    val tagged = ch
+      .select(col("user_id"), col("tsu"), lit(0).as("is_fact"),
+        col("dim_state"), lit(null).cast("string").as("event_type"))
+      .unionByName(e.select(col("user_id"), col("tsu"),
+        lit(1).as("is_fact"), lit(null).cast("string").as("dim_state"),
+        col("event_type")))
+    val cw = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("is_fact"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("state", last(col("dim_state"), ignoreNulls = true).over(cw))
+      .filter(col("is_fact") === 1)
+      .groupBy(col("state"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy(col("state"), col("event_type"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q17Tumbling, q18Sliding, q19Session, q20JsonProps, q41LagLead,
       q42AsofJoin, q43RangeJoin, q71AnomalyZscore, q86Funnel,
-      q90CohortRetention, q91Scd2)
+      q90CohortRetention, q91Scd2, q97PitJoin)
 }

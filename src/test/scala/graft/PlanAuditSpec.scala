@@ -368,6 +368,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"index shuffled for the probe")
   }
 
+  test("q97 point-in-time join is join-free: union + carry-forward " +
+      "window, one entity-key shuffle, no interval theta join") {
+    val plan = finalPlan(SparkEntry.queries("q97_pit_join")(spark, sf))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert(!finalSection.linesIterator.exists(l =>
+        l.contains("Join") && !l.contains("joinType")),
+      s"PIT must compose as union+window, never a join\n$plan")
+    assert(finalSection.contains("Window"), "carry-forward window missing")
+  }
+
   test("q95 skew join: hot dim rows fan out into salted copies and the " +
       "fact join carries the salt in its key") {
     val plan = finalPlan(SparkEntry.queries("q95_skew_join")(spark, sf))
