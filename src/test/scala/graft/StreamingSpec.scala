@@ -110,7 +110,14 @@ class StreamingSpec extends AnyFunSuite {
     for ((name, plan) <- Seq[(String, org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame)](
         "wm_tumbling" -> StreamingOps.windowedCounts,
-        "wm_session" -> StreamingOps.sessionCounts)) {
+        "wm_session" -> StreamingOps.sessionCounts,
+        // q96's sketch state: 512 HLL registers per window row must
+        // evict on watermark advance exactly like the count state
+        "wm_hll" -> ((df: org.apache.spark.sql.DataFrame) => df
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.05)
+            .as("approx_users"))))) {
       val drained = StreamingOps.runToMemory(
         plan(StreamingOps.eventStream(spark, staged, oneFilePerBatch = true)),
         s"state_evict_$name", OutputMode.Append)
