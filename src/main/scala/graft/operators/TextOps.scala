@@ -1997,6 +1997,62 @@ object TextOps {
       .limit(20)
   }
 
+  /** k-hop BFS reachability over the verified near-dup pair graph —
+    * the iterative TRAVERSAL primitive (Cypher `[*..k]` variable-length
+    * paths, GraphFrames BFS) next to PageRank's iterative scoring (q24)
+    * and the wedge join's pattern matching (q89): per document, the
+    * count of documents within 1, 2 and 3 hops — how fast its
+    * duplicate neighborhood closes over. Each level is ONE edge⋈frontier
+    * equi-join plus a per-level DISTINCT (set semantics keep the
+    * frontier bounded by reachable nodes, never paths — without the
+    * dedup, path multiplicity grows geometrically in cliquey dup
+    * clusters). Same artifact reuse as q49/q63/q89: the pair set is the
+    * session-cached per-corpus-snapshot checkpoint, so no LSH work
+    * reruns. Oracle: the identical three levels as unrolled CTEs with
+    * UNION set semantics.
+    */
+  val q98KhopReach: QueryDef = sql(
+    "q98_khop_reach",
+    s"""WITH $minHashPairsCtes,
+      |pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+      |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |      UNION ALL SELECT d2, d1 FROM pairs),
+      |r1 AS (SELECT DISTINCT src, dst FROM e),
+      |r2 AS (SELECT src, dst FROM r1
+      |       UNION SELECT r1.src, e.dst FROM r1 JOIN e ON e.src = r1.dst
+      |       WHERE e.dst <> r1.src),
+      |r3 AS (SELECT src, dst FROM r2
+      |       UNION SELECT r2.src, e.dst FROM r2 JOIN e ON e.src = r2.dst
+      |       WHERE e.dst <> r2.src),
+      |c1 AS (SELECT src, count(*) AS n1 FROM r1 GROUP BY 1),
+      |c2 AS (SELECT src, count(*) AS n2 FROM r2 GROUP BY 1),
+      |c3 AS (SELECT src, count(*) AS n3 FROM r3 GROUP BY 1)
+      |SELECT c1.src AS doc_id, n1, n2, n3
+      |FROM c1 JOIN c2 USING (src) JOIN c3 USING (src)
+      |ORDER BY doc_id""") { (s, d) =>
+    val pairs = verifiedPairs(s, d)
+    val e = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+    def expand(r: DataFrame): DataFrame =
+      r.unionByName(
+          r.join(e.select(col("src").as("mid"), col("dst").as("nxt")),
+              col("dst") === col("mid"))
+            .filter(col("nxt") =!= col("src"))
+            .select(col("src"), col("nxt").as("dst")))
+        .distinct()
+    val r1 = e
+    val r2 = expand(r1)
+    val r3 = expand(r2)
+    def counts(r: DataFrame, name: String): DataFrame =
+      r.groupBy(col("src")).agg(count(lit(1)).as(name))
+    counts(r1, "n1")
+      .join(counts(r2, "n2"), "src")
+      .join(counts(r3, "n3"), "src")
+      .select(col("src").as("doc_id"), col("n1"), col("n2"), col("n3"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
@@ -2007,5 +2063,6 @@ object TextOps {
     q54Decontaminate,
     q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
-    q77BpeMerges, q79BpeEncode, q80EpochMixture, q93Boilerplate, q94Bm25)
+    q77BpeMerges, q79BpeEncode, q80EpochMixture, q93Boilerplate, q94Bm25,
+    q98KhopReach)
 }
