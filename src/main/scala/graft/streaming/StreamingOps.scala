@@ -503,6 +503,60 @@ object StreamingOps {
       .orderBy(col("segment"))
   }
 
+  /** STREAMING point-in-time enrichment — q97's feature-store join at
+    * INGEST time: each arriving fact picks up the dimension version
+    * valid at its event time from the (broadcast) SCD2 interval table,
+    * the shape a feature pipeline uses to label events as they land
+    * rather than in a backfill. The stream-static interval join is
+    * STATELESS (each micro-batch probes the broadcast dim; no join
+    * state at all — the intervals are closed history), and the rollup
+    * is windowless with ≤ #states × #types rows of state, so Complete
+    * mode is the honest drain exactly as in q75. The batch union-carry
+    * (q97) and this broadcast interval probe are the two ends of the
+    * same operator: carry-forward when the dim is fact-sized, broadcast
+    * probe when versions fit memory. Oracle: q97's ASOF aggregation
+    * without the distinct-user column (DISTINCT aggregates are
+    * unsupported in streaming).
+    */
+  val q99StreamPit: QueryDef = QueryDef.sql(
+    "q99_stream_pit",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |            CAST(ts AS TIMESTAMP) AS tsu FROM events),
+      |ch0 AS (SELECT user_id, event_type AS state, tsu,
+      |          lag(event_type) OVER (PARTITION BY user_id
+      |            ORDER BY tsu, event_id) AS prev
+      |        FROM e),
+      |ch AS (SELECT user_id, state, tsu FROM ch0
+      |       WHERE prev IS NULL OR prev <> state),
+      |pit AS (SELECT e.user_id, e.event_type, ch.state
+      |        FROM e ASOF JOIN ch
+      |          ON e.user_id = ch.user_id AND e.tsu >= ch.tsu)
+      |SELECT state, event_type, count(*) AS n
+      |FROM pit GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // SCD2 intervals from the closed history (q91's build), broadcast
+    val w = Window.partitionBy(col("duser")).orderBy(col("vfrom"))
+    val dim = graft.sources.Tables.events(s, d)
+      .select(col("user_id").as("duser"), col("event_id"),
+        col("event_type").as("state"),
+        col("ts").cast("timestamp").as("vfrom"))
+      .withColumn("prev", lag(col("state"), 1)
+        .over(Window.partitionBy(col("duser"))
+          .orderBy(col("vfrom"), col("event_id"))))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("vto", lead(col("vfrom"), 1).over(w))
+      .select(col("duser"), col("state"), col("vfrom"), col("vto"))
+    val out = s"stream_pit_${runSeq.incrementAndGet()}"
+    val enriched = eventStream(s, stageEvents(s, d))
+      .join(broadcast(dim),
+        col("user_id") === col("duser") && col("ts") >= col("vfrom") &&
+          (col("vto").isNull || col("ts") < col("vto")))
+      .groupBy(col("state"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(enriched, out, OutputMode.Complete).df
+      .orderBy(col("state"), col("event_type"))
+  }
+
   private val docSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
 
@@ -912,5 +966,5 @@ object StreamingOps {
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
       q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin,
-      q83StreamOuterJoin, q88StreamFunnel, q96StreamDistinct)
+      q83StreamOuterJoin, q88StreamFunnel, q96StreamDistinct, q99StreamPit)
 }
