@@ -175,5 +175,65 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[QueryDef] = Seq(q36MediaMeta, q37MediaFeatures)
+  final case class FrameSamples(
+      doc_id: Long, n_frames: Int, frame_idx: String, frame_sums: String)
+
+  /** Frame SAMPLING with real byte access — the video-pipeline shape
+    * (ffmpeg keyframe grab, CLIP frame embedding) on the opaque binary
+    * column: a "frame" is a 16-byte block, the sampler touches ONLY the
+    * first / middle / last frames' bytes (a real decoder seeks exactly
+    * the same way — the point of sampling is to NOT read the payload),
+    * and emits per-frame byte sums. Batched `mapPartitions` like q37;
+    * payloads never shuffle; duplicates in the sample plan (1- and
+    * 2-frame payloads) are kept, deterministic and mirrored. Every
+    * output is exact integer arithmetic on payload bytes, mirrored
+    * position-for-position by the oracle (ASCII corpus ⇒ char codes are
+    * payload bytes — the oracle relies on it, the Spark side does not);
+    * frames are complete by construction (n = len div 16), so no
+    * partial-frame edge exists for engines to disagree on. */
+  val q100MediaFrames: QueryDef = sql(
+    "q100_media_frames",
+    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, text, CAST(n_bytes // 16 AS INT) AS n_frames
+      |      FROM b),
+      |x AS (SELECT doc_id, text, n_frames,
+      |    CASE WHEN n_frames = 0 THEN CAST([] AS INT[])
+      |         ELSE [0, n_frames // 2, greatest(n_frames - 1, 0)]
+      |    END AS fidx
+      |  FROM f),
+      |s AS (SELECT doc_id, n_frames, fidx,
+      |    [CAST(list_sum([ascii(substr(text, i * 16 + k + 1, 1))
+      |                    FOR k IN range(0, 16)]) AS BIGINT)
+      |     FOR i IN fidx] AS fsums
+      |  FROM x)
+      |SELECT doc_id, n_frames,
+      |  array_to_string(fidx, ' ') AS frame_idx,
+      |  array_to_string(fsums, ' ') AS frame_sums
+      |FROM s ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    mediaTable(s, d).filter(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = r.content.length / 16
+          val idx =
+            if (n == 0) Array.empty[Int]
+            else Array(0, n / 2, math.max(n - 1, 0))
+          val sums = idx.map { i =>
+            var acc = 0L
+            var k = i * 16
+            val end = k + 16
+            while (k < end) { acc += (r.content(k) & 0xff); k += 1 }
+            acc
+          }
+          FrameSamples(r.doc_id, n, idx.mkString(" "), sums.mkString(" "))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[QueryDef] = Seq(q36MediaMeta, q37MediaFeatures, q100MediaFrames)
 }
