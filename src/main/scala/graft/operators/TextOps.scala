@@ -137,6 +137,81 @@ object TextOps {
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     cachedCheckpoint("shingleIndex", s, d)(shingleIndexPlan(s, d))
 
+  /** AllPairs/PPJoin-style RANKED index over the capped shingle index:
+    * one row per (doc_id, h) with the token's rank `r` under the global
+    * (df ASC, h ASC) token order and the doc's capped size `n`. The
+    * rarest-first total order is what makes PREFIX FILTERING exact: any
+    * pair with |A∩B| ≥ α shares its first common token within the first
+    * |X| − α + 1 tokens of BOTH documents under any common total order,
+    * and ordering by ascending document frequency puts the least
+    * candidate-generating tokens in every prefix (Chaudhuri et al.
+    * SSJoin / Bayardo et al. "Scaling Up All Pairs Similarity Search").
+    *
+    * The df join is broadcast (vocabulary-sized: one row per distinct
+    * shingle hash), and both window functions share the single doc_id
+    * exchange the checkpointed index already satisfies. Consumed by the
+    * exact-similarity pair generators (q27 Jaccard, q55 containment) —
+    * 2 self-join sides each — so it is session-cached like the index it
+    * ranks; at 100 TB it persists beside the index as part of the same
+    * per-snapshot dedup artifact set.
+    */
+  private[graft] def rankedIndexPlan(s: SparkSession, d: String): DataFrame = {
+    val th = shingleIndex(s, d)
+      .select(col("doc_id"), tokHash(col("tok")).as("h"))
+    val df = th.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    th.join(broadcast(df), Seq("h"))
+      .select(col("doc_id"), col("h"),
+        row_number().over(wOrd).as("r"),
+        count(lit(1)).over(wAll).as("n"))
+  }
+
+  private def rankedIndex(s: SparkSession, d: String): DataFrame =
+    cachedCheckpoint("rankedIndex", s, d)(rankedIndexPlan(s, d))
+
+  /** Per-document SORTED array of capped-index token hashes (plus its
+    * length): the compact verification artifact for candidate pairs.
+    * `SortedIntersectCount` over two of these arrays reproduces the
+    * inverted-index join + pair-count semantics exactly (multiset run
+    * products — see its scaladoc), at O(|A|+|B|) per pair with no
+    * pair-level shuffle. ~`avg_shingles × 8` bytes per document (≈400 B
+    * here), so the whole table is megabytes up to ~10⁵ documents.
+    */
+  private[graft] def docHashArraysPlan(s: SparkSession, d: String): DataFrame =
+    shingleIndex(s, d)
+      .select(col("doc_id"), tokHash(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"))
+
+  private def docHashArrays(s: SparkSession, d: String): DataFrame =
+    cachedCheckpoint("docHashArrays", s, d)(docHashArraysPlan(s, d))
+
+  /** Above this many documents the per-doc hash-array table stops being
+    * broadcast (≈40 MB at 10⁵ docs × ~50 shingles) and the candidate
+    * verification joins shuffle on the pair keys instead — the same
+    * cost-gated index-selection pattern q34 uses, evaluated from one
+    * metadata-cheap parquet row count. At 100 TB the shuffle branch is
+    * the only one that exists; at bench scale the broadcast branch keeps
+    * verification entirely map-side. */
+  private[graft] val ArrayBroadcastKnee = 250000L
+
+  /** Attach both documents' sorted hash arrays (+ sizes) to (d1, d2)
+    * candidate pairs — broadcast map-side below [[ArrayBroadcastKnee]]
+    * documents, plain shuffled joins above it. */
+  private def withPairArrays(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
+    val arrs = docHashArrays(s, d)
+    val va = arrs.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+      col("n").as("n1"))
+    val vb = arrs.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+      col("n").as("n2"))
+    if (documents(s, d).count() <= ArrayBroadcastKnee)
+      cand.join(broadcast(va), "d1").join(broadcast(vb), "d2")
+    else cand.join(va, "d1").join(vb, "d2")
+  }
+
   /** (tok, cnt) corpus unigram vocabulary — one corpus explode+hash-agg,
     * materialized once per (session, sfDir); shared by the vocabulary
     * audit (q59) and the unigram LM scorer (q64). */
@@ -309,24 +384,37 @@ object TextOps {
         .orderBy(col("d1"), col("d2")),
       Some(minHashOracle))
 
-  /** Exact n-gram Jaccard pairs on 2-word shingles through the inverted
-    * shingle index: documents only meet on shared shingles — the
-    * feasible pair-generation route at scale — then
-    * |A∩B| / (|A|+|B|-|A∩B|). Word shingles (vs unigrams) separate true
-    * near-duplicates from shared-vocabulary noise.
+  /** Exact n-gram Jaccard pairs on 2-word shingles: AllPairs/PPJoin
+    * prefix-filtered candidate generation over the ranked inverted
+    * index, then per-pair verification against broadcast sorted hash
+    * arrays — |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.4, exact (no LSH misses).
+    * Word shingles (vs unigrams) separate true near-duplicates from
+    * shared-vocabulary noise.
     *
-    * Scale hardening (all mirrored literally in the oracle, so results
-    * stay hash-exact):
-    *  - the index is df-capped (see [[ShingleDfCap]]) — no shingle can
-    *    contribute more than cap²/2 candidate rows;
-    *  - the self-join key is the 60-bit md5 token hash, not the shingle
-    *    string: 8-byte shuffle/sort/compare keys instead of ~11-char
-    *    strings (the oracle joins on the identical hash expression, so
-    *    a collision — ~(vocab²/2)/2^60, sub-1 even at billions of
-    *    shingles — would merge the same two shingles in both engines);
-    *  - an exact length filter inside the join: jac ≥ 0.4 forces
-    *    5·min(|A|,|B|) ≥ 2·max, integer arithmetic, prunes mismatched
-    *    pairs before the aggregation shuffle.
+    * The ORACLE keeps the plain inverted-index self-join + pair-count
+    * formulation — the Spark plan computes the identical relation by a
+    * chain of LOSSLESS prunes (each a published exact-similarity-join
+    * bound, integer arithmetic on both engines):
+    *  - df cap on the index (see [[ShingleDfCap]]), mirrored in the
+    *    oracle CTE;
+    *  - PREFIX FILTER: jac ≥ 0.4 with the length filter forces overlap
+    *    ≥ ⌈0.4·|X|⌉, so both docs' first |X| − ⌈0.4·|X|⌉ + 1 tokens
+    *    under the global (df ASC, h ASC) order must share a token — the
+    *    self-join runs on ~60% of the index rows, biased to RARE tokens
+    *    (the df² blow-up keys never enter the join);
+    *  - LENGTH FILTER: jac ≥ 0.4 forces 5·min(|A|,|B|) ≥ 2·max;
+    *  - POSITIONAL FILTER (PPJoin): a shared token at ranks (r1, r2)
+    *    bounds the overlap by 1 + min(n1−r1, n2−r2), which must reach
+    *    ⌈2(n1+n2)/7⌉ = ⌈(jac/(1+jac))·(n1+n2)⌉; the pair survives if
+    *    ANY shared prefix token passes (its first common token always
+    *    does when the pair qualifies);
+    *  - exact verification: distinct surviving pairs probe the
+    *    broadcast per-doc sorted hash arrays and `SortedIntersectCount`
+    *    reproduces the join-count semantics per pair.
+    * Versus counting intersections through the raw index self-join
+    * (round-8 shape), this shuffles candidate PAIRS once (16 B keys)
+    * instead of every shared-shingle occurrence into a 78M-group
+    * aggregation — the stage that made the decade step superlinear.
     */
   val q27JaccardPairs: QueryDef = sql(
     "q27_jaccard_pairs",
@@ -349,23 +437,24 @@ object TextOps {
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
       |SELECT d1, d2, round(jac, 6) AS jaccard
       |FROM j WHERE jac >= 0.4 ORDER BY d1, d2""") { (s, d) =>
-    val t = shingleIndex(s, d)
-    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val th = t.join(sz, "doc_id")
-      .select(col("doc_id"), tokHash(col("tok")).as("h"), col("n"))
-    val a = th.select(col("doc_id").as("d1"), col("h"), col("n").as("n1"))
-    val b = th.select(col("doc_id").as("d2"), col("h"), col("n").as("n2"))
-    // the sizes ride through the join only for the length filter; the
-    // aggregation key stays (d1, d2) — two longs, the agg is the hot
-    // path over the full expansion — and the broadcast-sized `sz` table
-    // re-attaches after.
-    a.join(b, Seq("h"))
+    val rk = rankedIndex(s, d)
+    // prefix length |X| − ⌈0.4·|X|⌉ + 1, integer-exact: ⌈2n/5⌉ = (2n+4) DIV 5
+    val pre = rk.filter(col("r") <= col("n") - expr("(2*n+4) DIV 5") + 1)
+    val a = pre.select(col("doc_id").as("d1"), col("h"),
+      col("n").as("n1"), col("r").as("r1"))
+    val b = pre.select(col("doc_id").as("d2"), col("h"),
+      col("n").as("n2"), col("r").as("r2"))
+    // minoverlap ⌈2(n1+n2)/7⌉ ≤ ubound ⟺ 7·ubound ≥ 2(n1+n2) (ubound int)
+    val cand = a.join(b, Seq("h"))
       .filter(col("d1") < col("d2") &&
-        col("n1") * 5 >= col("n2") * 2 && col("n2") * 5 >= col("n1") * 2)
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        col("n1") * 5 >= col("n2") * 2 && col("n2") * 5 >= col("n1") * 2 &&
+        (lit(1) + least(col("n1") - col("r1"), col("n2") - col("r2"))) * 7 >=
+          (col("n1") + col("n2")) * 2)
+      .select(col("d1"), col("d2"))
+      .distinct()
+    withPairArrays(s, d, cand)
+      .withColumn("inter",
+        graft.functions.SetFunctions.sortedIntersectCount(col("hs1"), col("hs2")))
       .withColumn("jac",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= 0.4)
@@ -1238,9 +1327,22 @@ object TextOps {
     * a small document embedded in a larger one (quotes, boilerplate,
     * snippet reuse), which symmetric Jaccard structurally misses (a
     * 20-shingle doc inside a 100-shingle doc has jac ≤ 0.2 but
-    * containment 1.0). Same df-capped hashed-index self-join shape as
-    * q27, WITHOUT the length filter — size-mismatched pairs are exactly
-    * the signal here.
+    * containment 1.0). The oracle keeps the df-capped hashed-index
+    * self-join + pair-count formulation; the Spark plan computes the
+    * identical relation through the one-sided prefix filter (the
+    * asymmetric-threshold variant of q27's candidate chain — no length
+    * filter: size-mismatched pairs are exactly the signal here):
+    *  - containment ≥ 0.8 forces overlap ≥ ⌈0.8·n_small⌉, so the
+    *    SMALLER document's first n − ⌈0.8·n⌉ + 1 tokens (~20% of it,
+    *    rarest first) must include a token of the larger document —
+    *    the join runs prefix(smaller-role) × full index, each unordered
+    *    pair covered exactly once via the (n, doc_id) role order;
+    *  - positional filter: a shared token at ranks (ra, rb) bounds the
+    *    overlap by 1 + min(na−ra, nb−rb) ≥ ⌈0.8·na⌉ (any-row-passes,
+    *    as in q27);
+    *  - distinct surviving pairs verify exactly via the broadcast
+    *    sorted hash arrays (`SortedIntersectCount`), replacing the
+    *    round-8 every-shared-occurrence pair aggregation.
     */
   val q55Containment: QueryDef = sql(
     "q55_containment",
@@ -1260,17 +1362,27 @@ object TextOps {
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
       |SELECT d1, d2, round(containment, 6) AS containment
       |FROM j WHERE containment >= 0.8 ORDER BY d1, d2""") { (s, d) =>
-    val t = shingleIndex(s, d)
-    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val th = t.select(col("doc_id"), tokHash(col("tok")).as("h"))
-    val a = th.select(col("doc_id").as("d1"), col("h"))
-    val b = th.select(col("doc_id").as("d2"), col("h"))
-    a.join(b, Seq("h"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    val rk = rankedIndex(s, d)
+    // smaller-role prefix |X| − ⌈0.8·|X|⌉ + 1; ⌈4n/5⌉ = (4n+4) DIV 5
+    val pre = rk.filter(col("r") <= col("n") - expr("(4*n+4) DIV 5") + 1)
+    val a = pre.select(col("doc_id").as("da"), col("h"),
+      col("n").as("na"), col("r").as("ra"))
+    val b = rk.select(col("doc_id").as("db"), col("h"),
+      col("n").as("nb"), col("r").as("rb"))
+    // role order (n, doc_id): each unordered pair meets exactly once,
+    // with `a` the smaller document. minoverlap ⌈4·na/5⌉ ≤ ubound ⟺
+    // 5·ubound ≥ 4·na (ubound integer).
+    val cand = a.join(b, Seq("h"))
+      .filter((col("na") < col("nb") ||
+          (col("na") === col("nb") && col("da") < col("db"))) &&
+        (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))) * 5 >=
+          col("na") * 4)
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+      .distinct()
+    withPairArrays(s, d, cand)
+      .withColumn("inter",
+        graft.functions.SetFunctions.sortedIntersectCount(col("hs1"), col("hs2")))
       .withColumn("containment",
         col("inter").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= 0.8)
