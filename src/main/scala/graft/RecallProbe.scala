@@ -19,6 +19,29 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // sweep mode: `RecallProbe --cells <sfDir>` measures the per-cell
+    // tier's PAIR recall and cost across (cells, nprobe) combos against
+    // the exhaustive product — how PairCells/PairNprobe were chosen.
+    if (args.headOption.contains("--cells")) {
+      val sf = args(1)
+      val exact = graft.operators.SimilarityOps
+        .embedNearPairsAllPairs(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"$sf exact pairs: ${exact.size}")
+      for ((c, p, q) <- Seq((16, 2, 3), (16, 3, 2), (32, 3, 2), (32, 3, 3),
+          (64, 3, 3), (64, 3, 4), (64, 4, 3), (128, 3, 4), (128, 4, 4))) {
+        val t0 = System.nanoTime()
+        val got = graft.operators.SimilarityOps
+          .embedNearPairsPerCell(spark, sf, c, p, q)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val recall = (got & exact).size.toDouble / exact.size
+        println(f"cells=$c%3d nprobe=$p quant=$q: pairs=${got.size}%6d " +
+          f"recall=$recall%.4f time=$secs%.1fs")
+      }
+      spark.stop()
+      return
+    }
     args.foreach { sf =>
       def timed[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime(); val r = f

@@ -99,6 +99,26 @@ object SimilarityOps {
     * interpolated into its oracle SQL.) */
   private[graft] val PairExactKnee = 4096
 
+  /** Geometry of q34's above-knee per-cell exact tier: `PairQuantizers`
+    * INDEPENDENT coarse quantizers (disjoint seed ranges → decorrelated
+    * Voronoi boundaries), each with `PairCells` learned cells, each
+    * vector probing its `PairNprobe` nearest cells per quantizer.
+    *
+    * Why multiple quantizers: PAIR recall at a 0.4 cosine threshold is
+    * structurally harder than q44's top-5 query recall — a 0.4-cosine
+    * pair spans ~66° and easily straddles a boundary, and adding cells
+    * makes it WORSE (measured single-quantizer sweep on the 20k decade
+    * corpus: 16 cells/nprobe 2 → recall 0.545, 64/3 → 0.497, 128/4 →
+    * 0.527). Independent quantizers multiply the misses instead:
+    * measured 4 × (128 cells, nprobe 4) → recall 0.947 at 20k (0.967 at
+    * the 5k spec fixture) with candidate volume p²R/(2C)·n² = 0.25·n² —
+    * half the exhaustive product's, and the fraction FALLS as a larger
+    * corpus configures more cells (fixed cell size ⇒ volume linear in
+    * n). Sweep tool: `RecallProbe --cells`. */
+  private[graft] val PairCells = 128
+  private[graft] val PairNprobe = 4
+  private[graft] val PairQuantizers = 4
+
   /** Embedding-cosine near-duplicate pairs over the full table, via
     * banded sign-LSH candidate generation + exact cosine verification:
     * each vector hashes to a 3-bit signature per band (sign of its
@@ -129,17 +149,23 @@ object SimilarityOps {
     * PICKS ITS INDEX BY COST: corpora up to [[PairExactKnee]] vectors
     * run the banded generator (the LSH surface under test, recall
     * spec-pinned, cost immaterial at that size); larger corpora run the
-    * blocked exact product ([[embedNearPairsAllPairs]]) whose one
-    * broadcast + codegen-dot scan is the measured 18× winner and is
-    * exhaustive by construction. At 100 TB neither a global broadcast
-    * nor saturated 8-bucket bands survive: the same exact product runs
-    * per-IVF-cell (q44's learned centroids as the coarse partitioner),
-    * which is this gate generalized from "one block" to "one block per
-    * cell". Both engines evaluate the identical gate — the oracle's two
-    * branches are count-gated on the same threshold, and its exact
-    * branch uses DuckDB's native `list_dot_product` over DOUBLE[],
-    * verified bit-identical to the left-fold on all 124,750 sf0.001
-    * pairs (0 mismatches).
+    * exact codegen-dot product PER IVF CELL
+    * ([[embedNearPairsPerCell]]): every vector joins its nprobe=2
+    * nearest learned cells (q44's centroids as the coarse partitioner —
+    * the shared per-snapshot index artifact), and the blocked product
+    * runs within each cell, so pair volume drops from n²/2 to
+    * Σ_cells m_c²/2 (≈ (2n)²/(2·16 cells) at uniform occupancy — ~8×
+    * less, and the ratio grows with the cell count a bigger corpus
+    * would configure). nprobe=2 bounds the boundary loss: a qualifying
+    * pair is missed only when NEITHER vector's two nearest cells
+    * overlap the other's — measured recall vs the exhaustive product
+    * stays spec-pinned ≥ 0.9 (`SimilaritySpec`), and
+    * [[embedNearPairsAllPairs]] remains the exhaustive ground truth the
+    * pins measure against. Both engines evaluate the identical gate and
+    * the identical cell structure — the oracle's two branches are
+    * count-gated on the same threshold, and its per-cell branch
+    * instantiates q44's learned-centroid CTE chain over the gated base,
+    * so results stay hash-exact tier for tier.
     */
   val q34EmbedNearPairs: QueryDef = {
     val bandSelects = (0 until PairBands).map { bi =>
@@ -160,20 +186,24 @@ object SimilarityOps {
         |c AS (SELECT v1, v2,
         |        ${sqlDot("a.embedding", "a2.embedding")} / (a.nr * a2.nr) AS cosine
         |      FROM cand JOIN d a ON a.vec_id = v1 JOIN d a2 ON a2.vec_id = v2),
-        |de AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                               CAST(embedding AS DOUBLE[]))) AS nr
+        |de AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
         |       FROM embeddings WHERE (SELECT n FROM nc) > $PairExactKnee),
-        |ce AS (SELECT x.vec_id AS v1, y.vec_id AS v2,
-        |         list_dot_product(x.emb, y.emb) / (x.nr * y.nr) AS cosine
-        |       FROM de x JOIN de y ON x.vec_id < y.vec_id)
+        |${(0 until PairQuantizers).map(r => ivfCtesSql("de", s"k${r}_",
+             r * PairCells, (r + 1) * PairCells, sqlDotFast)).mkString(",\n")},
+        |kasn AS (${(0 until PairQuantizers).map(r =>
+             s"SELECT vec_id, embedding, nr, c_id FROM k${r}_a1 WHERE crn <= $PairNprobe")
+             .mkString("\nUNION ALL\n")}),
+        |ce AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2,
+        |         ${sqlDotFast("x.embedding", "y.embedding")} / (x.nr * y.nr) AS cosine
+        |       FROM kasn x JOIN kasn y
+        |         ON x.c_id = y.c_id AND x.vec_id < y.vec_id)
         |SELECT v1, v2, cosine FROM c WHERE cosine >= 0.4
         |UNION ALL
         |SELECT v1, v2, cosine FROM ce WHERE cosine >= 0.4
         |ORDER BY v1, v2""") { (s, d) =>
       // the gate: one metadata-cheap parquet count picks the index.
       if (embeddings(s, d).count() > PairExactKnee)
-        embedNearPairsAllPairs(s, d)
+        embedNearPairsPerCell(s, d)
       else {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
@@ -211,13 +241,59 @@ object SimilarityOps {
     }
   }
 
-  /** The blocked exact form of q34 — O(N²/2) codegen float-dot cosine
-    * over one BroadcastNestedLoopJoin scan. Registered ABOVE
-    * [[PairExactKnee]] as q34's saturated-bucket tier (measured 18×
-    * faster than banding at n=20,000, recall 1.0 by construction); also
-    * the ground truth `SimilaritySpec`/`AnnRecallSpec` measure banded
-    * recall against. At 100 TB the identical product runs per-IVF-cell
-    * (q44's centroids as the coarse partitioner) instead of globally.
+  /** q34's above-knee tier: the exact codegen-dot product PER LEARNED
+    * IVF CELL. Every vector is assigned to its nprobe=2 nearest learned
+    * centroids (q44's one-Lloyd-round cells — the shared session-cached
+    * index artifact), candidate pairs meet on the cell id (an equi-join,
+    * never a global product), each candidate gets the exact float-dot
+    * cosine, and duplicates from pairs sharing both cells collapse
+    * AFTER the ≥ 0.4 filter (distinct over the few survivors, not the
+    * candidate stream). The assignment side is broadcast below
+    * [[CellBroadcastKnee]] vectors (the 2n×(c_id, embedding) table is
+    * ~12 MB at n=20k), which keeps the whole pair stage map-side; above
+    * it the same plan shuffles both sides on c_id — the per-cell join
+    * IS the 100 TB shape (cells partition the corpus; each cell's
+    * product is local).
+    */
+  private[graft] val CellBroadcastKnee = 200000L
+
+  private[graft] def embedNearPairsPerCell(s: SparkSession, d: String,
+      cells: Int = PairCells, nprobe: Int = PairNprobe,
+      quantizers: Int = PairQuantizers): DataFrame = {
+    val e = embVecs(s, d)
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    // one assignment per coarse quantizer; c_id ranges are disjoint
+    // across quantizers (the seed vec_id IS the cell id), so the
+    // unioned assignments join on c_id alone
+    val asn = (0 until quantizers).map { r =>
+      val cents = learnedCentroids(s, d, r * cells, (r + 1) * cells)
+      e.crossJoin(broadcast(cents))
+        .withColumn("c_cos", dotAny(col("embedding"), col("c_emb")) /
+          (col("nr") * col("c_nr")))
+        .withColumn("crn", row_number().over(wA))
+        .filter(col("crn") <= nprobe)
+        .select(col("c_id"), col("vec_id"), col("embedding"), col("nr"))
+    }.reduce(_ unionByName _)
+    val x = asn.select(col("c_id"), col("vec_id").as("v1"),
+      col("embedding").as("ea"), col("nr").as("na"))
+    val y0 = asn.select(col("c_id"), col("vec_id").as("v2"),
+      col("embedding").as("eb"), col("nr").as("nb"))
+    val y = if (embeddings(s, d).count() <= CellBroadcastKnee) broadcast(y0) else y0
+    x.join(y, Seq("c_id"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .distinct()
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** The blocked exhaustive form of q34's exact product — O(N²/2)
+    * codegen float-dot cosine over one BroadcastNestedLoopJoin scan.
+    * No longer registered (the per-cell tier replaced it above the
+    * knee); kept as the recall GROUND TRUTH `SimilaritySpec` /
+    * `AnnRecallSpec` measure the banded and per-cell paths against.
     */
   def embedNearPairsAllPairs(s: SparkSession, d: String): DataFrame = {
     // explicit width on the probe side: BNLJ parallelism equals the
@@ -360,6 +436,126 @@ object SimilarityOps {
   private def dotAny(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecDotAny(a, b)
 
+  /** The learned-centroid CTE chain of q44 (seed on vec_id < 16 →
+    * nearest-seed assignment → 56-bit floor-split Lloyd mean →
+    * dim-ordered centroid reassembly → final assignment ranking),
+    * parameterized on the base relation name (must expose vec_id,
+    * embedding, nr) and a CTE-name prefix so two queries can
+    * instantiate it inside one WITH clause (q44 bare; q34's above-knee
+    * tier prefixed, gated to its own base). Ends at `<p>a1`
+    * (vec_id, embedding, nr, c_id, crn). */
+  /** oracle fragment: DuckDB's native dot over DOUBLE[] casts — the
+    * same sequential multiply-add sum as [[sqlDot]]'s explicit fold
+    * (verified bit-identical on all 124,750 sf0.001 pairs, round 8) at
+    * native speed; used in the per-cell tier's 4-quantizer chains where
+    * the interpreted fold would dominate oracle wall time. */
+  private def sqlDotFast(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private def ivfCtesSql(base: String, p: String, seedLo: Int = 0,
+      seedHi: Int = 16,
+      dotFn: (String, String) => String = sqlDot): String =
+    s"""${p}seeds AS (SELECT vec_id AS c_id, embedding AS c_emb, nr AS c_nr
+      |          FROM $base WHERE vec_id >= $seedLo AND vec_id < $seedHi),
+      |${p}a0 AS (SELECT vec_id, embedding, nr, c_id,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id
+      |           ORDER BY ${dotFn("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS rn
+      |       FROM $base CROSS JOIN ${p}seeds),
+      |${p}asn0 AS (SELECT vec_id, embedding, c_id FROM ${p}a0 WHERE rn = 1),
+      |${p}comp AS (SELECT c_id, dim, CAST(embedding[dim] AS DOUBLE) AS v
+      |         FROM ${p}asn0 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
+      |${p}sp1 AS (SELECT c_id, dim,
+      |          CAST(floor(v * 72057594037927936) AS BIGINT) AS x1,
+      |          v * 72057594037927936 - floor(v * 72057594037927936) AS r1
+      |        FROM ${p}comp),
+      |${p}sp2 AS (SELECT c_id, dim, x1,
+      |          CAST(floor(r1 * 72057594037927936) AS BIGINT) AS x2,
+      |          r1 * 72057594037927936 - floor(r1 * 72057594037927936) AS r2
+      |        FROM ${p}sp1),
+      |${p}dm AS (SELECT c_id, dim,
+      |         (CAST(sum(x1) AS DOUBLE)
+      |           + (CAST(sum(x2) AS DOUBLE)
+      |              + CAST(sum(CAST(floor(r2 * 72057594037927936) AS BIGINT)) AS DOUBLE)
+      |                / 72057594037927936)
+      |             / 72057594037927936)
+      |         / 72057594037927936 / count(*) AS m
+      |       FROM ${p}sp2 GROUP BY c_id, dim),
+      |${p}cents AS (SELECT c_id, list(m ORDER BY dim) AS c_emb FROM ${p}dm GROUP BY c_id),
+      |${p}cents2 AS (SELECT c_id, c_emb,
+      |             sqrt(${dotFn("c_emb", "c_emb")}) AS c_nr FROM ${p}cents),
+      |${p}a1 AS (SELECT vec_id, embedding, nr, c_id,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id
+      |           ORDER BY ${dotFn("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS crn
+      |       FROM $base CROSS JOIN ${p}cents2)""".stripMargin
+
+  /** (vec_id, embedding, nr) projection of the embeddings table, width
+    * pinned (broadcast-argmax consumers inherit the scan's
+    * partitioning otherwise). */
+  private def embVecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+
+  /** nearest-centroid assignment as a map-side broadcast argmax:
+    * max over (cosine, −c_id) ≡ the oracle's ORDER BY cosine DESC, c_id
+    * — partial aggregation, no window sort over the full table. */
+  private def assignNearest(vecs: DataFrame, cs: DataFrame,
+      cosOf: (Column, Column) => Column): DataFrame =
+    vecs.crossJoin(broadcast(cs))
+      .withColumn("c_cos", cosOf(col("embedding"), col("c_emb")) /
+        (col("nr") * col("c_nr")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg")))
+          .as("c_id"),
+        first(col("embedding")).as("embedding"),
+        first(col("nr")).as("nr"))
+
+  /** q44's learned centroids — one Lloyd round from the vec_id < 16
+    * seeds, the exact 56-bit floor-split integer mean (see q44's
+    * scaladoc for the bit-reproducibility construction). Session-cached:
+    * the IVF cell structure is a per-corpus-snapshot index artifact
+    * shared by q44 (ANN search) and q34's above-knee per-cell tier. */
+  private[graft] def learnedCentroidsPlan(s: SparkSession, d: String,
+      seedLo: Int = 0, seedHi: Int = 16): DataFrame = {
+    val e = embVecs(s, d)
+    val seeds = e.filter(col("vec_id") >= seedLo && col("vec_id") < seedHi)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nr").as("c_nr"))
+    val asn0 = assignNearest(e, seeds, dot)
+    val S = 72057594037927936L // 2^56
+    val comp = asn0
+      .select(col("c_id"), posexplode(col("embedding")))
+      .select(col("c_id"), col("pos").as("dim"),
+        col("col").cast("double").as("v"))
+    val sp = comp
+      .withColumn("x1", floor(col("v") * S))
+      .withColumn("r1", col("v") * S - col("x1"))
+      .withColumn("x2", floor(col("r1") * S))
+      .withColumn("r2", col("r1") * S - col("x2"))
+      .withColumn("x3", floor(col("r2") * S))
+    val dm = sp.groupBy(col("c_id"), col("dim"))
+      .agg(
+        sum(col("x1").cast("decimal(38,0)")).as("s1"),
+        sum(col("x2").cast("decimal(38,0)")).as("s2"),
+        sum(col("x3").cast("decimal(38,0)")).as("s3"),
+        count(lit(1)).as("cnt"))
+      .select(col("c_id"), col("dim"),
+        ((col("s1").cast("double")
+          + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
+          / S / col("cnt")).as("m"))
+    dm.groupBy(col("c_id"))
+      .agg(array((0 until 64).map(i =>
+        max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
+      .select(col("c_id"), col("c_emb"),
+        sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
+  }
+
+  private def learnedCentroids(s: SparkSession, d: String,
+      seedLo: Int = 0, seedHi: Int = 16): DataFrame =
+    graft.SessionCache.checkpoint(s"ivfCentroids${seedLo}_$seedHi", s, d)(
+      learnedCentroidsPlan(s, d, seedLo, seedHi))
+
   /** IVF ANN with LEARNED centroids: seed with the vectors vec_id 0..15,
     * run one Lloyd iteration (assign every vector to its nearest seed,
     * recompute each centroid as the mean of its cell), then
@@ -400,38 +596,7 @@ object SimilarityOps {
       "q44_ann_ivf",
       s"""WITH d AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
         |           FROM embeddings),
-        |seeds AS (SELECT vec_id AS c_id, embedding AS c_emb, nr AS c_nr
-        |          FROM d WHERE vec_id < 16),
-        |a0 AS (SELECT vec_id, embedding, nr, c_id,
-        |         ROW_NUMBER() OVER (PARTITION BY vec_id
-        |           ORDER BY ${sqlDot("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS rn
-        |       FROM d CROSS JOIN seeds),
-        |asn0 AS (SELECT vec_id, embedding, c_id FROM a0 WHERE rn = 1),
-        |comp AS (SELECT c_id, dim, CAST(embedding[dim] AS DOUBLE) AS v
-        |         FROM asn0 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
-        |sp1 AS (SELECT c_id, dim,
-        |          CAST(floor(v * 72057594037927936) AS BIGINT) AS x1,
-        |          v * 72057594037927936 - floor(v * 72057594037927936) AS r1
-        |        FROM comp),
-        |sp2 AS (SELECT c_id, dim, x1,
-        |          CAST(floor(r1 * 72057594037927936) AS BIGINT) AS x2,
-        |          r1 * 72057594037927936 - floor(r1 * 72057594037927936) AS r2
-        |        FROM sp1),
-        |dm AS (SELECT c_id, dim,
-        |         (CAST(sum(x1) AS DOUBLE)
-        |           + (CAST(sum(x2) AS DOUBLE)
-        |              + CAST(sum(CAST(floor(r2 * 72057594037927936) AS BIGINT)) AS DOUBLE)
-        |                / 72057594037927936)
-        |             / 72057594037927936)
-        |         / 72057594037927936 / count(*) AS m
-        |       FROM sp2 GROUP BY c_id, dim),
-        |cents AS (SELECT c_id, list(m ORDER BY dim) AS c_emb FROM dm GROUP BY c_id),
-        |cents2 AS (SELECT c_id, c_emb,
-        |             sqrt(${sqlDot("c_emb", "c_emb")}) AS c_nr FROM cents),
-        |a1 AS (SELECT vec_id, embedding, nr, c_id,
-        |         ROW_NUMBER() OVER (PARTITION BY vec_id
-        |           ORDER BY ${sqlDot("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS crn
-        |       FROM d CROSS JOIN cents2),
+        |${ivfCtesSql("d", "")},
         |cells AS (SELECT vec_id, embedding, nr, c_id FROM a1 WHERE crn = 1),
         |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nr AS q_nr, c_id
         |           FROM a1 WHERE crn <= 2 AND vec_id < 5),
@@ -444,60 +609,9 @@ object SimilarityOps {
         |      FROM c)
         |SELECT q_id, neighbor, cosine, rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""") { (s, d) =>
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
-      val seeds = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("nr").as("c_nr"))
-      // argmax = max over (cosine, -c_id): lexicographic struct max ≡ the
-      // oracle's ORDER BY cosine DESC, c_id — a map-side partial agg, no
-      // window sort over the full table.
-      def assign(vecs: DataFrame, cs: DataFrame,
-          cosOf: (Column, Column) => Column): DataFrame =
-        vecs.crossJoin(broadcast(cs))
-          .withColumn("c_cos", cosOf(col("embedding"), col("c_emb")) /
-            (col("nr") * col("c_nr")))
-          .groupBy(col("vec_id"))
-          .agg(
-            max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg")))
-              .as("c_id"),
-            first(col("embedding")).as("embedding"),
-            first(col("nr")).as("nr"))
-      val asn0 = assign(e, seeds, dot)
-      // Lloyd update: exact 56-bit floor-split integer sums per
-      // (cell, dim) — order-independent, flat fixed-width agg buffers
-      // (see the operator scaladoc), one deterministic double rounding
-      // per level at reassembly.
-      val S = 72057594037927936L // 2^56
-      val comp = asn0
-        .select(col("c_id"), posexplode(col("embedding")))
-        .select(col("c_id"), col("pos").as("dim"),
-          col("col").cast("double").as("v"))
-      val sp = comp
-        .withColumn("x1", floor(col("v") * S))
-        .withColumn("r1", col("v") * S - col("x1"))
-        .withColumn("x2", floor(col("r1") * S))
-        .withColumn("r2", col("r1") * S - col("x2"))
-        .withColumn("x3", floor(col("r2") * S))
-      val dm = sp.groupBy(col("c_id"), col("dim"))
-        .agg(
-          sum(col("x1").cast("decimal(38,0)")).as("s1"),
-          sum(col("x2").cast("decimal(38,0)")).as("s2"),
-          sum(col("x3").cast("decimal(38,0)")).as("s3"),
-          count(lit(1)).as("cnt"))
-        .select(col("c_id"), col("dim"),
-          ((col("s1").cast("double")
-            + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
-            / S / col("cnt")).as("m"))
-      // dim-ordered centroid reassembly as 64 flat conditional aggregates
-      // (exactly one row per (c_id, dim)) — stays in codegen HashAggregate,
-      // no collect_list / ObjectHashAggregate anywhere in the plan.
-      val cents = dm.groupBy(col("c_id"))
-        .agg(array((0 until 64).map(i =>
-          max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
-        .select(col("c_id"), col("c_emb"),
-          sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
-      val asn1 = assign(e, cents, dotAny)
+      val e = embVecs(s, d)
+      val cents = learnedCentroids(s, d)
+      val asn1 = assignNearest(e, cents, dotAny)
       val cells = asn1
         .select(col("vec_id"), col("embedding"), col("nr"), col("c_id"))
       // query probes: top-2 learned centroids for the 5 query vectors —

@@ -19,14 +19,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnnRecallSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
 
-  /** exact cosine top-k neighbor ids per query, brute force. */
+  /** exact cosine top-k neighbor ids per query, brute force. The dot is
+    * the native codegen fold (bit-identical to the composable HOF form —
+    * `FloatVectorDot`'s pinned contract — and ~100× faster, which is
+    * what lets the pin run at the 20k-vector decade fixture). */
   private def truthTopK(sf: String, nq: Int, k: Int): Map[Long, Set[Long]] = {
-    val dot = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val dot = graft.functions.VectorFunctions.vecDot _
     val d = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
-        sqrt(expr(dot("embedding", "embedding"))).as("nr"))
+        sqrt(dot(col("embedding"), col("embedding"))).as("nr"))
     val q = d.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nr").as("q_nr"))
@@ -35,7 +36,7 @@ class AnnRecallSpec extends AnyFunSuite {
     d.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor"),
-        (expr(dot("q_emb", "embedding")) / (col("q_nr") * col("nr")))
+        (dot(col("q_emb"), col("embedding")) / (col("q_nr") * col("nr")))
           .as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -67,6 +68,20 @@ class AnnRecallSpec extends AnyFunSuite {
         info(f"$name recall@5 at $sf: $r%.3f")
         assert(r >= floor, f"$name recall@5 $r%.3f below floor $floor ($sf)")
       }
+    }
+
+    test(s"$name recall@5 holds at the 20k-vector decade fixture " +
+        "(sf1 scale: buckets saturated, q34's knee crossed)") {
+      // 10× sf0.01 with the orthogonal per-replica diagonal — the same
+      // construction (and the same 20k size) as the sf1 decade corpus,
+      // so bucket occupancy and cell population match what BENCH_sf1
+      // exercises rather than the near-empty driver-sf index.
+      val dir = TestEmbeddingFixtures.scaled(spark, "/root/testdata/sf0.01", 10)
+      val truth = truthTopK(dir, nq, 5)
+      val ann = annTopK(SparkEntry.queries(name)(spark, dir))
+      val r = meanRecall(ann, truth)
+      info(f"$name recall@5 at 20k fixture: $r%.3f")
+      assert(r >= floor, f"$name recall@5 $r%.3f below floor $floor (20k)")
     }
   }
 }

@@ -108,8 +108,14 @@ class PlanAuditSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val df = SparkEntry.queries("q34_embed_near_pairs")(spark, dir.toString)
     val plan = finalPlan(df)
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"exact tier should be one broadcast product scan\n$plan")
+    // the pair stage must be the per-cell equi-join on the learned cell
+    // id — never the retired global v1<v2 nested-loop product (the only
+    // BNLJ allowed is the 16-row centroid-assignment cross join)
+    assert("BroadcastNestedLoopJoin [^,\n]*, Inner".r.findFirstIn(plan).isEmpty,
+      s"global all-pairs product back in q34's above-knee tier\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q34\n$plan")
+    assert(plan.contains("HashJoin [c_id"),
+      s"per-cell pair join (equi on c_id) missing above the knee\n$plan")
     assert(!plan.contains("explode"), s"band generator ran above the knee\n$plan")
   }
 

@@ -33,4 +33,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(recall >= 0.9, f"banded recall $recall%.3f below the 0.9 floor ($sf)")
     }
   }
+
+  test("q34 per-cell tier (above the knee): subset of the exhaustive " +
+      "product with recall >= 0.9, cosines bit-exact") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]): Map[(Long, Long), Double] =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 10× sf0.001 with the orthogonal per-replica diagonal = 5,000
+    // vectors, above PairExactKnee — the registered q34 takes the
+    // per-cell branch here (same gate the driver sfs never cross)
+    val dir = TestEmbeddingFixtures.scaled(spark, "/root/testdata/sf0.001", 10)
+    val perCell = keyed(
+      SparkEntry.queries("q34_embed_near_pairs")(spark, dir).collect())
+    val exact = keyed(
+      SimilarityOps.embedNearPairsAllPairs(spark, dir).collect())
+    perCell.foreach { case (k, cos) =>
+      assert(exact.contains(k), s"per-cell pair $k not in exhaustive product")
+      assert(exact(k) == cos, s"cosine mismatch for $k")
+    }
+    val recall = perCell.size.toDouble / exact.size
+    info(f"per-cell recall: ${perCell.size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.9, f"per-cell recall $recall%.3f below the 0.9 floor")
+  }
 }
