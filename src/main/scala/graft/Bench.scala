@@ -37,8 +37,10 @@ object Bench {
     def gcMillis(): Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
-    final case class Meas(secs: Double, gcMs: Long, heapMb: Long)
+    final case class Meas(secs: Double, gcMs: Long, heapMb: Long,
+        batches: Int, maxState: Long)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+      graft.streaming.StreamingOps.pollDrainStats(): Unit // clear stale entries
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink materializes the FULL plan (final sorts, computed output
@@ -49,6 +51,12 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); true }
       val secs = (System.nanoTime() - t0) / 1e9
       val gcInRun = gcMillis() - gc0
+      // streaming drains executed inside this measurement (sink name,
+      // micro-batches, state rows): micro-batch count vs state growth
+      // per STREAM query, published in the diag object
+      val drains = graft.streaming.StreamingOps.pollDrainStats()
+      val batches = drains.map(_._2).sum
+      val maxState = if (drains.isEmpty) 0L else drains.map(_._3).max
       // isolation between measurements (outside the timed region, JMH-
       // style): settle GC and freed broadcasts so one query's cleanup
       // isn't billed to the next.
@@ -61,8 +69,9 @@ object Bench {
         .map(_.getUsage.getUsed >> 20).sum
       val cls = ManagementFactory.getClassLoadingMXBean.getLoadedClassCount
       System.err.println(f"[bench-diag] $name%-24s gc_in_run=${gcInRun}ms " +
-        s"heap=${used}M meta=${meta}M classes=$cls")
-      Meas(if (failed) -1.0 else secs, gcInRun, used)
+        s"heap=${used}M meta=${meta}M classes=$cls" +
+        (if (batches > 0) s" batches=$batches max_state=$maxState" else ""))
+      Meas(if (failed) -1.0 else secs, gcInRun, used, batches, maxState)
     }
     // Uniform ADJACENT best-of-2 (JMH warmup+measure): every query runs
     // twice back-to-back and the reported number is the per-query min,
@@ -114,8 +123,13 @@ object Bench {
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val diag = attempts.map { case (n, (a, b)) =>
+      val stream =
+        if (a.batches > 0 || b.batches > 0)
+          s",\"batches\":${math.max(a.batches, b.batches)}," +
+            s"\"max_state_rows\":${math.max(a.maxState, b.maxState)}"
+        else ""
       s"\"$n\":{\"p1_gc_ms\":${a.gcMs},\"p2_gc_ms\":${b.gcMs}," +
-        s"\"p1_heap_mb\":${a.heapMb},\"p2_heap_mb\":${b.heapMb}}"
+        s"\"p1_heap_mb\":${a.heapMb},\"p2_heap_mb\":${b.heapMb}$stream}"
     }.mkString("{", ",", "}")
     val failedArr = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total =
@@ -136,7 +150,24 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
     println(s"BENCH_JSON: $json")
-    println(json)
+    // The ABSOLUTE LAST stdout line must be a parseable JSON object that
+    // SURVIVES the round-harness's stdout tail window: the harness keeps
+    // only the last ~2000 characters (with sbt's ~90-char "[success]"
+    // epilogue inside them), so the full 100-query × 2-pass × diag JSON
+    // above can never parse from the tail — every r6-r8 round artifact
+    // shipped "parsed": null because of exactly this. This line keeps
+    // the contract fields but compacts per-query keys to their unique
+    // qNN prefix and seconds to 3 decimals (~1.5 KB for 100 queries);
+    // the full artifact (long names, both passes, gc/stream diag) is
+    // target/bench.json, pointed to by "full".
+    def fmt3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val compactQ = results
+      .map { case (n, v) => "\"" + n.split("_")(0) + "\":" + fmt3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+      s""""queries":$compactQ,"failed":$failedArr,"sf":"$sfDir",""" +
+      s""""full":"target/bench.json"}""")
     System.out.flush()
   }
 }

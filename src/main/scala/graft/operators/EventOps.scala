@@ -477,12 +477,14 @@ object EventOps {
     "q97_pit_join",
     """WITH e AS (SELECT user_id, event_id, event_type,
       |            CAST(ts AS TIMESTAMP) AS tsu FROM events),
-      |ch0 AS (SELECT user_id, event_type AS state, tsu,
+      |ch0 AS (SELECT user_id, event_id, event_type AS state, tsu,
       |          lag(event_type) OVER (PARTITION BY user_id
       |            ORDER BY tsu, event_id) AS prev
       |        FROM e),
       |ch AS (SELECT user_id, state, tsu FROM ch0
-      |       WHERE prev IS NULL OR prev <> state),
+      |       WHERE prev IS NULL OR prev <> state
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, tsu
+      |         ORDER BY event_id DESC) = 1),
       |pit AS (SELECT e.user_id, e.event_type, ch.state
       |        FROM e ASOF JOIN ch
       |          ON e.user_id = ch.user_id AND e.tsu >= ch.tsu)
@@ -494,9 +496,18 @@ object EventOps {
       col("event_type"), col("ts").as("tsu"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tsu"), col("event_id"))
+    // one change row per (user, instant): two same-microsecond change
+    // events would make the carry-forward `last` (and the oracle's ASOF)
+    // tie-ambiguous — the max-event_id change wins deterministically in
+    // BOTH engines (no-op on data without (user_id, ts) duplicates, but
+    // driver regeneration + ns→µs truncation can create them)
+    val chW = Window.partitionBy(col("user_id"), col("tsu"))
+      .orderBy(col("event_id").desc)
     val ch = e
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("rn", row_number().over(chW))
+      .filter(col("rn") === 1)
       .select(col("user_id"), col("tsu"),
         col("event_type").as("dim_state"))
     // union-carry: dim rows (is_fact=0) sort before facts (is_fact=1)

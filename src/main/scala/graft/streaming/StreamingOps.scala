@@ -23,6 +23,39 @@ import graft.QueryDef
   */
 object StreamingOps {
 
+  /** The single part file of a one-partition parquet write. Closes the
+    * directory stream (`Files.list` holds an open fd until closed —
+    * staging calls would otherwise leak one descriptor each). */
+  private def singlePartFile(tmp: String): java.nio.file.Path = {
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    try {
+      stream.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+        .map(java.nio.file.Paths.get(_)).head
+    } finally stream.close()
+  }
+
+  /** (mtime, size) fingerprint of a staging SOURCE file — the `_staged`
+    * markers store it so a stage dir is reused only while its source is
+    * byte-identical-in-place. The driver regenerates `/root/testdata`
+    * between rounds without renaming, so a marker keyed on the sf dir
+    * basename alone would serve stale splits. */
+  private def srcFingerprint(src: java.nio.file.Path): String = {
+    val f = src.toFile
+    s"${f.lastModified}:${f.length}"
+  }
+
+  /** True when `done` exists and records `fp`. */
+  private def stagedFresh(done: java.nio.file.Path, fp: String): Boolean =
+    java.nio.file.Files.exists(done) &&
+      new String(java.nio.file.Files.readAllBytes(done),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+
+  private def writeMarker(done: java.nio.file.Path, fp: String): Unit = {
+    java.nio.file.Files.write(done,
+      fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (): Unit
+  }
+
   /** events schema as STAGED — every stream directory this module
     * writes holds the canonical µs TIMESTAMP_NTZ encoding (see
     * [[normalizedEvents]]), so file-source readers never branch on the
@@ -187,6 +220,21 @@ object StreamingOps {
   final case class DrainResult(df: DataFrame, maxStateRows: Long,
       finalStateRows: Long)
 
+  /** Telemetry journal of completed drains — (sink name, micro-batch
+    * count, max state rows, final state rows) — since the last poll.
+    * The bench polls after each measured query and publishes the counts
+    * in its per-query diag, so micro-batch engine overhead vs state
+    * growth is attributable from the artifact alone. */
+  private val drainLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long)]
+
+  def pollDrainStats(): Seq[(String, Int, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Int, Long, Long)]
+    var e = drainLog.poll()
+    while (e != null) { out += e; e = drainLog.poll() }
+    out.result()
+  }
+
   /** Drive any of the above to a named in-memory sink until the source
     * is drained — the synchronous local smoke path.
     *
@@ -212,9 +260,10 @@ object StreamingOps {
       new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
       sink.schema)
     spark.catalog.dropTempView(name)
-    DrainResult(snapshot,
-      if (stateRows.isEmpty) 0L else stateRows.max,
-      stateRows.lastOption.getOrElse(0L))
+    val maxState = if (stateRows.isEmpty) 0L else stateRows.max
+    val finalState = stateRows.lastOption.getOrElse(0L)
+    drainLog.add((name, q.recentProgress.length, maxState, finalState))
+    DrainResult(snapshot, maxState, finalState)
   }
 
   /** Write the sf events file into `target` in the CANONICAL staged
@@ -233,9 +282,7 @@ object StreamingOps {
       val tmp = Files.createTempDirectory("graft_evcanon").toString
       normalizedEvents(spark, d)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      Files.move(Paths.get(part), target, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(singlePartFile(tmp), target, StandardCopyOption.REPLACE_EXISTING)
     } else {
       Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING)
     }
@@ -296,9 +343,7 @@ object StreamingOps {
         spark.createDataFrame(
           java.util.Collections.singletonList(row), rawSchema)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-          .filter(p => p.endsWith(".parquet")).head
-        Files.move(Paths.get(part), f,
+        Files.move(singlePartFile(tmp), f,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
@@ -522,12 +567,14 @@ object StreamingOps {
     "q99_stream_pit",
     """WITH e AS (SELECT user_id, event_id, event_type,
       |            CAST(ts AS TIMESTAMP) AS tsu FROM events),
-      |ch0 AS (SELECT user_id, event_type AS state, tsu,
+      |ch0 AS (SELECT user_id, event_id, event_type AS state, tsu,
       |          lag(event_type) OVER (PARTITION BY user_id
       |            ORDER BY tsu, event_id) AS prev
       |        FROM e),
       |ch AS (SELECT user_id, state, tsu FROM ch0
-      |       WHERE prev IS NULL OR prev <> state),
+      |       WHERE prev IS NULL OR prev <> state
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, tsu
+      |         ORDER BY event_id DESC) = 1),
       |pit AS (SELECT e.user_id, e.event_type, ch.state
       |        FROM e ASOF JOIN ch
       |          ON e.user_id = ch.user_id AND e.tsu >= ch.tsu)
@@ -544,6 +591,13 @@ object StreamingOps {
         .over(Window.partitionBy(col("duser"))
           .orderBy(col("vfrom"), col("event_id"))))
       .filter(col("prev").isNull || col("prev") =!= col("state"))
+      // one version per (user, instant) — the max-event_id change wins,
+      // mirroring the oracle's QUALIFY and q97's batch dedup; vfrom is
+      // then unique per user, so the lead() interval build has no ties
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("duser"), col("vfrom"))
+          .orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
       .withColumn("vto", lead(col("vfrom"), 1).over(w))
       .select(col("duser"), col("state"), col("vfrom"), col("vto"))
     val out = s"stream_pit_${runSeq.incrementAndGet()}"
@@ -572,7 +626,8 @@ object StreamingOps {
     val dir = Paths.get(
       sys.props("java.io.tmpdir"), "graft_delta_stage", name)
     val done = dir.resolve("_staged")
-    if (!Files.exists(done)) {
+    val fp = srcFingerprint(Paths.get(d, "documents.parquet"))
+    if (!stagedFresh(done, fp)) {
       Files.createDirectories(dir)
       val delta = graft.sources.Tables.documents(spark, d)
         .filter(col("source") === "src0")
@@ -587,12 +642,10 @@ object StreamingOps {
         val tmp = Files.createTempDirectory("graft_delta_part").toString
         delta.filter(col("doc_id").between(lo, hi))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
-        Files.move(Paths.get(part), dir.resolve(s"delta_$i.parquet"),
+        Files.move(singlePartFile(tmp), dir.resolve(s"delta_$i.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      Files.createFile(done)
+      writeMarker(done, fp)
     }
     (0 to 2).foreach { i =>
       dir.resolve(s"delta_$i.parquet").toFile
@@ -817,7 +870,8 @@ object StreamingOps {
     val dir = Paths.get(
       sys.props("java.io.tmpdir"), "graft_events_stage_ord_us", name)
     val done = dir.resolve("_staged")
-    if (!Files.exists(done)) {
+    val fp = srcFingerprint(Paths.get(d, "events.parquet"))
+    if (!stagedFresh(done, fp)) {
       Files.createDirectories(dir)
       val raw = normalizedEvents(spark, d)
         .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
@@ -831,13 +885,11 @@ object StreamingOps {
         raw.filter(col("ts_us") >= from && col("ts_us") < until)
           .drop("ts_us")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
         val f = dir.resolve(s"part$i.parquet")
-        Files.move(Paths.get(part), f, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(singlePartFile(tmp), f, StandardCopyOption.REPLACE_EXISTING)
         f.toFile.setLastModified(1000000L * (i + 1))
       }
-      Files.createFile(done)
+      writeMarker(done, fp)
     }
     dir.toString
   }

@@ -12,6 +12,24 @@ class MultimodalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("q37/q100 oracle precondition: the documents corpus is pure " +
+      "ASCII at every driver sf (char positions == byte offsets)") {
+    // the oracles index text by CHARACTER (ascii(substr(text, i, 1)))
+    // while the Spark side sums raw UTF-8 bytes at byte offsets — they
+    // agree iff every character is one byte. A regenerated corpus with
+    // any multi-byte character would silently diverge; this makes the
+    // assumption fail LOUDLY instead (ADVICE r8).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
+      val nonAscii = spark.read.parquet(s"$d/documents.parquet")
+        .filter(octet_length(col("text")) =!= length(col("text")))
+        .count()
+      assert(nonAscii == 0L,
+        s"$d: $nonAscii documents contain multi-byte characters — " +
+          "q37/q100 oracles assume char positions are byte offsets")
+    }
+  }
+
   test("media table: binary payloads with typed metadata") {
     val m = MultimodalOps.mediaTable(spark, sf)
     assert(m.schema("content").dataType.typeName == "binary")
