@@ -685,7 +685,21 @@ object TextOps {
     * within edit distance 1 provably share a variant — so pair
     * generation is an equi-join on the variant key, never all-pairs.
     * The levenshtein ≤ 1 check then verifies candidates exactly.
+    *
+    * The Spark plan joins on a 64-bit HASH of the variant (8-byte
+    * shuffle/compare keys instead of ~20-char strings), carries only
+    * the two custkeys through the join + distinct, and re-attaches the
+    * names for verification afterwards (broadcast below
+    * [[FuzzyBroadcastKnee]] customers, shuffled joins above). A hash
+    * collision can only ADD a candidate, and any added candidate that
+    * passes the dist ≤ 1 verify shares a real variant by the FastSS
+    * guarantee — so the result is identical to the oracle's raw
+    * string-keyed join, row for row. (The join volume itself is linear
+    * in customers — per-variant df is bounded by the digit structure of
+    * the names, max 46 at both benched decades — the round-8 decade
+    * cost was the string-laden distinct, not candidate growth.)
     */
+  private[graft] val FuzzyBroadcastKnee = 1000000L
   val q48FuzzyMatch: QueryDef = sql(
     "q48_fuzzy_match",
     """WITH c AS (SELECT c_custkey, c_name FROM customer),
@@ -712,19 +726,32 @@ object TextOps {
     // indexes the c_name attribute — O(L) per name, no inline-split
     // trap — but a single-file scan would run the whole expansion and
     // the variant join in one task).
-    val v = customer(s, d)
-      .select(col("c_custkey"), name)
+    val cust = customer(s, d).select(col("c_custkey"), name)
+    val v = cust
       .repartition(s.sparkContext.defaultParallelism, col("c_custkey"))
-      .select(col("c_custkey"), name, explode(variants).as("var"))
-    val a = v.select(col("c_custkey").as("k1"), name.as("n1"), col("var"))
-    val b = v.select(col("c_custkey").as("k2"), name.as("n2"), col("var"))
-    a.join(b, Seq("var"))
+      .select(col("c_custkey"), explode(variants).as("var"))
+      .select(col("c_custkey"), xxhash64(col("var")).as("h"))
+    val a = v.select(col("c_custkey").as("k1"), col("h"))
+    val b = v.select(col("c_custkey").as("k2"), col("h"))
+    // verify BEFORE deduplicating: the name lookups are map-side
+    // broadcast probes and the levenshtein filter kills ~99% of the
+    // stream in the same codegen stage, so the distinct only shuffles
+    // true matches — never the raw candidate stream (the round-8 plan
+    // shuffled every candidate with both name strings attached).
+    val cand = a.join(b, Seq("h"))
       .filter(col("k1") < col("k2"))
-      .select(col("k1"), col("n1"), col("k2"), col("n2"))
-      .distinct()
+      .select(col("k1"), col("k2"))
+    val n1 = cust.select(col("c_custkey").as("k1"), name.as("n1"))
+    val n2 = cust.select(col("c_custkey").as("k2"), name.as("n2"))
+    val withNames =
+      if (customer(s, d).count() <= FuzzyBroadcastKnee)
+        cand.join(broadcast(n1), "k1").join(broadcast(n2), "k2")
+      else cand.join(n1, "k1").join(n2, "k2")
+    withNames
       .select(col("k1"), col("k2"),
         levenshtein(col("n1"), col("n2")).cast("int").as("dist"))
       .filter(col("dist") <= 1)
+      .distinct()
       .orderBy(col("k1"), col("k2"))
   }
 
