@@ -734,7 +734,154 @@ object SimilarityOps {
       .orderBy(col("q_id"))
   }
 
+  /** Corpus size above which q102's within-cluster pair generation stops
+    * broadcasting one side of the self-join and shuffles both sides on
+    * the cluster key instead — same cost-gated index selection as q34's
+    * knee and the dedup family's `ArrayBroadcastKnee`, decided from one
+    * metadata-cheap parquet row count. */
+  private val ClusterBroadcastKnee = 250000L
+
+  /** Semantic deduplication (the SemDeDup shape): WITHIN each cluster,
+    * a vector is dropped when a lower-id cluster-mate sits at cosine ≥
+    * 0.4 — keep-lowest-id, exactly the exact-dedup keep rule lifted to
+    * "semantically identical". The `label` column plays the cluster
+    * assignment (a real pipeline would use q44's learned IVF cells; the
+    * labelled column keeps the oracle expressible). Per-cluster summary:
+    * member count, dropped count, and the exact sum of surviving ids as
+    * a keep-set checksum.
+    *
+    * Scale posture: candidate pairs are generated CLUSTER-LOCAL (join on
+    * the cluster key — never all-pairs), and in a real corpus cluster
+    * count grows with n (SemDeDup uses n/1000-ish k-means cells), so
+    * per-cluster pair volume stays bounded while the cluster join
+    * parallelizes across cells. Below [[ClusterBroadcastKnee]] vectors
+    * the right side broadcasts and pair generation is map-side; above
+    * it both sides shuffle on the cluster key. The cosine is the same
+    * codegen left-fold double dot both engines evaluate in the same
+    * order, so the ≥ 0.4 gate is bit-deterministic.
+    */
+  val q102SemanticDedup: QueryDef = sql(
+    "q102_semantic_dedup",
+    s"""WITH d AS (SELECT vec_id, label, embedding,
+      |           sqrt(${sqlDot("embedding", "embedding")}) AS nr
+      |           FROM embeddings),
+      |p AS (SELECT a.label AS label, b.vec_id AS v2
+      |      FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+      |      WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nr * b.nr) >= 0.4),
+      |drp AS (SELECT DISTINCT label, v2 FROM p)
+      |SELECT d.label, count(*) AS n_vecs,
+      |       CAST(count(drp.v2) AS BIGINT) AS n_dropped,
+      |       CAST(sum(CASE WHEN drp.v2 IS NULL THEN d.vec_id ELSE 0 END) AS BIGINT)
+      |         AS kept_id_sum
+      |FROM d LEFT JOIN drp ON drp.label = d.label AND drp.v2 = d.vec_id
+      |GROUP BY d.label ORDER BY d.label""") { (s, d) =>
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        nrm(col("embedding")).as("nr"))
+    val lhs = e.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nr").as("nr1"))
+    val rhs = e.select(col("label"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nr").as("nr2"))
+    val cand =
+      if (embeddings(s, d).count() <= ClusterBroadcastKnee)
+        lhs.join(broadcast(rhs), "label")
+      else lhs.join(rhs, "label")
+    val dropped = cand.filter(col("v1") < col("v2"))
+      .filter(dot(col("e1"), col("e2")) / (col("nr1") * col("nr2")) >= 0.4)
+      .select(col("label").as("drop_label"), col("v2")).distinct()
+    e.join(dropped, col("label") === col("drop_label")
+          && col("vec_id") === col("v2"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("v2")).cast("long").as("n_dropped"),
+        sum(when(col("v2").isNull, col("vec_id")).otherwise(lit(0L)))
+          .cast("long").as("kept_id_sum"))
+      .orderBy(col("label"))
+  }
+
+  /** Embedding-space outlier pruning (the cluster-distance quality
+    * filter of curated-pretraining pipelines: drop items far from their
+    * cluster centroid). Per label, the centroid is the exact 56-bit
+    * floor-split element-wise mean (q44's bit-reproducible construction
+    * — order-independent integer sums, so 32 partitions and a sequential
+    * scan agree exactly); every vector's cosine to its centroid is the
+    * shared left-fold double dot, and vectors below 0.0 — pointing away
+    * from their cluster's mean direction — surface as outliers.
+    *
+    * Scale posture: the component explode is one map pass (64 rows per
+    * vector, compact (label, dim, v) shuffle rows with partial
+    * aggregation), centroids are label-count-sized and broadcast back,
+    * and the scoring pass is map-side — the same two-shuffle shape as a
+    * grouped average plus a broadcast join, at any corpus size.
+    */
+  val q103EmbedOutliers: QueryDef = sql(
+    "q103_embed_outliers",
+    s"""WITH comp AS (SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS v
+      |         FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
+      |sp1 AS (SELECT label, dim,
+      |          CAST(floor(v * 72057594037927936) AS BIGINT) AS x1,
+      |          v * 72057594037927936 - floor(v * 72057594037927936) AS r1
+      |        FROM comp),
+      |sp2 AS (SELECT label, dim, x1,
+      |          CAST(floor(r1 * 72057594037927936) AS BIGINT) AS x2,
+      |          r1 * 72057594037927936 - floor(r1 * 72057594037927936) AS r2
+      |        FROM sp1),
+      |dm AS (SELECT label, dim,
+      |         (CAST(sum(x1) AS DOUBLE)
+      |           + (CAST(sum(x2) AS DOUBLE)
+      |              + CAST(sum(CAST(floor(r2 * 72057594037927936) AS BIGINT)) AS DOUBLE)
+      |                / 72057594037927936)
+      |             / 72057594037927936)
+      |         / 72057594037927936 / count(*) AS m
+      |       FROM sp2 GROUP BY label, dim),
+      |cents AS (SELECT label, list(m ORDER BY dim) AS c_emb FROM dm GROUP BY label),
+      |cents2 AS (SELECT label, c_emb, sqrt(${sqlDot("c_emb", "c_emb")}) AS c_nr
+      |           FROM cents),
+      |sc AS (SELECT vec_id, e.label,
+      |         ${sqlDot("embedding", "c_emb")} / (nr * c_nr) AS cosine
+      |       FROM (SELECT vec_id, label, embedding,
+      |               sqrt(${sqlDot("embedding", "embedding")}) AS nr
+      |             FROM embeddings) e
+      |         JOIN cents2 ON cents2.label = e.label)
+      |SELECT vec_id, label, cosine FROM sc WHERE cosine < 0.0
+      |ORDER BY vec_id""") { (s, d) =>
+    val S = 72057594037927936L // 2^56
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        nrm(col("embedding")).as("nr"))
+    val sp = e
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        col("col").cast("double").as("v"))
+      .withColumn("x1", floor(col("v") * S))
+      .withColumn("r1", col("v") * S - col("x1"))
+      .withColumn("x2", floor(col("r1") * S))
+      .withColumn("r2", col("r1") * S - col("x2"))
+      .withColumn("x3", floor(col("r2") * S))
+    val dm = sp.groupBy(col("label"), col("dim"))
+      .agg(
+        sum(col("x1").cast("decimal(38,0)")).as("s1"),
+        sum(col("x2").cast("decimal(38,0)")).as("s2"),
+        sum(col("x3").cast("decimal(38,0)")).as("s3"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("dim"),
+        ((col("s1").cast("double")
+          + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
+          / S / col("cnt")).as("m"))
+    val cents = dm.groupBy(col("label"))
+      .agg(array((0 until 64).map(i =>
+        max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
+      .select(col("label"), col("c_emb"),
+        sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
+    e.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        (dotAny(col("embedding"), col("c_emb")) / (col("nr") * col("c_nr")))
+          .as("cosine"))
+      .filter(col("cosine") < 0.0)
+      .orderBy(col("vec_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf,
-      q56QuantizeInt8, q72KnnClassify)
+      q56QuantizeInt8, q72KnnClassify, q102SemanticDedup, q103EmbedOutliers)
 }

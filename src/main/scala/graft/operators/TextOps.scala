@@ -2192,6 +2192,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-passage detection — the windowed-hash realization of
+    * substring-level dedup (the operation suffix-array dedup performs on
+    * training corpora): every 8-token window of every document is
+    * hashed, a window whose hash occurs in MORE THAN ONE DISTINCT
+    * document is a duplicated span, and each document reports its total
+    * and duplicated window counts plus the duplicated fraction (the
+    * signal a span-removal / doc-drop policy thresholds on).
+    *
+    * Plan shape (the same 2-pass df-join the shingle index uses, and the
+    * shape this takes at 100 TB): one Generate pass emits (doc, window)
+    * rows — the custom `NGramGenerator` UDTF, so the tokenizer runs once
+    * per document, not once per window (see its scaladoc) — hashed to
+    * 60-bit keys so shuffle rows stay 16 bytes with no raw text; a
+    * (doc_id, h) hash-aggregation collapses within-doc repeats; a
+    * second aggregation by h counts containing documents (these rows
+    * ARE the distinct-doc counts because of the first collapse); the
+    * h-partitioned join marks duplicated windows and a final doc_id
+    * aggregation folds per-document totals. Three compact-key shuffles,
+    * partial aggregation everywhere, nothing driver-side.
+    */
+  val q101DupSpans: QueryDef = sql(
+    "q101_dup_spans",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |win AS (SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+      |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+      |               i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g FROM w)),
+      |dc AS (SELECT doc_id, h, count(*) AS c FROM win GROUP BY 1, 2),
+      |df AS (SELECT h, count(*) AS nd FROM dc GROUP BY 1),
+      |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_win,
+      |               CAST(sum(CASE WHEN nd > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_win
+      |        FROM dc JOIN df USING (h) GROUP BY 1)
+      |SELECT doc_id, n_win, dup_win,
+      |       round(CAST(dup_win AS DOUBLE) / n_win, 6) AS dup_frac
+      |FROM per WHERE dup_win > 0 ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.classic.GraftBridge
+    val grams = GraftBridge.column(graft.functions.NGramGenerator(
+      GraftBridge.expression(toks(col("text"))), 8))
+    val win = documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"), tokHash(col("g")).as("h"))
+    val dc = win.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    val df = dc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    dc.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_win"),
+        sum(when(col("nd") > 1, col("c")).otherwise(lit(0L))).cast("long")
+          .as("dup_win"))
+      .filter(col("dup_win") > 0)
+      .select(col("doc_id"), col("n_win"), col("dup_win"),
+        round(col("dup_win").cast("double") / col("n_win"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
@@ -2203,5 +2258,5 @@ object TextOps {
     q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
     q77BpeMerges, q79BpeEncode, q80EpochMixture, q93Boilerplate, q94Bm25,
-    q98KhopReach)
+    q98KhopReach, q101DupSpans)
 }
