@@ -2205,12 +2205,16 @@ object TextOps {
     * rows — the custom `NGramGenerator` UDTF, so the tokenizer runs once
     * per document, not once per window (see its scaladoc) — hashed to
     * 60-bit keys so shuffle rows stay 16 bytes with no raw text; a
-    * (doc_id, h) hash-aggregation collapses within-doc repeats; a
-    * second aggregation by h counts containing documents (these rows
-    * ARE the distinct-doc counts because of the first collapse); the
-    * h-partitioned join marks duplicated windows and a final doc_id
-    * aggregation folds per-document totals. Three compact-key shuffles,
-    * partial aggregation everywhere, nothing driver-side.
+    * (doc_id, h) hash-aggregation collapses within-doc repeats; the
+    * containing-document count per window is then a COUNT OVER
+    * (PARTITION BY h) window on those collapsed rows (each row is one
+    * distinct (doc, window), so the partition size IS the distinct-doc
+    * count) — a window, not a groupBy(h)+self-join, because the join
+    * form re-evaluates the whole Generate+aggregate subtree for its
+    * second input (no CSE across a self-join; plan-pinned to exactly
+    * one Generate); a final doc_id aggregation folds per-document
+    * totals. Three compact-key shuffles, one corpus pass, partial
+    * aggregation everywhere, nothing driver-side.
     */
   val q101DupSpans: QueryDef = sql(
     "q101_dup_spans",
@@ -2235,8 +2239,7 @@ object TextOps {
       .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"), tokHash(col("g")).as("h"))
     val dc = win.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
-    val df = dc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
-    dc.join(df, "h")
+    dc.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_win"),
         sum(when(col("nd") > 1, col("c")).otherwise(lit(0L))).cast("long")

@@ -245,11 +245,33 @@ object StreamingOps {
     * its consumer in a multi-query session (Verify sweep, two-attempt
     * bench), and the result stays valid however late a caller evaluates
     * it. */
+  /** State partition count for the drained stateful streams. A stateful
+    * operator opens, commits, and snapshots one state-store instance PER
+    * shuffle partition PER micro-batch — fixed overhead that dwarfs the
+    * per-row work at bench-scale state (~10⁴–10⁵ rows: measured on the
+    * stream-stream interval join, 14.3 s at 32 partitions, 5.1 s at 8,
+    * 4.8 s at 4 — identical results). Streaming state partitioning is
+    * also PINNED at first start (checkpointed), so it is a deliberate
+    * sizing decision, not something to inherit from the batch shuffle
+    * width: size it to state volume (here ~10k rows/partition). At
+    * 100 TB state you raise this constant — the knob is the point; the
+    * batch side of the same session keeps its own width. */
+  private val StreamStatePartitions = 4
+
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): DrainResult = {
     val spark = df.sparkSession
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
+    val batchWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(StreamStatePartitions, batchWidth.toInt))
+        df.writeStream.outputMode(mode)
+          .format("memory").queryName(name).start()
+      } finally
+        // the stream captured its width at start; the session's batch
+        // queries (and any foreachBatch body) keep theirs
+        spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
     try q.processAllAvailable()
     finally q.stop()
     val stateRows = q.recentProgress.toSeq

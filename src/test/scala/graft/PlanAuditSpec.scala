@@ -401,4 +401,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), "top-k fell to a sort")
     assert(plan.contains("BroadcastHashJoin"), "term probe not broadcast")
   }
+
+  test("q101 dup-spans: windows stream from the NGram Generator exactly " +
+      "once (the df self-join form re-evaluates the corpus subtree " +
+      "twice), and the doc-count rung is a window, not a join") {
+    val plan = finalPlan(SparkEntry.queries("q101_dup_spans")(spark, sf))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val generates = finalSection.linesIterator
+      .count(_.toLowerCase.contains("ngramgenerator"))
+    assert(generates == 1,
+      s"expected exactly one Generate pass over the corpus, got $generates")
+    assert(!finalSection.linesIterator.exists(l =>
+        l.contains("Join") && !l.contains("joinType")),
+      s"doc counting must be the h-partitioned window, never a join\n$plan")
+    assert(finalSection.contains("Window"), "per-window doc count missing")
+  }
+
+  test("q102 semantic dedup below the knee: cluster-local candidates " +
+      "via broadcast, codegen dot, no cartesian pair generation") {
+    val plan = finalPlan(SparkEntry.queries("q102_semantic_dedup")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "below-knee candidate join must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      "pairs must meet on the cluster key, never all-pairs")
+    assert(plan.toLowerCase.contains("floatvectordot"),
+      "cosine must use the native codegen expression")
+  }
+
+  test("q103 outliers: centroids join back broadcast and the scoring " +
+      "pass uses the codegen mixed dot; no sort-merge anywhere") {
+    val plan = finalPlan(SparkEntry.queries("q103_embed_outliers")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "label-count-sized centroid table must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.toLowerCase.contains("vectordot"),
+      "centroid cosine must use the native codegen expression")
+  }
 }
