@@ -15,7 +15,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.all ++ EventOps.all ++ GraphOps.all ++ TextOps.all ++
       SimilarityOps.all ++ MultimodalOps.all ++ ScaleOps.all ++
-      graft.etl.CricketDemo.all ++ graft.streaming.StreamingOps.queries
+      CurationOps.all ++ graft.etl.CricketDemo.all ++
+      graft.streaming.StreamingOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -881,7 +881,144 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** One exact Lloyd mean: per-cluster centroid of `asn` (c_id,
+    * embedding) via the 56-bit floor-split integer sum (see q44's
+    * scaladoc for the bit-reproducibility construction) → (c_id, c_emb
+    * DOUBLE[64], c_nr). Factored from [[learnedCentroidsPlan]] so the
+    * multi-round trainer (q109) iterates the identical round. */
+  private def lloydMean(asn: DataFrame): DataFrame = {
+    val S = 72057594037927936L // 2^56
+    val comp = asn
+      .select(col("c_id"), posexplode(col("embedding")))
+      .select(col("c_id"), col("pos").as("dim"),
+        col("col").cast("double").as("v"))
+    val sp = comp
+      .withColumn("x1", floor(col("v") * S))
+      .withColumn("r1", col("v") * S - col("x1"))
+      .withColumn("x2", floor(col("r1") * S))
+      .withColumn("r2", col("r1") * S - col("x2"))
+      .withColumn("x3", floor(col("r2") * S))
+    val dm = sp.groupBy(col("c_id"), col("dim"))
+      .agg(
+        sum(col("x1").cast("decimal(38,0)")).as("s1"),
+        sum(col("x2").cast("decimal(38,0)")).as("s2"),
+        sum(col("x3").cast("decimal(38,0)")).as("s3"),
+        count(lit(1)).as("cnt"))
+      .select(col("c_id"), col("dim"),
+        ((col("s1").cast("double")
+          + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
+          / S / col("cnt")).as("m"))
+    dm.groupBy(col("c_id"))
+      .agg(array((0 until 64).map(i =>
+        max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
+      .select(col("c_id"), col("c_emb"),
+        sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
+  }
+
+  /** One oracle Lloyd round: assign `base` to `cin` centroids, then the
+    * 56-bit floor-split mean → CTEs `<p>asn`, `<p>dm`, `<p>cents`
+    * (c_id, c_emb, c_nr). */
+  private def lloydRoundSql(base: String, cin: String, p: String): String =
+    s"""${p}a AS (SELECT vec_id, embedding, c_id,
+      |       ROW_NUMBER() OVER (PARTITION BY vec_id
+      |         ORDER BY ${sqlDotFast("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS rn
+      |     FROM $base CROSS JOIN $cin),
+      |${p}asn AS (SELECT vec_id, embedding, c_id FROM ${p}a WHERE rn = 1),
+      |${p}comp AS (SELECT c_id, dim, CAST(embedding[dim] AS DOUBLE) AS v
+      |       FROM ${p}asn CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
+      |${p}sp1 AS (SELECT c_id, dim,
+      |        CAST(floor(v * 72057594037927936) AS BIGINT) AS x1,
+      |        v * 72057594037927936 - floor(v * 72057594037927936) AS r1
+      |      FROM ${p}comp),
+      |${p}sp2 AS (SELECT c_id, dim, x1,
+      |        CAST(floor(r1 * 72057594037927936) AS BIGINT) AS x2,
+      |        r1 * 72057594037927936 - floor(r1 * 72057594037927936) AS r2
+      |      FROM ${p}sp1),
+      |${p}dm AS (SELECT c_id, dim,
+      |       (CAST(sum(x1) AS DOUBLE)
+      |         + (CAST(sum(x2) AS DOUBLE)
+      |            + CAST(sum(CAST(floor(r2 * 72057594037927936) AS BIGINT)) AS DOUBLE)
+      |              / 72057594037927936)
+      |           / 72057594037927936)
+      |       / 72057594037927936 / count(*) AS m
+      |     FROM ${p}sp2 GROUP BY c_id, dim),
+      |${p}cents AS (SELECT c_id, list(m ORDER BY dim) AS c_emb,
+      |         sqrt(list_dot_product(list(m ORDER BY dim), list(m ORDER BY dim))) AS c_nr
+      |       FROM ${p}dm GROUP BY c_id)""".stripMargin
+
+  private val KmeansRounds = 3
+
+  /** MULTI-ROUND k-means training — the iterative-ML shape on Spark
+    * (Lloyd's algorithm, k=16, 3 rounds): assign every vector to its
+    * nearest centroid (map-side broadcast argmax — the model broadcasts,
+    * the corpus never shuffles), recompute exact means, repeat. Each
+    * round's 16-row model is `localCheckpoint`ed so the executed plan
+    * stays one-round-deep however many rounds run (the q24-PageRank /
+    * q77-BPE driver-loop recipe) — at 100 TB this is R corpus passes,
+    * each a broadcast probe + one (cell, dim)-keyed partial aggregation,
+    * with nothing iteration-dependent in the shuffle.
+    *
+    * Cross-engine exactness: every mean is the 56-bit floor-split
+    * integer sum (q44's construction), so all THREE rounds of
+    * assignments and centroids are bit-identical in both engines — the
+    * oracle unrolls the loop as three chained CTE rounds. Output: final
+    * cluster sizes, centroid norms, and nano-quantized component sums
+    * (order-independent per-centroid checksum).
+    */
+  val q109KmeansTrain: QueryDef = {
+    val rounds = (1 to KmeansRounds).map { r =>
+      lloydRoundSql(
+        "d", if (r == 1) "k0cents" else s"k${r - 1}cents", s"k$r")
+    }.mkString(",\n")
+    sql(
+      "q109_kmeans_train",
+      s"""WITH d AS (SELECT vec_id, embedding, sqrt(${sqlDotFast("embedding", "embedding")}) AS nr
+        |           FROM embeddings),
+        |k0cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nr AS c_nr
+        |            FROM d WHERE vec_id < 16),
+        |$rounds,
+        |fa AS (SELECT vec_id, c_id,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY ${sqlDotFast("embedding", "c_emb")} / (nr * c_nr) DESC, c_id) AS rn
+        |       FROM d CROSS JOIN k${KmeansRounds}cents),
+        |sz AS (SELECT c_id, count(*) AS n FROM fa WHERE rn = 1 GROUP BY 1),
+        |ck AS (SELECT c_id,
+        |         CAST(sum(CAST(floor(m * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS comp_nano_sum
+        |       FROM k${KmeansRounds}dm GROUP BY 1)
+        |SELECT c.c_id, coalesce(n, 0) AS n, round(c_nr, 6) AS norm6,
+        |       comp_nano_sum
+        |FROM k${KmeansRounds}cents c
+        |LEFT JOIN sz ON sz.c_id = c.c_id
+        |JOIN ck ON ck.c_id = c.c_id
+        |ORDER BY c.c_id""") { (s, d) =>
+      val e = embVecs(s, d)
+      var cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nr").as("c_nr"))
+      (1 to KmeansRounds).foreach { r =>
+        val asn = assignNearest(e, cents, if (r == 1) dot else dotAny)
+        // 16-row model: checkpoint truncates the growing lineage so the
+        // next round's plan re-reads a LocalRelation, not r rounds of
+        // shuffles (the PageRank fallback recipe)
+        cents = lloydMean(asn).localCheckpoint()
+      }
+      val sizes = assignNearest(e, cents, dotAny)
+        .groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      cents
+        .join(sizes, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("n"), lit(0L)).as("n"),
+          round(col("c_nr"), 6).as("norm6"),
+          aggregate(
+            transform(col("c_emb"),
+              v => floor(v * 1000000000.0 + 0.5).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("comp_nano_sum"))
+        .orderBy(col("c_id"))
+    }
+  }
+
   def all: Seq[QueryDef] =
     Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf,
-      q56QuantizeInt8, q72KnnClassify, q102SemanticDedup, q103EmbedOutliers)
+      q56QuantizeInt8, q72KnnClassify, q102SemanticDedup, q103EmbedOutliers,
+      q109KmeansTrain)
 }

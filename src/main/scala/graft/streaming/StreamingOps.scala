@@ -1037,8 +1037,88 @@ object StreamingOps {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  final case class MgSnap(event_type: String, n_seen: Long, cands: Array[Long])
+
+  /** Misra-Gries frequent-items sketch as KEYED STREAMING STATE: per
+    * event_type, a capacity-`cap` candidate map folded over the value
+    * stream (floor(value) buckets), carried across micro-batches — the
+    * streaming form of q92's two-pass heavy-hitters. State is O(cap)
+    * per key FOREVER, regardless of stream length or distinct-bucket
+    * cardinality — the property that makes frequent-items monitoring
+    * viable on an unbounded 100 TB feed where an exact per-bucket count
+    * would grow state without bound. Each batch emits the key's current
+    * (n_seen, sorted candidates) snapshot (Update mode); n_seen is
+    * strictly monotone per key, so the final sketch is recoverable from
+    * the drained sink without an end-of-stream signal.
+    */
+  def mgCandidates(events: DataFrame, cap: Int): Dataset[MgSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), floor(col("value")).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]), MgSnap](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[(Long, Map[Long, Long])]) =>
+          var (n, m) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          rows.foreach { case (_, bk) =>
+            n += 1
+            m = m.get(bk) match {
+              case Some(c) => m.updated(bk, c + 1)
+              case None if m.size < cap => m.updated(bk, 1L)
+              // decrement-all: cancels one occurrence of bk against one
+              // of each resident candidate; zeros drop out (MG 1982)
+              case None => m.collect { case (t, c) if c > 1 => t -> (c - 1) }
+            }
+          }
+          state.update((n, m))
+          Iterator.single(MgSnap(etype, n, m.keysIterator.toArray.sorted))
+      }
+  }
+
+  /** STREAMING heavy hitters, oracle-verified EXACTLY: the MG candidate
+    * sketch ([[mgCandidates]], capacity 249) folds the event-time-ordered
+    * 3-batch replay, then the drained final candidates (largest-n_seen
+    * snapshot per key) are exact-counted in batch and thresholded at
+    * freq > total/125. MG guarantees every bucket with freq > n/250 is
+    * a candidate whatever the arrival order, so the candidate set is a
+    * strict superset of the answer and the exact pass only prunes —
+    * the registered result equals the plain GROUP BY + HAVING oracle,
+    * while the streaming side never held more than 249 entries per key.
+    */
+  val q104StreamHeavyHitters: QueryDef = QueryDef.sql(
+    "q104_stream_heavy_hitters",
+    """WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket FROM events),
+      |c AS (SELECT event_type, bucket, count(*) AS freq FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, count(*) AS total FROM e GROUP BY 1)
+      |SELECT c.event_type, bucket, freq, total
+      |FROM c JOIN t USING (event_type)
+      |WHERE 125 * freq > total
+      |ORDER BY event_type, freq DESC, bucket""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val out = s"stream_hh_${runSeq.incrementAndGet()}"
+    val snaps = runToMemory(
+      mgCandidates(eventStream(s, stageEventsOrdered(s, d),
+        oneFilePerBatch = true), cap = 249).toDF(),
+      out, OutputMode.Update).df
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n_seen").desc)
+    val cands = snaps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), explode(col("cands")).as("bucket"))
+    val e = normalizedEvents(s, d)
+      .select(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+    val totals = e.groupBy(col("event_type")).agg(count(lit(1)).as("total"))
+    e.join(broadcast(cands), Seq("event_type", "bucket"), "left_semi")
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("freq"))
+      .join(broadcast(totals), "event_type")
+      .filter(lit(125) * col("freq") > col("total"))
+      .select(col("event_type"), col("bucket"), col("freq"), col("total"))
+      .orderBy(col("event_type"), col("freq").desc, col("bucket"))
+  }
+
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
       q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin,
-      q83StreamOuterJoin, q88StreamFunnel, q96StreamDistinct, q99StreamPit)
+      q83StreamOuterJoin, q88StreamFunnel, q96StreamDistinct, q99StreamPit,
+      q104StreamHeavyHitters)
 }

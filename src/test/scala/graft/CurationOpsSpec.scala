@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the curation family (q104-q108): each query's
+  * result is re-derived here by an independent driver-side computation
+  * over the same fixture, so a DuckDB-side and Spark-side bug cannot
+  * cancel out (the oracle compare alone can't catch a matched error in
+  * the shared derivation, e.g. both engines building the wrong "old"
+  * snapshot).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read
+    .parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text", "lang", "source")
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  test("q105 snapshot-diff statuses match direct doc_id arithmetic") {
+    val got = SparkEntry.queries("q105_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ids = docs.map(_._1)
+    val added = ids.filter(_ % 11 == 3)
+    val removed = ids.filter(_ % 13 == 5).map(_ + 1000000L)
+    val changed = ids.filter(i => i % 11 != 3 && i % 7 == 2)
+    val unchanged = ids.filter(i => i % 11 != 3 && i % 7 != 2)
+    def exp(s: Seq[Long]) = (s.length.toLong, s.sum)
+    assert(got("added") == exp(added))
+    assert(got("removed") == exp(removed))
+    assert(got("changed") == exp(changed))
+    assert(got("unchanged") == exp(unchanged))
+    // the four statuses partition old ∪ new keyed rows exactly
+    assert(got.values.map(_._1).sum ==
+      added.length + removed.length + changed.length + unchanged.length)
+  }
+
+  test("q106 one-pass profile stats equal per-column direct computes") {
+    val prof = SparkEntry.queries("q106_data_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val q = prof("l_quantity")
+    assert(q.getLong(1) == li.filter(col("l_quantity").isNull).count())
+    assert(q.getLong(2) == li.select("l_quantity").distinct().count())
+    assert(q.getDouble(3) ==
+      li.agg(min("l_quantity")).head.getDouble(0))
+    assert(q.getDouble(4) ==
+      li.agg(max("l_quantity")).head.getDouble(0))
+    val rf = prof("l_returnflag")
+    assert(rf.getLong(2) == li.select("l_returnflag").distinct().count())
+    assert(rf.getString(5) ==
+      li.agg(min("l_returnflag")).head.getString(0))
+    assert(rf.isNullAt(3) && rf.isNullAt(4))
+    // the profile is ONE job over ONE scan: a single aggregate output
+    // row unpivoted — no per-column passes
+    val plan = SparkEntry.queries("q106_data_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"profile should scan lineitem exactly once:\n$plan")
+  }
+
+  test("q107 quantized importance scores equal a driver-side recompute") {
+    val B = 4096
+    // independent model: token -> bucket via the same md5 construction,
+    // computed with java.security.MessageDigest, not Spark's md5
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val tokens = docs.flatMap { case (id, text, lang, _) =>
+      text.trim.split(" ").map(t => (id, lang, bucket(t)))
+    }
+    val rawC = tokens.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tgtC = tokens.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap
+    val rtot = tokens.length.toLong
+    val ttot = tokens.count(_._2 == "en").toLong
+    val nano: Map[Long, Long] = rawC.map { case (b, rc) =>
+      val tc = tgtC.getOrElse(b, 0L)
+      b -> math.floor((math.log((tc + 1.0) / (ttot + B))
+        - math.log((rc + 1.0) / (rtot + B))) * 1e9 + 0.5).toLong
+    }
+    val expected = tokens.groupBy(_._1).view
+      .mapValues(_.map(t => nano(t._3)).sum).toMap
+    val got = SparkEntry.queries("q107_importance_weights")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3))
+    assert(got.length == 50)
+    got.foreach { case (id, w) =>
+      assert(w == expected(id), s"doc $id: got $w expected ${expected(id)}")
+    }
+    // and the 50 returned really are the top-50 by (w_nano desc, id)
+    val top = expected.toSeq.sortBy { case (id, w) => (-w, id) }.take(50)
+    assert(got.map(_._1).toSeq == top.map(_._1))
+  }
+
+  test("q108 PII counts equal the injection arithmetic (corpus is " +
+      "organically PII-free — pinned so a regenerated corpus fails loudly)") {
+    // precondition the injection arithmetic relies on: no digits, '@' or
+    // '-' in the organic text, so every match comes from an injected span
+    docs.foreach { case (id, text, _, _) =>
+      assert(!text.exists(c => c.isDigit || c == '@' || c == '-'),
+        s"doc $id contains PII-shaped characters organically")
+    }
+    val got = SparkEntry.queries("q108_pii_scan")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    docs.groupBy(_._4).foreach { case (src, rows) =>
+      val ids = rows.map(_._1)
+      val exp = (ids.length.toLong,
+        ids.count(i => i % 3 == 0 || i % 5 == 0 || i % 7 == 0).toLong,
+        ids.count(_ % 3 == 0).toLong,
+        ids.count(_ % 5 == 0).toLong,
+        ids.count(_ % 7 == 0).toLong)
+      assert(got(src) == exp, s"source $src: ${got(src)} vs $exp")
+    }
+  }
+
+  test("q104 streaming heavy hitters equal the batch GROUP BY + HAVING " +
+      "computed in Spark (DuckDB-independent)") {
+    val got = SparkEntry.queries("q104_stream_heavy_hitters")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val e = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value")).cast("long").as("bk"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totals = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = ev.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq
+      .collect { case ((t, bk), freq) if 125 * freq > totals(t) =>
+        (t, bk, freq, totals(t)) }
+      .sortBy { case (t, bk, freq, _) => (t, -freq, bk) }
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty, "degenerate fixture: no heavy hitters")
+    assert(e.count() > 0)
+  }
+
+  test("q109 k-means training: clusters partition the corpus and the " +
+      "trained model differs from its seeds") {
+    val res = SparkEntry.queries("q109_kmeans_train")(spark, sf).collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(res.length <= 16)
+    assert(res.map(_.getLong(1)).sum == nVecs,
+      "final assignment must cover every vector exactly once")
+    // seeds are unit-ish raw embeddings; trained centroids are means of
+    // many near-orthogonal vectors, so norms must have contracted for
+    // most clusters — training actually moved the model
+    val norms = res.map(_.getDouble(2))
+    assert(norms.forall(n => n > 0.0 && n.isFinite))
+    val seedNorms = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 16)
+      .select(sqrt(aggregate(transform(col("embedding"),
+        v => v.cast("double") * v.cast("double")),
+        lit(0.0), (a, x) => a + x)))
+      .collect().map(_.getDouble(0))
+    val contracted = res.count(_.getDouble(2) < seedNorms.min)
+    assert(contracted >= res.length / 2,
+      s"only $contracted/${res.length} centroid norms contracted below " +
+        s"the smallest seed norm ${seedNorms.min}")
+  }
+
+  test("Misra-Gries streaming state retains every bucket above n/(cap+1) " +
+      "on an adversarial feed wider than its capacity") {
+    import java.nio.file.Files
+    // 5000 events: bucket 9999 appears 25 times (> 5000/250 = 20), the
+    // rest are 4975 distinct singleton buckets — 4976 distinct values
+    // against capacity 249, so the sketch decrements constantly
+    val rows = (0 until 5000).map { i =>
+      val v: Double = if (i % 200 == 7) 9999.0 else 10000.0 + i
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        1L, "probe", v, null.asInstanceOf[String])
+    }
+    val dir = Files.createTempDirectory("mg_adversarial")
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val snaps = graft.streaming.StreamingOps.runToMemory(
+      graft.streaming.StreamingOps.mgCandidates(
+        graft.streaming.StreamingOps.eventStream(spark, dir.toString),
+        cap = 249).toDF(),
+      "mg_adv_out",
+      org.apache.spark.sql.streaming.OutputMode.Update).df
+    val fin = snaps.orderBy(col("n_seen").desc).head
+    assert(fin.getLong(1) == 5000)
+    val cands = fin.getSeq[Long](2)
+    assert(cands.contains(9999L),
+      s"heavy bucket lost by the sketch (${cands.length} candidates)")
+    assert(cands.length <= 249)
+  }
+}
