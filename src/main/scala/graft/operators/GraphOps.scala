@@ -324,10 +324,24 @@ object GraphOps {
       |       FROM nd LEFT JOIN s4 ON nd.node = s4.node)
       |SELECT node, CAST(rq AS DOUBLE) / 1e12 AS rank
       |FROM r4 ORDER BY rank DESC, node LIMIT 20""") { (s, d) =>
-    val projection = graft.SessionCache.checkpoint("graphProjection", s, d)(
-      facedEdges(s, d).select("src", "dst").distinct())
+    // the ITERATION runs on packed LONG node ids (custkey·2 / suppkey·2+1):
+    // 4 broadcast-join+agg passes over the edge list key on 8-byte longs
+    // instead of ~8-char strings — less hash/compare CPU and ~2× less
+    // broadcast/shuffle state per pass. The string names the oracle (and
+    // the reference's Cypher surface) speak appear only in the final
+    // 20-row projection. Bipartite key spaces stay disjoint by parity.
+    val projection = graft.SessionCache.checkpoint("graphProjectionL", s, d)(
+      lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct())
     pageRankQuantized(projection, iters = 4)
-      .select(col("node"), (col("rq").cast("double") / lit(1e12)).as("rank"))
+      .select(
+        concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+          expr("node div 2").cast("string")).as("node"),
+        (col("rq").cast("double") / lit(1e12)).as("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
   }
