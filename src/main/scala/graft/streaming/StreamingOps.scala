@@ -1116,9 +1116,71 @@ object StreamingOps {
       .orderBy(col("event_type"), col("freq").desc, col("bucket"))
   }
 
+  /** STREAMING distribution-drift monitor — the data-quality watch a
+    * 100 TB ingest keeps on its feeds: per hour window, the total-
+    * variation distance (in ppm halves) between the window's value-
+    * bucket distribution and the whole-corpus reference distribution.
+    * The streaming side is a watermarked windowed count per (window,
+    * bucket) — bounded state, Append-mode eviction via the sentinel
+    * flush (the q66 harness); the reference distribution is a ~12-row
+    * broadcast table, so scoring a drained window is map-side. All
+    * arithmetic is integer (ppm via `div`), so the drift score is
+    * engine-exact: both engines see identical per-window counts because
+    * the streaming counts are hash-verified against the same windows
+    * the oracle computes in batch.
+    */
+  val q110StreamDrift: QueryDef = QueryDef.sql(
+    "q110_stream_drift",
+    """WITH e AS (SELECT make_timestamp(CAST(3600000000 * (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS BIGINT)) AS bucket_ts,
+      |            CAST(floor(value / 50) AS BIGINT) AS vb FROM events),
+      |ref AS (SELECT vb, count(*) AS c FROM e GROUP BY 1),
+      |rt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ref),
+      |wc AS (SELECT bucket_ts, vb, count(*) AS c FROM e GROUP BY 1, 2),
+      |wn AS (SELECT bucket_ts, CAST(sum(c) AS BIGINT) AS n_w FROM wc GROUP BY 1),
+      |x AS (SELECT wn.bucket_ts, ref.vb,
+      |        (1000000 * coalesce(wc.c, 0)) // wn.n_w AS ppm_w,
+      |        (1000000 * ref.c) // rt.n AS ppm_ref,
+      |        wn.n_w
+      |      FROM wn CROSS JOIN ref CROSS JOIN rt
+      |      LEFT JOIN wc ON wc.bucket_ts = wn.bucket_ts AND wc.vb = ref.vb)
+      |SELECT bucket_ts AS bucket, min(n_w) AS n,
+      |  CAST(sum(abs(ppm_w - ppm_ref)) // 2 AS BIGINT) AS tv_half_ppm
+      |FROM x GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val out = s"stream_drift_${runSeq.incrementAndGet()}"
+    val drained = runToMemory(
+      eventStream(s, stageEventsWithSentinels(s, d), oneFilePerBatch = true)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"),
+          floor(col("value") / 50).cast("long").as("vb"))
+        .agg(count(lit(1)).as("c")),
+      out, OutputMode.Append)
+    // sentinel events land in their own far-future windows — drop by
+    // window time, not by type (the type column is aggregated away)
+    val wc = drained.df
+      .filter(col("window.start") < lit("2100-01-01").cast("timestamp"))
+      .select(col("window.start").cast("timestamp_ntz").as("bucket_ts"),
+        col("vb"), col("c"))
+    val ref = graft.sources.Tables.events(s, d)
+      .groupBy(floor(col("value") / 50).cast("long").as("vb"))
+      .agg(count(lit(1)).as("rc"))
+    val rt = ref.agg(sum(col("rc")).cast("long").as("n"))
+    val wn = wc.groupBy(col("bucket_ts")).agg(sum(col("c")).cast("long").as("n_w"))
+    wn.crossJoin(broadcast(ref)).crossJoin(broadcast(rt))
+      .join(wc, Seq("bucket_ts", "vb"), "left")
+      .select(col("bucket_ts"),
+        (expr("(1000000 * coalesce(c, 0)) div n_w")).as("ppm_w"),
+        (expr("(1000000 * rc) div n")).as("ppm_ref"),
+        col("n_w"))
+      .groupBy(col("bucket_ts").as("bucket"))
+      .agg(min(col("n_w")).as("n"),
+        expr("CAST(sum(abs(ppm_w - ppm_ref)) div 2 AS BIGINT)")
+          .as("tv_half_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
       q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin,
       q83StreamOuterJoin, q88StreamFunnel, q96StreamDistinct, q99StreamPit,
-      q104StreamHeavyHitters)
+      q104StreamHeavyHitters, q110StreamDrift)
 }

@@ -54,12 +54,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rf.getString(5) ==
       li.agg(min("l_returnflag")).head.getString(0))
     assert(rf.isNullAt(3) && rf.isNullAt(4))
-    // the profile is ONE job over ONE scan: a single aggregate output
-    // row unpivoted — no per-column passes
-    val plan = SparkEntry.queries("q106_data_profile")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.split("Scan parquet").length - 1 == 1,
-      s"profile should scan lineitem exactly once:\n$plan")
+    // five NARROW scans (one column each — same bytes as one 5-column
+    // scan on columnar storage) and no Expand (the multi-distinct
+    // rewrite would replicate every row ×6 into one wide shuffle)
+    val df = SparkEntry.queries("q106_data_profile")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 5,
+      s"profile should be five single-column scans:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"profile must avoid the multi-distinct Expand:\n$plan")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val schemas = fmt.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    // "ReadSchema: struct<col:type>" — exactly one field per scan
+    assert(schemas.size == 5 &&
+      schemas.forall(l => l.count(_ == ':') == 2 && !l.contains(",")),
+      s"each scan should read exactly one column:\n${schemas.mkString("\n")}")
   }
 
   test("q107 quantized importance scores equal a driver-side recompute") {
@@ -139,6 +150,80 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
     assert(got.nonEmpty, "degenerate fixture: no heavy hitters")
     assert(e.count() > 0)
+  }
+
+  test("q111 NFC normalization: codegen expression matches the JDK " +
+      "normalizer and counts match the injection arithmetic") {
+    // precondition: organic corpus text is already NFC (ASCII), so every
+    // change comes from the injected decomposed suffix
+    docs.foreach { case (id, text, _, _) =>
+      assert(java.text.Normalizer.isNormalized(
+        text, java.text.Normalizer.Form.NFC), s"doc $id not NFC organically")
+    }
+    val got = SparkEntry.queries("q111_nfc_normalize")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.groupBy(_._4).foreach { case (src, rows) =>
+      val changed = rows.count(_._1 % 4 == 0).toLong
+      // the decomposed suffix loses exactly one codepoint per changed doc
+      assert(got(src) == ((changed, changed)), s"source $src: ${got(src)}")
+    }
+    // expression-level parity: codegen path ≡ direct JDK call, including
+    // the already-normalized fast path and null propagation
+    import spark.implicits._
+    val samples = Seq("cafe\u0301", "caf\u00e9", "plain", "",
+      "a\u0308\u0301mix", null)
+    val viaExpr = samples.toDF("s")
+      .select(graft.functions.NormalizeNfc.normalizeNfc(col("s")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val direct = samples.map(s =>
+      if (s == null) null else graft.functions.NormalizeNfc.nfc(s))
+    assert(viaExpr.toSeq == direct)
+    assert(direct(0) == " caf\u00e9".trim && direct(1) == "caf\u00e9")
+  }
+
+  test("q112 weighted sample: top-30 matches a driver-side " +
+      "Efraimidis-Spirakis recompute") {
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val nchars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keys = nchars.map { case (id, text, w) =>
+      (id, math.log((hash60(text) + 1.0) / 1152921504606846976.0) / w)
+    }
+    val expected = keys.sortBy { case (id, k) => (-k, id) }.take(30).map(_._1)
+    val got = SparkEntry.queries("q112_weighted_sample")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("q110 streaming drift scores equal a driver-side batch recompute") {
+    // ts is TIMESTAMP_NTZ → LocalDateTime in external rows
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 3600,
+        math.floor(r.getDouble(1) / 50).toLong))
+    val ref = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = ev.length.toLong
+    val expected = ev.groupBy(_._1).view.mapValues { rows =>
+      val nw = rows.length.toLong
+      val wc = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+      val tv = ref.map { case (b, rc) =>
+        math.abs(1000000L * wc.getOrElse(b, 0L) / nw - 1000000L * rc / n)
+      }.sum / 2
+      (nw, tv)
+    }.toMap
+    val got = SparkEntry.queries("q110_stream_drift")(spark, sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 3600,
+        (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
   }
 
   test("q109 k-means training: clusters partition the corpus and the " +

@@ -429,6 +429,66 @@ class PlanAuditSpec extends AnyFunSuite {
       "cosine must use the native codegen expression")
   }
 
+  test("q105 snapshot diff: one full-outer join on the key, and only " +
+      "(doc_id, md5) columns travel — text never reaches the join") {
+    // count in the FINAL plan only (AQE's toString appends the initial
+    // plan, which would double-count the join)
+    val plan = finalPlan(SparkEntry.queries("q105_snapshot_diff")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length +
+      "BroadcastHashJoin".r.findAllIn(plan).length == 1,
+      "snapshot diff should be exactly one join")
+    // the join's output columns are key + hashes, not text
+    val joinLine = plan.linesIterator.find(_.contains("Join FullOuter"))
+      .getOrElse(plan.linesIterator.find(_.contains("FullOuter")).getOrElse(""))
+    assert(!joinLine.contains("text"), s"text reached the join: $joinLine")
+  }
+
+  test("q107 DSIR: the 4096-bucket model broadcasts into the scoring " +
+      "pass; selection is TakeOrderedAndProject, no global sort") {
+    val plan = finalPlan(
+      SparkEntry.queries("q107_importance_weights")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bucket model must broadcast into the token stream")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 selection must not be a global sort")
+  }
+
+  test("q108 PII scan is map-only up to the per-source aggregation: no " +
+      "join, no window; regex work never shuffles text") {
+    val plan = finalPlan(SparkEntry.queries("q108_pii_scan")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"PII scan should be join-free:\n$plan")
+    assert(!plan.contains("Window"), "PII scan should not use a window")
+    // exactly the agg exchange (partial → final) + the output sort's
+    // range partitioning — nothing shuffles the text itself
+    assert("Exchange".r.findAllIn(plan).length == 2,
+      s"expected agg + sort exchanges only, got:\n$plan")
+  }
+
+  test("q111 NFC normalize runs inside whole-stage codegen (native " +
+      "expression, not a UDF) and is join-free") {
+    val df = SparkEntry.queries("q111_nfc_normalize")(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Join"))
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      "normalization must not be a UDF")
+    // the expression appears inside a codegen stage, not a fallback
+    val fmt = formatted(df)
+    assert(fmt.toLowerCase.contains("normalizenfc"),
+      s"expected the native expression in the plan:\n$fmt")
+  }
+
+  test("q112 weighted sample: one map pass + TakeOrderedAndProject — " +
+      "no shuffle other than the top-k merge, no window") {
+    val plan = finalPlan(SparkEntry.queries("q112_weighted_sample")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window") && !plan.contains("Join"))
+    assert(!plan.contains("Exchange"),
+      s"weighted sampling should not shuffle:\n$plan")
+  }
+
   test("q103 outliers: centroids join back broadcast and the scoring " +
       "pass uses the codegen mixed dot; no sort-merge anywhere") {
     val plan = finalPlan(SparkEntry.queries("q103_embed_outliers")(spark, sf))
