@@ -207,14 +207,24 @@ object CurationOps {
       |  round(CAST(w_nano AS DOUBLE) / 1000000000.0, 6) AS log_w
       |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
       |ORDER BY w_nano DESC, d.doc_id LIMIT 50""") { (s, d) =>
-    val t = documents(s, d)
+    // ONE tokenize+explode pass: per-(doc, bucket) occurrence counts are
+    // the shared base — the raw/target feature distributions fold from
+    // it (map-side-partial sums over ≤4096 buckets) and the scoring pass
+    // probes it with the broadcast model, so the 15M-token stream at sf1
+    // is hashed and shuffled once, not twice
+    val t2 = documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"), col("lang"),
         pmod(tokHash(col("tok")), lit(DsirBuckets)).as("b"))
-    val raw = t.groupBy(col("b")).agg(count(lit(1)).as("rc"))
-    val tgt = t.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      // four consumers (raw, target, totals, scoring probe) — pin the
+      // materialized counts so the tokenize+explode runs exactly once
+      .localCheckpoint()
+    val raw = t2.groupBy(col("b")).agg(sum(col("k")).as("rc"))
+    val tgt = t2.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("k")).as("tc"))
     val tot = raw.agg(sum(col("rc")).cast("long").as("rtot"))
       .crossJoin(tgt.agg(sum(col("tc")).cast("long").as("ttot")))
     val lam = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
@@ -223,10 +233,10 @@ object CurationOps {
             (col("ttot") + DsirBuckets)) -
           log((col("rc") + 1.0) / (col("rtot") + DsirBuckets))) *
           1000000000.0 + 0.5).cast("long").as("nano"))
-    t.join(broadcast(lam), "b")
+    t2.join(broadcast(lam), "b")
       .groupBy(col("doc_id"))
-      .agg(sum(col("nano")).cast("long").as("w_nano"),
-        count(lit(1)).as("n_tok"))
+      .agg(sum(col("k") * col("nano")).cast("long").as("w_nano"),
+        sum(col("k")).cast("long").as("n_tok"))
       .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tok"), col("w_nano"),
         round(col("w_nano").cast("double") / 1000000000.0, 6).as("log_w"))
