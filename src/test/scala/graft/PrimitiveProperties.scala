@@ -148,4 +148,34 @@ object PrimitiveProperties extends Properties("primitives") {
       val (x1, x2, x3) = floorSplit(f.toDouble)
       math.abs(x1.toDouble) <= 128.0 * S && x2 >= 0 && x2 < S && x3 >= 0 && x3 < S
     }
+
+  // q111's normalizer: strings mixing ASCII, precomposed, and combining
+  // marks — the shapes NFC actually rewrites
+  private val nfcParts: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.const("caf\u00e9"), Gen.const("cafe\u0301"),
+    Gen.const("a\u0308\u0301"), // base + combining marks; lone mark next
+    Gen.const("\u0301"), Gen.const("\ud83d\ude00")) // surrogate pair too
+  private val nfcStrings: Gen[String] =
+    Gen.listOf(nfcParts).map(_.mkString)
+
+  property("q111 NFC normalization is idempotent") =
+    forAll(nfcStrings) { s =>
+      val once = graft.functions.NormalizeNfc.nfc(s)
+      graft.functions.NormalizeNfc.nfc(once) == once
+    }
+
+  property("q111 NFC agrees with the JDK normalizer (fast path included)") =
+    forAll(nfcStrings) { s =>
+      graft.functions.NormalizeNfc.nfc(s) ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
+  property("q111 NFC preserves NFC-equivalence class (same canonical form " +
+      "whether input was decomposed or precomposed)") =
+    forAll(nfcStrings) { s =>
+      val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      graft.functions.NormalizeNfc.nfc(nfd) ==
+        graft.functions.NormalizeNfc.nfc(s)
+    }
 }
