@@ -170,6 +170,34 @@ object TextOps {
   private def rankedIndex(s: SparkSession, d: String): DataFrame =
     cachedCheckpoint("rankedIndex", s, d)(rankedIndexPlan(s, d))
 
+  /** Σ df·(df−1)/2 over the capped index — EXACTLY the pair-row volume
+    * the inverted-index count-shuffle formulation generates, computed
+    * from one pass over the session-cached index and memoized per
+    * (session, sf). This is the cost statistic the q27/q55 path gate
+    * reads. */
+  private val pairVolumeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private[graft] def pairVolume(s: SparkSession, d: String): Long =
+    pairVolumeCache.computeIfAbsent(s"${s.hashCode}|$d", _ =>
+      shingleIndex(s, d)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) div 2")).cast("long"))
+        .head.getLong(0))
+
+  /** Path gate for the exact pair generators (the q34 cost-gated-index
+    * pattern applied to the dedup flagship): BELOW this pair-row volume
+    * the round-8 count-shuffle plan — index self-join on the hash key,
+    * one count per shared occurrence — is cheaper (measured: 3.6 s at
+    * ~31M pair rows / sf0.1 vs 6.4 s for prefix-filter, because the
+    * filter pays ranked-prefix construction plus per-candidate array
+    * verification); ABOVE it the Σdf²/2 shuffle dominates everything
+    * (measured: 89 s at ~314M pair rows / sf1 vs 15 s prefix-filtered)
+    * and the prefix-filter + verify plan is the only scale-viable one.
+    * Both paths compute the IDENTICAL relation (the prunes are lossless
+    * and the verifier reproduces join-count semantics — equivalence
+    * spec-pinned at fixture scale), so the gate changes cost only. */
+  private[graft] val PairCountKnee = 60000000L
+
   /** Per-document SORTED array of capped-index token hashes (plus its
     * length): the compact verification artifact for candidate pairs.
     * `SortedIntersectCount` over two of these arrays reproduces the
@@ -415,6 +443,14 @@ object TextOps {
     * (round-8 shape), this shuffles candidate PAIRS once (16 B keys)
     * instead of every shared-shingle occurrence into a 78M-group
     * aggregation — the stage that made the decade step superlinear.
+    *
+    * PATH GATE (the q34 cost-gated-index pattern): the count-shuffle
+    * plan is actually CHEAPER below [[PairCountKnee]] pair rows — no
+    * ranked-prefix build, no per-candidate verification — so the query
+    * reads the Σ df²/2 statistic off the cached index and picks the
+    * plan ([[jaccardCountPath]] / [[jaccardPrefixPath]]); equivalence
+    * of the two relations is spec-pinned, and the oracle (which states
+    * the RESULT, in the count formulation) is unchanged either way.
     */
   val q27JaccardPairs: QueryDef = sql(
     "q27_jaccard_pairs",
@@ -437,6 +473,38 @@ object TextOps {
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
       |SELECT d1, d2, round(jac, 6) AS jaccard
       |FROM j WHERE jac >= 0.4 ORDER BY d1, d2""") { (s, d) =>
+    if (pairVolume(s, d) <= PairCountKnee) jaccardCountPath(s, d)
+    else jaccardPrefixPath(s, d)
+  }
+
+  /** Sub-knee q27 plan: index self-join on the hash key + one count row
+    * per shared occurrence — the cheapest plan while Σ df²/2 stays
+    * small (see [[PairCountKnee]]). The sizes ride through the join
+    * only for the length filter; the aggregation key stays (d1, d2). */
+  private[graft] def jaccardCountPath(s: SparkSession, d: String): DataFrame = {
+    val t = shingleIndex(s, d)
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val th = t.join(sz, "doc_id")
+      .select(col("doc_id"), tokHash(col("tok")).as("h"), col("n"))
+    val a = th.select(col("doc_id").as("d1"), col("h"), col("n").as("n1"))
+    val b = th.select(col("doc_id").as("d2"), col("h"), col("n").as("n2"))
+    a.join(b, Seq("h"))
+      .filter(col("d1") < col("d2") &&
+        col("n1") * 5 >= col("n2") * 2 && col("n2") * 5 >= col("n1") * 2)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= 0.4)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Above-knee q27 plan: the AllPairs/PPJoin prefix-filter chain (see
+    * the q27 scaladoc) + broadcast sorted-array verification. */
+  private[graft] def jaccardPrefixPath(s: SparkSession, d: String): DataFrame = {
     val rk = rankedIndex(s, d)
     // prefix length |X| − ⌈0.4·|X|⌉ + 1, integer-exact: ⌈2n/5⌉ = (2n+4) DIV 5
     val pre = rk.filter(col("r") <= col("n") - expr("(2*n+4) DIV 5") + 1)
@@ -1389,6 +1457,37 @@ object TextOps {
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
       |SELECT d1, d2, round(containment, 6) AS containment
       |FROM j WHERE containment >= 0.8 ORDER BY d1, d2""") { (s, d) =>
+    if (pairVolume(s, d) <= PairCountKnee) containmentCountPath(s, d)
+    else containmentPrefixPath(s, d)
+  }
+
+  /** Sub-knee q55 plan: raw index self-join + pair count (the oracle's
+    * own formulation) — cheapest while Σ df²/2 is small. */
+  private[graft] def containmentCountPath(
+      s: SparkSession, d: String): DataFrame = {
+    val t = shingleIndex(s, d)
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val th = t.select(col("doc_id"), tokHash(col("tok")).as("h"))
+    val a = th.select(col("doc_id").as("d1"), col("h"))
+    val b = th.select(col("doc_id").as("d2"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= 0.8)
+      .select(col("d1"), col("d2"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Above-knee q55 plan: one-sided (smaller-role) prefix filter +
+    * broadcast sorted-array verification (see the q55 scaladoc). */
+  private[graft] def containmentPrefixPath(
+      s: SparkSession, d: String): DataFrame = {
     val rk = rankedIndex(s, d)
     // smaller-role prefix |X| − ⌈0.8·|X|⌉ + 1; ⌈4n/5⌉ = (4n+4) DIV 5
     val pre = rk.filter(col("r") <= col("n") - expr("(4*n+4) DIV 5") + 1)

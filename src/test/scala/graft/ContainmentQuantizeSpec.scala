@@ -44,6 +44,21 @@ class ContainmentQuantizeSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "degenerate fixture: no containment pairs")
   }
 
+  test("q27/q55 path gate: the prefix-filter plan and the count-shuffle " +
+      "plan produce identical relations (both orders of the gate)") {
+    // at fixture scale the gate picks the count path; force BOTH paths
+    // and compare row-for-row, so the above-knee plan stays verified at
+    // every sf even though only the sf1 sweep selects it naturally
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sf001 = "/root/testdata/sf0.001"
+    assert(rows(graft.operators.TextOps.jaccardPrefixPath(spark, sf001)) ==
+      rows(graft.operators.TextOps.jaccardCountPath(spark, sf001)))
+    assert(rows(graft.operators.TextOps.containmentPrefixPath(spark, sf001)) ==
+      rows(graft.operators.TextOps.containmentCountPath(spark, sf001)))
+    assert(graft.operators.TextOps.pairVolume(spark, sf001) > 0)
+  }
+
   test("q55 reports size-mismatched pairs that symmetric Jaccard scores " +
       "strictly lower (containment > jaccard whenever |A| != |B|)") {
     val sizes: Map[Long, Int] = TextOps.shingleIndexPlan(spark, sf)
