@@ -403,7 +403,140 @@ object CurationOps {
         round(col("key") * 1000000.0, 6).as("key_micro"))
   }
 
+  /** Temperature-scaled mixture resampling (the α-sampling of
+    * multilingual / multi-source pretraining — Devlin et al. 2019 §A,
+    * Conneau et al. 2020 §3: sample source s with probability
+    * ∝ n_s^α, α < 1, so rare sources are up-weighted relative to their
+    * raw share): compute per-source acceptance rates that hit a target
+    * corpus half the raw size mixed ∝ n_s^0.7, then keep each document
+    * by a deterministic hash draw.
+    *
+    * Cross-engine exactness: the only transcendental is n_s^0.7 —
+    * written exp(0.7·ln n) in BOTH engines and immediately quantized to
+    * integer micro-units (the q107 ln recipe), so the normalizer Z is
+    * an exact integer sum (order-independent) and the acceptance rate
+    * is one correctly-rounded double ratio of exact-in-double integers,
+    * floored to nano-units. The draw is pure integer: keep iff
+    * hash(text) mod 1e9 < rate_nano.
+    *
+    * Scale shape: pass 1 is a map-side-partial per-source count
+    * (|sources| rows); the rate table BROADCASTS; pass 2 is a map-only
+    * filter — no shuffle ever touches document text. The same two-pass
+    * stats-then-broadcast-probe shape as q107/q80.
+    */
+  val q114TemperatureMix: QueryDef = sql(
+    "q114_temperature_mix",
+    """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM s),
+      |w AS (SELECT source, n,
+      |        CAST(floor(exp(0.7 * ln(n)) * 1000000.0 + 0.5) AS BIGINT)
+      |          AS w_micro
+      |      FROM s),
+      |z AS (SELECT CAST(sum(w_micro) AS BIGINT) AS z FROM w),
+      |r AS (SELECT source, n, w_micro,
+      |        least(1000000000, CAST(floor(
+      |          CAST(total // 2 AS DOUBLE) * w_micro / (CAST(z AS DOUBLE) * n)
+      |            * 1000000000.0) AS BIGINT)) AS rate_nano
+      |      FROM w CROSS JOIN z CROSS JOIN tot),
+      |k AS (SELECT d.doc_id, d.source, r.n, r.rate_nano,
+      |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+      |          % 1000000000 AS u_nano
+      |      FROM documents d JOIN r ON r.source = d.source)
+      |SELECT source, max(n) AS n_total,
+      |  CAST(count(*) FILTER (WHERE u_nano < rate_nano) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN u_nano < rate_nano THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS kept_id_sum,
+      |  max(rate_nano) AS rate_nano
+      |FROM k GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val docs = documents(s, d)
+    val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"),
+        floor(exp(lit(0.7) * log(col("n"))) * 1000000.0 + 0.5).cast("long")
+          .as("w_micro"))
+    val z = stats.agg(sum(col("w_micro")).cast("long").as("z"),
+      sum(col("n")).cast("long").as("total"))
+    // rate = (total/2)·w_s / (Z·n_s), floored to nano-units; all inputs
+    // are integers exact in double, so the two multiplies and the divide
+    // are single correctly-rounded IEEE ops — identical both engines
+    val rates = stats.crossJoin(broadcast(z))
+      .select(col("source"), col("n"),
+        least(lit(1000000000L),
+          floor(expr("total div 2").cast("double") * col("w_micro") /
+            (col("z").cast("double") * col("n")) * 1000000000.0)
+            .cast("long")).as("rate_nano"))
+    docs.select(col("doc_id"), col("source"),
+        pmod(tokHash(col("text")), lit(1000000000L)).as("u_nano"))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_total"),
+        sum(when(col("u_nano") < col("rate_nano"), 1).otherwise(0))
+          .cast("long").as("n_kept"),
+        sum(when(col("u_nano") < col("rate_nano"), col("doc_id"))
+          .otherwise(0L)).cast("long").as("kept_id_sum"),
+        max(col("rate_nano")).as("rate_nano"))
+      .orderBy(col("source"))
+  }
+
+  /** Dataset-card rollup — the per-source summary block every corpus
+    * release publishes: document/token counts, share of the corpus, and
+    * the ENTROPY of each source's language mix (the diversity number
+    * next to every mixture table). Two cascaded aggregations —
+    * (source, lang) then source — over one corpus pass; the grand
+    * totals broadcast back as a 1-row join. Entropy −Σ p·ln p is
+    * computed per (source, lang) term, nano-quantized (ln recipe, q107)
+    * and SUMMED AS INTEGERS — order-independent where a double Σ p·ln p
+    * would depend on aggregation order.
+    */
+  val q116DatasetCard: QueryDef = sql(
+    "q116_dataset_card",
+    """WITH sl AS (SELECT source, lang, count(*) AS nd,
+      |        CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS nt
+      |      FROM documents GROUP BY 1, 2),
+      |sl2 AS (SELECT source, lang, nd, nt,
+      |        CAST(sum(nd) OVER (PARTITION BY source) AS DOUBLE) AS ns
+      |      FROM sl),
+      |s AS (SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs,
+      |        CAST(sum(nt) AS BIGINT) AS n_toks,
+      |        CAST(sum(CAST(floor(-(nd / ns) * ln(nd / ns)
+      |            * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ent_nano
+      |      FROM sl2 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+      |               CAST(sum(n_toks) AS BIGINT) AS tt FROM s)
+      |SELECT source, n_docs, n_toks,
+      |  CAST(round(1000000.0 * n_docs / td) AS BIGINT) AS doc_share_micro,
+      |  CAST(round(1000000.0 * n_toks / tt) AS BIGINT) AS tok_share_micro,
+      |  ent_nano
+      |FROM s CROSS JOIN tot ORDER BY source""") { (s, d) =>
+    val sl = documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nd"),
+        sum(size(toks(col("text")))).cast("long").as("nt"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val perSrc = sl
+      .withColumn("ns", sum(col("nd")).over(wSrc))
+      .select(col("source"), col("nd"), col("nt"),
+        floor(-(col("nd") / col("ns").cast("double")) *
+          log(col("nd") / col("ns").cast("double")) * 1000000000.0 + 0.5)
+          .cast("long").as("term_nano"))
+      .groupBy(col("source"))
+      .agg(sum(col("nd")).cast("long").as("n_docs"),
+        sum(col("nt")).cast("long").as("n_toks"),
+        sum(col("term_nano")).cast("long").as("ent_nano"))
+    val tot = perSrc.agg(sum(col("n_docs")).cast("long").as("td"),
+      sum(col("n_toks")).cast("long").as("tt"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        round(lit(1000000.0) * col("n_docs") / col("td")).cast("long")
+          .as("doc_share_micro"),
+        round(lit(1000000.0) * col("n_toks") / col("tt")).cast("long")
+          .as("tok_share_micro"),
+        col("ent_nano"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q105SnapshotDiff, q106DataProfile, q107ImportanceWeights, q108PiiScan,
-      q111NfcNormalize, q112WeightedSample)
+      q111NfcNormalize, q112WeightedSample, q114TemperatureMix,
+      q116DatasetCard)
 }

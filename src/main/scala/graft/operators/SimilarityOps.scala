@@ -1017,8 +1017,145 @@ object SimilarityOps {
     }
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009:
+    * RRF(d) = Σ_lists 1/(60 + rank_list(d)) — the standard fusion of a
+    * lexical and a semantic ranker in RAG / retrieval pipelines): for
+    * each of 5 query documents, fuse (a) a BM25 more-like-this ranking
+    * (query terms = the query document's own token set, q94's scoring
+    * formula and micro-quantization) with (b) the exact cosine ranking
+    * over the embedding table (q33's bit-deterministic codegen dot).
+    * Top-50 from each list enter the fusion; top-10 fused per query
+    * come out, with both source ranks (NULL where a doc appears in only
+    * one list — at sf0.1 the embedding table covers only vec_id < 2000
+    * of 5000 documents, so one-sided fusion rows are organic, not
+    * synthetic).
+    *
+    * Scale shape: the corpus-sized work is two probe passes — the tf
+    * table joins the BROADCAST (q_id, term, df) set (5 query docs'
+    * vocabularies), the embedding scan joins the BROADCAST 5-vector
+    * query set — plus per-query top-50s (TakeOrdered-sized windows,
+    * never a corpus sort). The fusion itself touches ≤ 500 rows. At
+    * 100 TB both probes are the same one-pass map-side joins; the rank
+    * windows see ≤ |queries|·candidates rows.
+    *
+    * Cross-engine exactness: ranks are integers (BM25 scores micro-
+    * quantized longs, cosines bit-identical doubles), and the RRF score
+    * is 1/(60+r_lex) + 1/(60+r_sem) — two correctly-rounded IEEE
+    * divisions and one addition in a fixed order, so the fused ordering
+    * needs no quantization.
+    */
+  val q113HybridRrf: QueryDef = sql(
+    "q113_hybrid_rrf",
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS ntok FROM dl),
+      |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |qdf AS (SELECT qt.doc_id AS q_id, qt.tok, dfq.df
+      |        FROM tf qt JOIN dfq ON dfq.tok = qt.tok WHERE qt.doc_id < 5),
+      |sc AS (SELECT q_id, tf.doc_id,
+      |         CAST(round(1000000 *
+      |           ln(1 + (st.nd - qdf.df + 0.5) / (qdf.df + 0.5)) *
+      |           (tf.tf * 2.2) /
+      |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * st.nd / st.ntok)))
+      |           AS BIGINT) AS s
+      |       FROM tf JOIN qdf ON qdf.tok = tf.tok AND tf.doc_id <> qdf.q_id
+      |            JOIN dl ON dl.doc_id = tf.doc_id
+      |            CROSS JOIN st),
+      |lex AS (SELECT q_id, doc_id, CAST(sum(s) AS BIGINT) AS m
+      |        FROM sc GROUP BY 1, 2),
+      |lr AS (SELECT q_id, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY m DESC, doc_id)
+      |           AS lex_rank
+      |       FROM lex QUALIFY lex_rank <= 50),
+      |de AS (SELECT vec_id, embedding,
+      |         sqrt(${sqlDot("embedding", "embedding")}) AS nr
+      |       FROM embeddings),
+      |qe AS (SELECT vec_id AS q_id, embedding AS q_emb, nr AS q_nr
+      |       FROM de WHERE vec_id < 5),
+      |ce AS (SELECT q_id, de.vec_id AS doc_id,
+      |         ${sqlDot("q_emb", "embedding")} / (q_nr * nr) AS cosine
+      |       FROM qe JOIN de ON de.vec_id <> q_id),
+      |sr AS (SELECT q_id, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id)
+      |           AS sem_rank
+      |       FROM ce QUALIFY sem_rank <= 50),
+      |f AS (SELECT coalesce(lr.q_id, sr.q_id) AS q_id,
+      |        coalesce(lr.doc_id, sr.doc_id) AS doc_id, lex_rank, sem_rank,
+      |        coalesce(1.0 / (60 + lex_rank), 0.0)
+      |          + coalesce(1.0 / (60 + sem_rank), 0.0) AS rrf
+      |      FROM lr FULL OUTER JOIN sr
+      |        ON lr.q_id = sr.q_id AND lr.doc_id = sr.doc_id),
+      |r AS (SELECT q_id, doc_id, lex_rank, sem_rank,
+      |        round(rrf * 1000000.0, 6) AS rrf_micro,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id)
+      |          AS fused_rank
+      |      FROM f QUALIFY fused_rank <= 10)
+      |SELECT q_id, doc_id, lex_rank, sem_rank, rrf_micro, fused_rank
+      |FROM r ORDER BY q_id, fused_rank""") { (s, d) =>
+    val toksQ = split(trim(col("text")), " ")
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(toksQ).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"),
+      sum(col("dl")).cast("long").as("ntok"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // query vocabularies: 5 documents' terms with their df — tiny, the
+    // broadcast probe set for the corpus-sized tf scan
+    val qdf = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(dfq, Seq("tok"))
+    val sc = tf.join(broadcast(qdf.withColumnRenamed("df", "qdf")), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("q_id"), col("doc_id"),
+        round(lit(1000000) *
+          log(lit(1) + (col("nd") - col("qdf") + lit(0.5)) /
+            (col("qdf") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") * col("nd") / col("ntok"))))
+          .cast("long").as("s"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("m").desc, col("doc_id"))
+    val lex = sc.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("s")).cast("long").as("m"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= 50)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
+    val qe = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nr").as("q_nr"))
+    val wSem = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val sem = e.join(broadcast(qe), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nr") * col("nr")))
+          .as("cosine"))
+      .withColumn("sem_rank", row_number().over(wSem))
+      .filter(col("sem_rank") <= 50)
+      .select(col("q_id"), col("doc_id"), col("sem_rank"))
+    val wFus = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(wFus))
+      .filter(col("fused_rank") <= 10)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(col("rrf") * 1000000.0, 6).as("rrf_micro"), col("fused_rank"))
+      .orderBy(col("q_id"), col("fused_rank"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf,
       q56QuantizeInt8, q72KnnClassify, q102SemanticDedup, q103EmbedOutliers,
-      q109KmeansTrain)
+      q109KmeansTrain, q113HybridRrf)
 }

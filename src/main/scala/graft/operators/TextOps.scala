@@ -182,7 +182,7 @@ object TextOps {
       shingleIndex(s, d)
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .agg(sum(expr("df * (df - 1) div 2")).cast("long"))
-        .head.getLong(0))
+        .head().getLong(0))
 
   /** Path gate for the exact pair generators (the q34 cost-gated-index
     * pattern applied to the dedup flagship): BELOW this pair-row volume
@@ -2349,6 +2349,63 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** First-occurrence novelty curve — the corpus-saturation diagnostic
+    * of incremental ingest (how much of each new batch's content is
+    * genuinely new?): per ingest bucket of 100 documents (doc_id order
+    * = arrival order), the fraction of (document, shingle) observations
+    * whose shingle is seen for the FIRST time in that document. Reuses
+    * the shared capped shingle index (the dedup family's per-snapshot
+    * artifact — the cap's stop-shingle semantics are RIGHT here too:
+    * boilerplate shingles hot enough to be capped are by definition not
+    * novel, and the oracle mirrors the cap literally as in q26/q27).
+    *
+    * Scale shape: first-seer is one groupBy(shingle-hash)→min(doc_id)
+    * over the index — the same key distribution the index's own df pass
+    * shuffles, no new hot spot — and the seer table joins back
+    * BROADCAST (vocabulary-sized, one row per distinct shingle). The
+    * bucket rollup is integer sums; the one double division per bucket
+    * is a ratio of exact integers, rounded identically in both engines.
+    */
+  val q115NoveltyCurve: QueryDef = sql(
+    "q115_novelty_curve",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |           FROM documents),
+      |d0 AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
+      |      FROM w),
+      |t0 AS (SELECT doc_id, unnest(tk) AS tok FROM d0),
+      |tdf AS (SELECT tok, count(*) AS df FROM t0 GROUP BY 1),
+      |t AS (SELECT doc_id, tok FROM t0 JOIN tdf USING (tok) WHERE df <= 1000),
+      |h AS (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+      |      FROM t),
+      |f AS (SELECT hh, min(doc_id) AS first_doc FROM h GROUP BY 1),
+      |p AS (SELECT h.doc_id, count(*) AS n_grams,
+      |        count(*) FILTER (WHERE f.first_doc = h.doc_id) AS n_novel
+      |      FROM h JOIN f USING (hh) GROUP BY 1)
+      |SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+      |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+      |  CAST(round(1000000.0 * sum(n_novel) / sum(n_grams)) AS BIGINT)
+      |    AS novelty_micro
+      |FROM p GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val h = shingleIndex(s, d)
+      .select(col("doc_id"), tokHash(col("tok")).as("hh"))
+    val first = h.groupBy(col("hh")).agg(min(col("doc_id")).as("first_doc"))
+    h.join(broadcast(first), Seq("hh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+          .as("n_novel"))
+      .groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).cast("long").as("n_grams"),
+        sum(col("n_novel")).cast("long").as("n_novel"),
+        round(lit(1000000.0) * sum(col("n_novel")) / sum(col("n_grams")))
+          .cast("long").as("novelty_micro"))
+      .orderBy(col("bucket"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q25DedupExact, q26MinHashLsh, q27JaccardPairs, q28SimHash,
     q29TokenStats, q30QualityScore, q31LangId, q32Fingerprint,
@@ -2360,5 +2417,5 @@ object TextOps {
     q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
     q77BpeMerges, q79BpeEncode, q80EpochMixture, q93Boilerplate, q94Bm25,
-    q98KhopReach, q101DupSpans)
+    q98KhopReach, q101DupSpans, q115NoveltyCurve)
 }

@@ -279,4 +279,122 @@ class CurationOpsSpec extends AnyFunSuite {
       s"heavy bucket lost by the sketch (${cands.length} candidates)")
     assert(cands.length <= 249)
   }
+
+  /** the engines' shared 60-bit md5 hash, re-derived independently. */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("q113 fusion rows are rank-consistent and drawn from real lists") {
+    val rows = SparkEntry.queries("q113_hybrid_rrf")(spark, sf).collect()
+    assert(rows.length == 50)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_.getInt(5)).sorted.toSeq == (1 to 10),
+        s"q$q fused ranks not 1..10")
+      assert(rs.forall(_.getLong(1) != q), s"q$q retrieved itself")
+    }
+    // RRF arithmetic: rrf_micro re-derived from the published ranks
+    for (r <- rows) {
+      val lex = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      val sem = if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3))
+      assert(!(r.isNullAt(2) && r.isNullAt(3)),
+        "fused row in neither source list")
+      val exp = BigDecimal((lex + sem) * 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == exp, s"rrf mismatch at $r")
+    }
+    // semantic ranks re-derived by brute-force cosine over the fixture
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    for (q <- 0L until 5L) {
+      val ranked = embs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(embs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(50).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+      for (r <- byQ(q) if !r.isNullAt(3))
+        assert(ranked(r.getLong(1)) == r.getInt(3),
+          s"q$q sem_rank diverges from brute force at doc ${r.getLong(1)}")
+    }
+  }
+
+  test("q114 temperature mix matches an independent driver re-derivation " +
+      "and up-weights rare sources (rate monotone decreasing in size)") {
+    val got = SparkEntry.queries("q114_temperature_mix")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val bySrc = docs.groupBy(_._4)
+    assert(got.keySet == bySrc.keySet)
+    val total = docs.length.toLong
+    val w = bySrc.map { case (s, ds) =>
+      s -> math.floor(math.exp(0.7 * math.log(ds.length.toDouble)) *
+        1000000.0 + 0.5).toLong
+    }
+    val z = w.values.sum
+    for ((src, ds) <- bySrc) {
+      val n = ds.length.toLong
+      val rate = math.min(1000000000L,
+        math.floor((total / 2).toDouble * w(src) /
+          (z.toDouble * n) * 1000000000.0).toLong)
+      val kept = ds.filter(d => hash60(d._2) % 1000000000L < rate)
+      val (gN, gKept, gIdSum, gRate) = got(src)
+      assert(gN == n && gRate == rate)
+      assert(gKept == kept.length.toLong, s"$src kept count")
+      assert(gIdSum == kept.map(_._1).sum, s"$src kept id sum")
+    }
+    // α = 0.7 < 1: acceptance rate strictly decreases as source size
+    // grows (rate ∝ n^(α−1)), so rare sources are up-weighted
+    val byN = got.values.toSeq.sortBy(_._1)
+    for (Seq(a, b) <- byN.sliding(2).toSeq if a._1 < b._1)
+      assert(a._4 >= b._4, "larger source got a higher acceptance rate")
+  }
+
+  test("q115 novelty curve: every capped shingle is novel exactly once " +
+      "and the curve saturates") {
+    val rows = SparkEntry.queries("q115_novelty_curve")(spark, sf).collect()
+    val idx = graft.operators.TextOps.shingleIndexPlan(spark, sf)
+    assert(rows.map(_.getLong(3)).sum == idx.select("tok").distinct().count(),
+      "sum of novel observations != distinct shingle count")
+    assert(rows.map(_.getLong(2)).sum == idx.count(),
+      "sum of gram observations != index size")
+    assert(rows.map(_.getLong(1)).sum ==
+      idx.select("doc_id").distinct().count())
+    assert(rows.head.getLong(4) >= rows.last.getLong(4),
+      "novelty did not decay from first to last bucket")
+  }
+
+  test("q116 dataset card: shares and entropies re-derive exactly") {
+    val rows = SparkEntry.queries("q116_dataset_card")(spark, sf).collect()
+    val bySrc = docs.groupBy(_._4)
+    assert(rows.length == bySrc.size)
+    val totD = docs.length.toLong
+    for (r <- rows) {
+      val ds = bySrc(r.getString(0))
+      assert(r.getLong(1) == ds.length.toLong)
+      assert(r.getLong(3) ==
+        math.round(1000000.0 * ds.length / totD))
+      // entropy: per-lang nano terms summed as integers
+      val byLang = ds.groupBy(_._3).map(_._2.length)
+      val ns = ds.length.toDouble
+      val ent = byLang.map { nl =>
+        math.floor(-(nl / ns) * math.log(nl / ns) * 1000000000.0 + 0.5).toLong
+      }.sum
+      assert(r.getLong(5) == ent, s"${r.getString(0)} entropy")
+      assert(ent >= 0 && ent <= math.ceil(
+        math.log(byLang.size.toDouble.max(1.0)) * 1000000000.0).toLong + 1)
+    }
+    // doc shares sum to one within per-source rounding
+    assert(math.abs(rows.map(_.getLong(3)).sum - 1000000L) <=
+      rows.length / 2 + 1)
+  }
 }
