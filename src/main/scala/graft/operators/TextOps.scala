@@ -2362,9 +2362,13 @@ object TextOps {
     * Scale shape: first-seer is one groupBy(shingle-hash)→min(doc_id)
     * over the index — the same key distribution the index's own df pass
     * shuffles, no new hot spot — and the seer table joins back
-    * BROADCAST (vocabulary-sized, one row per distinct shingle). The
-    * bucket rollup is integer sums; the one double division per bucket
-    * is a ratio of exact integers, rounded identically in both engines.
+    * BROADCAST (one row per distinct shingle; this corpus' vocabulary
+    * is KB-sized). At web scale, where the shingle vocabulary outgrows
+    * a broadcast, dropping the hint degrades gracefully to a shuffle
+    * join on the hash — the key the seer aggregation already
+    * partitioned by, so the seer side moves nothing. The bucket rollup
+    * is integer sums; the one double division per bucket is a ratio of
+    * exact integers, rounded identically in both engines.
     */
   val q115NoveltyCurve: QueryDef = sql(
     "q115_novelty_curve",

@@ -498,4 +498,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("vectordot"),
       "centroid cosine must use the native codegen expression")
   }
+
+  test("q113 hybrid RRF: both corpus probes are broadcast joins, the " +
+      "semantic side uses the codegen dot with its query filter pushed") {
+    val plan = finalPlan(SparkEntry.queries("q113_hybrid_rrf")(spark, sf))
+    assert(plan.toLowerCase.contains("floatvectordot"))
+    assert(plan.contains("LessThan(vec_id,5)"),
+      "query-vector filter must reach the embeddings scan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query-vocabulary probe must broadcast into the tf table")
+  }
+
+  test("q114 temperature mix: the rate table broadcasts and the kept " +
+      "filter is map-only — no sort-merge join, no document-text shuffle") {
+    val df = SparkEntry.queries("q114_temperature_mix")(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "|sources|-row rate table must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+    val fmt = formatted(df)
+    val reads = fmt.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+      .mkString("\n")
+    assert(!reads.contains("n_chars") && !reads.contains("lang"),
+      s"scan reads unused columns: $reads")
+  }
+
+  test("q115 novelty: the first-seer table joins back broadcast onto " +
+      "the cached index") {
+    val plan = finalPlan(SparkEntry.queries("q115_novelty_curve")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocabulary-sized seer table must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q116 dataset card: two cascaded aggregations, totals re-attach " +
+      "broadcast, and only (source, lang, text) are scanned") {
+    val df = SparkEntry.queries("q116_dataset_card")(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "1-row totals must re-attach broadcast")
+    val fmt = formatted(df)
+    val reads = fmt.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+      .mkString("\n")
+    assert(!reads.contains("doc_id") && !reads.contains("n_chars"),
+      s"scan reads unused columns: $reads")
+  }
 }
