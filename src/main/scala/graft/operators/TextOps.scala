@@ -519,6 +519,11 @@ object TextOps {
         (lit(1) + least(col("n1") - col("r1"), col("n2") - col("r2"))) * 7 >=
           (col("n1") + col("n2")) * 2)
       .select(col("d1"), col("d2"))
+      // dedup BEFORE the array verify — measured at sf1: the prefix join
+      // emits 91M rows for 48M distinct pairs, and re-verifying the 43M
+      // duplicates costs more (+7 s) than the 16-byte-key dedup shuffle
+      // saves (the opposite trade from q48, whose verify is one cheap
+      // levenshtein; the intersect here walks ~100 longs per pair)
       .distinct()
     withPairArrays(s, d, cand)
       .withColumn("inter",
@@ -795,9 +800,15 @@ object TextOps {
     // trap — but a single-file scan would run the whole expansion and
     // the variant join in one task).
     val cust = customer(s, d).select(col("c_custkey"), name)
+    // variant SET, not list: names with repeated characters (the long
+    // digit runs here) collapse delete-one variants, and FastSS only
+    // needs set membership — measured at sf1 this cuts variant rows
+    // 3.39M→2.78M and candidate pairs 14.6M→9.8M (the duplicates were
+    // pure re-verification work; the oracle's candidate DISTINCT makes
+    // multiplicity invisible to the result)
     val v = cust
       .repartition(s.sparkContext.defaultParallelism, col("c_custkey"))
-      .select(col("c_custkey"), explode(variants).as("var"))
+      .select(col("c_custkey"), explode(array_distinct(variants)).as("var"))
       .select(col("c_custkey"), xxhash64(col("var")).as("h"))
     val a = v.select(col("c_custkey").as("k1"), col("h"))
     val b = v.select(col("c_custkey").as("k2"), col("h"))
