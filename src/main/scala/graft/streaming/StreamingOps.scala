@@ -1178,9 +1178,74 @@ object StreamingOps {
       .orderBy(col("bucket"))
   }
 
+  final case class QuotaHit(event_type: String, event_id: Long, ts_us: Long)
+
+  /** Per-key quota admission as KEYED STREAMING STATE: admit the first
+    * `cap` events per key in event-time order, then drop — 8 bytes of
+    * state per key (the admitted count), whatever the feed length. The
+    * ingest-control shape a 100 TB pipeline runs at the front door
+    * (per-source sampling caps, abuse throttles, free-tier quotas).
+    * Cross-batch order comes from the event-time-ordered replay
+    * ([[stageEventsOrdered]]); within a batch the per-key slice sorts by
+    * (ts, event_id) — the same bounded reorder buffer as the funnel
+    * automaton. Admission is exactly-once: the count is monotone, so an
+    * event admitted in batch i can never re-admit later.
+    */
+  def quotaAdmit(events: DataFrame, cap: Int): Dataset[QuotaHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, QuotaHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ListBuffer.empty[QuotaHit]
+          rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, id, us) =>
+            if (admitted < cap) { admitted += 1; out += QuotaHit(etype, id, us) }
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
+
+  /** STREAMING quota admission, oracle-verified against the batch
+    * row_number formulation: the registered result rolls the admitted
+    * stream up per event type (count, id checksum, last admitted
+    * event-time), which must equal "first 150 per type by (ts,
+    * event_id)" computed relationally — any dropped or re-admitted
+    * event under batch-boundary carry breaks the id sum.
+    */
+  val q117StreamQuota: QueryDef = QueryDef.sql(
+    "q117_stream_quota",
+    """WITH e AS (SELECT event_type, event_id,
+      |            CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+      |          FROM events),
+      |r AS (SELECT event_type, event_id, us,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY us, event_id)
+      |          AS rn
+      |      FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_admitted,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum, max(us) AS last_us
+      |FROM r WHERE rn <= 150 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val out = s"stream_quota_${runSeq.incrementAndGet()}"
+    val hits = quotaAdmit(
+      eventStream(s, stageEventsOrdered(s, d), oneFilePerBatch = true),
+      cap = 150)
+    runToMemory(hits.toDF(), out, OutputMode.Append).df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("event_id")).cast("long").as("id_sum"),
+        max(col("ts_us")).as("last_us"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Seq[QueryDef] =
     Seq(q66StreamTumbling, q67StreamSession, q70StreamDedup, q73StreamAlerts,
       q75StreamEnrich, q78StreamIncrDedup, q81StreamIntervalJoin,
       q83StreamOuterJoin, q88StreamFunnel, q96StreamDistinct, q99StreamPit,
-      q104StreamHeavyHitters, q110StreamDrift)
+      q104StreamHeavyHitters, q110StreamDrift, q117StreamQuota)
 }

@@ -214,4 +214,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(drained.maxStateRows <= nUsers,
       s"state ${drained.maxStateRows} rows exceeds user count $nUsers")
   }
+
+  test("streaming quota admits exactly the first-N per key across batch " +
+      "boundaries with one state row per key, never re-admitting") {
+    val sf = "/root/testdata/sf0.01"
+    val staged = StreamingOps.stageEventsOrdered(spark, sf)
+    val drained = StreamingOps.runToMemory(
+      StreamingOps.quotaAdmit(
+        StreamingOps.eventStream(spark, staged, oneFilePerBatch = true),
+        cap = 150).toDF(),
+      "quota_state_probe", OutputMode.Append)
+    val got = drained.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly-once: no event id emitted twice
+    assert(got.map(_._2).distinct.length == got.length)
+    // equals the batch first-150-per-type in (ts, event_id) order —
+    // including types whose 150th and 151st events straddle a tercile
+    // batch boundary (the cap carries as state, the 151st must drop)
+    import org.apache.spark.sql.expressions.Window
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))))
+      .filter(col("rn") <= 150)
+      .select("event_type", "event_id", "us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == want.sorted.toSeq,
+      "admitted set diverges from the batch first-N")
+    // state is ONE count per event_type — never per-event
+    val nTypes = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type").distinct().count()
+    assert(drained.maxStateRows <= nTypes,
+      s"state ${drained.maxStateRows} rows exceeds key count $nTypes")
+  }
 }
