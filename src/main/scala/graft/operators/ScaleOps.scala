@@ -301,6 +301,68 @@ object ScaleOps {
       .orderBy(col("segment"), col("event_type"))
   }
 
+  /** Stage the Z-ordered lineitem layout once per (sf, source
+    * fingerprint) — the per-corpus-snapshot artifact pattern of the
+    * dedup index, applied to physical layout. The marker carries the
+    * source file's (size, mtime) so a driver-regenerated corpus
+    * restages (the q88 staging lesson). */
+  private[graft] def stageZorderedLineitem(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(d, "lineitem.parquet")
+    val fp = s"z16|${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_zorder",
+      Paths.get(d).getFileName.toString)
+    val marker = dir.resolve("_staged")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == fp
+    if (!fresh) {
+      Files.createDirectories(dir)
+      graft.sources.Layout.writeZOrdered(
+        lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice")),
+        dir.resolve("data").toString, n = 64, "l_partkey", "l_suppkey")
+      Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    dir.resolve("data").toString
+  }
+
+  /** Z-order-clustered scan — multi-dimensional data skipping as an
+    * operator: lineitem is staged once into 64 files range-partitioned
+    * by the Morton key of (l_partkey, l_suppkey)
+    * ([[graft.sources.Layout.writeZOrdered]]), so every file covers a
+    * tight rectangle of the key plane and a box predicate on EITHER
+    * column lets parquet row-group stats skip most of the table —
+    * single-column sorting gives this for the leading column only.
+    * The registered query is a box aggregate over the staged layout;
+    * the oracle runs the identical predicate on the RAW table, so the
+    * hash compare proves the rewritten layout is content-identical
+    * (clustering is allowed to move rows, never change them), and
+    * `ScaleOpsSpec` pins the actual skipping (scan-node output rows ≪
+    * table rows, and ≪ the same scan over a lexicographically sorted
+    * twin).
+    */
+  val q118ZorderScan: QueryDef = sql(
+    "q118_zorder_scan",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,
+      |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
+      |  CAST(sum(l_suppkey) AS BIGINT) AS sk_sum
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""") {
+    (s, d) =>
+      val z = s.read.parquet(stageZorderedLineitem(s, d))
+        .filter(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 40))
+      z.agg(count(lit(1)).as("n"),
+        sumd2(col("l_quantity")).as("sum_qty"),
+        sumd2(col("l_extendedprice")).as("sum_price"),
+        sum(col("l_partkey")).cast("long").as("pk_sum"),
+        sum(col("l_suppkey")).cast("long").as("sk_sum"))
+  }
+
   def all: Seq[QueryDef] = Seq(q38SaltedAgg, q39ApproxDistinct,
-    q82ApproxQuantile, q87IncrAggRefresh, q92HeavyHitters, q95SkewJoin)
+    q82ApproxQuantile, q87IncrAggRefresh, q92HeavyHitters, q95SkewJoin,
+    q118ZorderScan)
 }

@@ -111,4 +111,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"),
       s"snapshot side should read the checkpointed artifact\n$plan")
   }
+
+  test("q118 Z-order layout skips row groups on BOTH dimensions where a " +
+      "lexicographic sort skips only its leading column") {
+    import graft.sources.Layout
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val total = li.count()
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lexDir = java.nio.file.Files.createTempDirectory("lexorder").toString
+    Layout.writeZOrdered(li, zDir, n = 16, "l_partkey", "l_suppkey")
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(lexDir)
+    // content identity: clustering moves rows, never changes them
+    assert(spark.read.parquet(zDir).exceptAll(li).isEmpty &&
+      li.exceptAll(spark.read.parquet(zDir)).isEmpty)
+    // boxes sized to the sf0.001 domains (partkey 0..199, suppkey 0..9)
+    val boxA = "l_partkey BETWEEN 40 AND 79"    // leading dim, ~20%
+    val boxB = "l_suppkey BETWEEN 2 AND 3"      // secondary dim, ~20%
+    // leading-dim predicate: both layouts skip
+    assert(Layout.rowsScanned(spark, zDir, boxA) < total * 6 / 10)
+    assert(Layout.rowsScanned(spark, lexDir, boxA) < total * 6 / 10)
+    // secondary-dim predicate: only the Z-order layout skips — the
+    // lexicographic twin's every file spans the full l_suppkey range
+    val zB = Layout.rowsScanned(spark, zDir, boxB)
+    val lexB = Layout.rowsScanned(spark, lexDir, boxB)
+    assert(lexB == total,
+      s"lex layout unexpectedly skipped on the secondary dim ($lexB/$total)")
+    assert(zB < total * 6 / 10,
+      s"z layout failed to skip on the secondary dim ($zB/$total)")
+    // the z-key itself is a correct Morton interleave (spot check)
+    val z = li.limit(100)
+      .select(col("l_partkey"), col("l_suppkey"),
+        Layout.zorderKey(col("l_partkey"), col("l_suppkey")).as("z"))
+      .collect()
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFFFFFL
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      x = (x | (x << 1)) & 0x5555555555555555L
+      x
+    }
+    z.foreach { r =>
+      assert(r.getLong(2) ==
+        (spread(r.getLong(0)) | (spread(r.getLong(1)) << 1)))
+    }
+  }
 }
