@@ -178,4 +178,47 @@ object PrimitiveProperties extends Properties("primitives") {
       graft.functions.NormalizeNfc.nfc(nfd) ==
         graft.functions.NormalizeNfc.nfc(s)
     }
+
+  // q118's Morton interleave — driver mirror of Layout.zorderKey's bit
+  // arithmetic (Column-vs-mirror parity is pinned on real data in
+  // ScaleOpsSpec); these are the laws that make Z-clustered files carry
+  // tight per-axis rectangles
+  private def spread32(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  private def morton(a: Long, b: Long): Long = spread32(a) | (spread32(b) << 1)
+  private val u32 = Gen.chooseNum(0L, 0xFFFFFFFFL)
+
+  property("q118 Morton key is strictly monotone in each axis with the " +
+      "other held fixed") =
+    forAll(u32, u32, u32) { (a1, a2, b) =>
+      (a1 == a2) || {
+        val (lo, hi) = if (a1 < a2) (a1, a2) else (a2, a1)
+        java.lang.Long.compareUnsigned(morton(lo, b), morton(hi, b)) < 0 &&
+        java.lang.Long.compareUnsigned(morton(b, lo), morton(b, hi)) < 0
+      }
+    }
+
+  property("q118 Morton key axes occupy disjoint bits and round-trip " +
+      "exactly (no information loss in the interleave)") =
+    forAll(u32, u32) { (a, b) =>
+      val z = morton(a, b)
+      def unspread(v: Long): Long = {
+        var x = v & 0x5555555555555555L
+        x = (x | (x >>> 1)) & 0x3333333333333333L
+        x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+        x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+        x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+        x = (x | (x >>> 16)) & 0x00000000FFFFFFFFL
+        x
+      }
+      (spread32(a) & (spread32(b) << 1)) == 0L &&
+        unspread(z) == a && unspread(z >>> 1) == b
+    }
 }
