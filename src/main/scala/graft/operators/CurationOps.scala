@@ -37,16 +37,22 @@ object CurationOps {
     * corpus (both engines build the identical table): doc_id % 11 == 3
     * missing from old (→ added), doc_id % 7 == 2 carries a stale text
     * revision (→ changed), and a shifted-id slice exists only in old
-    * (→ removed); everything else is unchanged.
+    * (→ removed); everything else is unchanged. The shift offset is
+    * max(doc_id)+1 — derived from the corpus, not a fixed constant, so
+    * a regenerated corpus whose ids pass any fixed threshold cannot
+    * collide shifted ids with real keys (which would duplicate join
+    * keys and multiply rows identically in both engines — semantic
+    * drift the oracle compare could never catch).
     */
   val q105SnapshotDiff: QueryDef = sql(
     "q105_snapshot_diff",
-    """WITH old AS (
+    """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+      |old AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 7 = 2 THEN text || ' rev0' ELSE text END AS text
       |  FROM documents WHERE doc_id % 11 <> 3
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text
       |  FROM documents WHERE doc_id % 13 = 5),
       |j AS (
       |  SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
@@ -58,12 +64,15 @@ object CurationOps {
       |SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM j GROUP BY 1 ORDER BY 1""") { (s, d) =>
     val docs = documents(s, d).select(col("doc_id"), col("text"))
+    // corpus-derived shift offset (one narrow max over the id column;
+    // parquet column stats make this a footer read)
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val old = docs.filter(col("doc_id") % 11 =!= 3)
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev0")))
           .otherwise(col("text")).as("text"))
       .unionAll(docs.filter(col("doc_id") % 13 === 5)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
     // hash at the scan so only (doc_id, 32-byte hash) reaches the join
     val newH = docs.select(col("doc_id"), md5(col("text")).as("h_new"))
     val oldH = old.select(col("doc_id"), md5(col("text")).as("h_old"))

@@ -304,27 +304,46 @@ object ScaleOps {
   /** Stage the Z-ordered lineitem layout once per (sf, source
     * fingerprint) — the per-corpus-snapshot artifact pattern of the
     * dedup index, applied to physical layout. The marker carries the
-    * source file's (size, mtime) so a driver-regenerated corpus
-    * restages (the q88 staging lesson). */
+    * source file's (size, mtime) AND the layout parameters (file
+    * count, clustering columns), so a driver-regenerated corpus OR a
+    * parameter change restages (the q88 staging lesson); the cache dir
+    * is keyed on a hash of the FULL dataset path, so two same-named
+    * dataset dirs can never alias one cache entry; and the data lands
+    * via write-to-temp + atomic rename, so a concurrent reader never
+    * sees a half-written layout. */
   private[graft] def stageZorderedLineitem(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "lineitem.parquet")
-    val fp = s"z16|${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_zorder",
-      Paths.get(d).getFileName.toString)
+    val nFiles = 64
+    val clusterCols = Seq("l_partkey", "l_suppkey")
+    val fp = s"z16|n=$nFiles|${clusterCols.mkString(",")}|" +
+      s"${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(Paths.get(d).toAbsolutePath.toString.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_zorder", pathKey)
     val marker = dir.resolve("_staged")
+    val data = dir.resolve("data")
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == fp
     if (!fresh) {
       Files.createDirectories(dir)
+      val tmp = dir.resolve(s"data.tmp${System.nanoTime}")
       graft.sources.Layout.writeZOrdered(
         lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice")),
-        dir.resolve("data").toString, n = 64, "l_partkey", "l_suppkey")
+        tmp.toString, n = nFiles, clusterCols.head, clusterCols(1))
+      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        if (Files.isDirectory(p))
+          Files.list(p).toArray.foreach(c => rmTree(c.asInstanceOf[java.nio.file.Path]))
+        Files.delete(p)
+      }
+      rmTree(data)
+      Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
       Files.write(marker, fp.getBytes("UTF-8"))
     }
-    dir.resolve("data").toString
+    data.toString
   }
 
   /** Z-order-clustered scan — multi-dimensional data skipping as an
@@ -345,8 +364,8 @@ object ScaleOps {
   val q118ZorderScan: QueryDef = sql(
     "q118_zorder_scan",
     """SELECT CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
       |  CAST(sum(l_suppkey) AS BIGINT) AS sk_sum
       |FROM lineitem

@@ -455,6 +455,15 @@ object SimilarityOps {
   private def ivfCtesSql(base: String, p: String, seedLo: Int = 0,
       seedHi: Int = 16,
       dotFn: (String, String) => String = sqlDot): String =
+    ivfCtesSqlExpr(base, p, seedLo.toString, seedHi.toString, dotFn)
+
+  /** [[ivfCtesSql]] with the seed bounds as SQL EXPRESSIONS rather than
+    * int literals — q102 sizes its cell count from the corpus
+    * (`k = greatest(16, n/125)`), so its seed bound is a scalar
+    * subquery over the same snapshot both engines read. */
+  private def ivfCtesSqlExpr(base: String, p: String, seedLo: String,
+      seedHi: String,
+      dotFn: (String, String) => String = sqlDot): String =
     s"""${p}seeds AS (SELECT vec_id AS c_id, embedding AS c_emb, nr AS c_nr
       |          FROM $base WHERE vec_id >= $seedLo AND vec_id < $seedHi),
       |${p}a0 AS (SELECT vec_id, embedding, nr, c_id,
@@ -741,62 +750,109 @@ object SimilarityOps {
     * metadata-cheap parquet row count. */
   private val ClusterBroadcastKnee = 250000L
 
-  /** Semantic deduplication (the SemDeDup shape): WITHIN each cluster,
-    * a vector is dropped when a lower-id cluster-mate sits at cosine ≥
-    * 0.4 — keep-lowest-id, exactly the exact-dedup keep rule lifted to
-    * "semantically identical". The `label` column plays the cluster
-    * assignment (a real pipeline would use q44's learned IVF cells; the
-    * labelled column keeps the oracle expressible). Per-cluster summary:
-    * member count, dropped count, and the exact sum of surviving ids as
-    * a keep-set checksum.
+  /** q102's target cluster population: the cell count is
+    * `k = max(16, n / SemDedupCellSize)`, so per-cell membership stays
+    * ~constant as the corpus grows and within-cluster pair volume is
+    * Σ m_c²/2 ≈ n·SemDedupCellSize/2 — LINEAR in n (the round-9 form
+    * keyed clusters on the fixed-cardinality `label` column, whose
+    * per-cluster membership grew ∝ n and pair volume ∝ n²: measured
+    * 10.8× wall for the 10× decade). 125 matches SemDeDup's n/1000-ish
+    * regime scaled to this corpus's density; the 16 floor keeps driver
+    * SFs (500–2,000 vectors) on exactly q44's cached 16-cell index. */
+  private[graft] val SemDedupCellSize = 125L
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(16L, n / SemDedupCellSize).toInt
+
+  /** Semantic deduplication (the SemDeDup shape): cluster the corpus,
+    * then WITHIN each cluster drop every vector with a lower-id
+    * cluster-mate at cosine ≥ 0.4 — keep-lowest-id, exactly the
+    * exact-dedup keep rule lifted to "semantically identical".
+    * Clusters are q44's LEARNED IVF cells (seed on vec_id < k, one
+    * Lloyd round with the 56-bit floor-split bit-reproducible mean,
+    * assign each vector to its single nearest learned centroid), with
+    * k = max(16, n/[[SemDedupCellSize]]) sized FROM THE CORPUS — the
+    * real SemDeDup contract, where cluster count grows with n and
+    * per-cluster pair volume stays bounded. Per-cluster summary:
+    * member count, dropped count, and the exact sum of surviving ids
+    * as a keep-set checksum.
     *
-    * Scale posture: candidate pairs are generated CLUSTER-LOCAL (join on
-    * the cluster key — never all-pairs), and in a real corpus cluster
-    * count grows with n (SemDeDup uses n/1000-ish k-means cells), so
-    * per-cluster pair volume stays bounded while the cluster join
-    * parallelizes across cells. Below [[ClusterBroadcastKnee]] vectors
-    * the right side broadcasts and pair generation is map-side; above
-    * it both sides shuffle on the cluster key. The cosine is the same
-    * codegen left-fold double dot both engines evaluate in the same
-    * order, so the ≥ 0.4 gate is bit-deterministic.
+    * Scale posture: candidate pairs are generated CLUSTER-LOCAL (join
+    * on the learned cell id — never all-pairs), so pair volume is
+    * n·cellsize/2 — linear — while the cell join parallelizes across
+    * cells; the assignment is a map-side broadcast-centroid argmax and
+    * the (vec → cell) table is checkpointed once per corpus snapshot
+    * beside the centroids themselves (the shared per-snapshot index
+    * artifact q44/q34 already stage). Below [[ClusterBroadcastKnee]]
+    * vectors the pair join's right side broadcasts; above it both
+    * sides shuffle on the cell id. Cluster-scoped dropping misses
+    * cross-cell pairs by DESIGN (that is SemDeDup's trade); the
+    * drop-coverage floor vs the exhaustive ground truth is pinned at
+    * the decade fixture by `SemDedupSpec`, as q34 pins pair recall.
+    * Both engines build the identical cells (the oracle instantiates
+    * q44's learned-centroid CTE chain with the same corpus-derived k)
+    * and evaluate the same codegen dot, so the ≥ 0.4 gate and the
+    * summary are bit-deterministic.
     */
   val q102SemanticDedup: QueryDef = sql(
     "q102_semantic_dedup",
-    s"""WITH d AS (SELECT vec_id, label, embedding,
-      |           sqrt(${sqlDot("embedding", "embedding")}) AS nr
-      |           FROM embeddings),
-      |p AS (SELECT a.label AS label, b.vec_id AS v2
-      |      FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
-      |      WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nr * b.nr) >= 0.4),
-      |drp AS (SELECT DISTINCT label, v2 FROM p)
-      |SELECT d.label, count(*) AS n_vecs,
+    s"""WITH knc AS (SELECT greatest(16, count(*) // $SemDedupCellSize) AS k
+      |             FROM embeddings),
+      |d AS (SELECT vec_id, embedding,
+      |        sqrt(${sqlDotFast("embedding", "embedding")}) AS nr
+      |      FROM embeddings),
+      |${ivfCtesSqlExpr("d", "", "0", "(SELECT k FROM knc)", sqlDotFast)},
+      |cells AS (SELECT vec_id, embedding, nr, c_id FROM a1 WHERE crn = 1),
+      |p AS (SELECT a.c_id, b.vec_id AS v2
+      |      FROM cells a JOIN cells b
+      |        ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+      |      WHERE ${sqlDotFast("a.embedding", "b.embedding")} / (a.nr * b.nr) >= 0.4),
+      |drp AS (SELECT DISTINCT c_id, v2 FROM p)
+      |SELECT c.c_id AS cluster_id, count(*) AS n_vecs,
       |       CAST(count(drp.v2) AS BIGINT) AS n_dropped,
-      |       CAST(sum(CASE WHEN drp.v2 IS NULL THEN d.vec_id ELSE 0 END) AS BIGINT)
+      |       CAST(sum(CASE WHEN drp.v2 IS NULL THEN c.vec_id ELSE 0 END) AS BIGINT)
       |         AS kept_id_sum
-      |FROM d LEFT JOIN drp ON drp.label = d.label AND drp.v2 = d.vec_id
-      |GROUP BY d.label ORDER BY d.label""") { (s, d) =>
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        nrm(col("embedding")).as("nr"))
-    val lhs = e.select(col("label"), col("vec_id").as("v1"),
+      |FROM cells c LEFT JOIN drp ON drp.c_id = c.c_id AND drp.v2 = c.vec_id
+      |GROUP BY c.c_id ORDER BY c.c_id""") { (s, d) =>
+    semanticDedupCells(s, d)
+  }
+
+  /** q102's plan, factored for the spec: learned-cell assignment →
+    * within-cell keep-lowest-id drop at `threshold` → per-cell summary.
+    */
+  private[graft] def semanticDedupCells(s: SparkSession, d: String,
+      threshold: Double = 0.4): DataFrame = {
+    val asn = semDedupAssignment(s, d)
+    val lhs = asn.select(col("c_id"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nr").as("nr1"))
-    val rhs = e.select(col("label"), col("vec_id").as("v2"),
+    val rhs = asn.select(col("c_id"), col("vec_id").as("v2"),
       col("embedding").as("e2"), col("nr").as("nr2"))
     val cand =
       if (embeddings(s, d).count() <= ClusterBroadcastKnee)
-        lhs.join(broadcast(rhs), "label")
-      else lhs.join(rhs, "label")
+        lhs.join(broadcast(rhs), "c_id")
+      else lhs.join(rhs, "c_id")
     val dropped = cand.filter(col("v1") < col("v2"))
-      .filter(dot(col("e1"), col("e2")) / (col("nr1") * col("nr2")) >= 0.4)
-      .select(col("label").as("drop_label"), col("v2")).distinct()
-    e.join(dropped, col("label") === col("drop_label")
+      .filter(dot(col("e1"), col("e2")) / (col("nr1") * col("nr2"))
+        >= threshold)
+      .select(col("c_id").as("drop_cid"), col("v2")).distinct()
+    asn.join(dropped, col("c_id") === col("drop_cid")
           && col("vec_id") === col("v2"), "left")
-      .groupBy(col("label"))
+      .groupBy(col("c_id").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"),
         count(col("v2")).cast("long").as("n_dropped"),
         sum(when(col("v2").isNull, col("vec_id")).otherwise(lit(0L)))
           .cast("long").as("kept_id_sum"))
-      .orderBy(col("label"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q102's (vec_id, c_id, embedding, nr) cluster assignment — each
+    * vector's single nearest learned centroid among the corpus-sized
+    * k cells. Checkpointed per (session, snapshot, k) like the
+    * centroids it derives from: the assignment IS the cluster-index
+    * artifact a SemDeDup pipeline persists beside its centroids. */
+  private[graft] def semDedupAssignment(s: SparkSession, d: String): DataFrame = {
+    val k = semDedupK(embeddings(s, d).count())
+    graft.SessionCache.checkpoint(s"semDedupAssign$k", s, d)(
+      assignNearest(embVecs(s, d), learnedCentroids(s, d, 0, k), dotAny))
   }
 
   /** Embedding-space outlier pruning (the cluster-distance quality

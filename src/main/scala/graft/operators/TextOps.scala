@@ -177,12 +177,21 @@ object TextOps {
     * reads. */
   private val pairVolumeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
-  private[graft] def pairVolume(s: SparkSession, d: String): Long =
-    pairVolumeCache.computeIfAbsent(s"${s.hashCode}|$d", _ =>
+  private[graft] def pairVolume(s: SparkSession, d: String): Long = {
+    // key carries the source file's (size, mtime) fingerprint — the
+    // stagedFresh convention — so a corpus regenerated in-place during
+    // one session cannot serve a stale statistic (and hence a wrong
+    // plan gate). Entries are a dozen bytes per (session, snapshot);
+    // superseded fingerprints linger harmlessly until session end.
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val fp = s"${java.nio.file.Files.size(src)}|" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    pairVolumeCache.computeIfAbsent(s"${s.hashCode}|$d|$fp", _ =>
       shingleIndex(s, d)
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .agg(sum(expr("df * (df - 1) div 2")).cast("long"))
         .head().getLong(0))
+  }
 
   /** Path gate for the exact pair generators (the q34 cost-gated-index
     * pattern applied to the dedup flagship): BELOW this pair-row volume
@@ -2373,14 +2382,19 @@ object TextOps {
     * Scale shape: first-seer is one groupBy(shingle-hash)→min(doc_id)
     * over the index — the same key distribution the index's own df pass
     * shuffles, no new hot spot — and the seer table joins back
-    * BROADCAST (one row per distinct shingle; this corpus' vocabulary
-    * is KB-sized). At web scale, where the shingle vocabulary outgrows
-    * a broadcast, dropping the hint degrades gracefully to a shuffle
-    * join on the hash — the key the seer aggregation already
-    * partitioned by, so the seer side moves nothing. The bucket rollup
+    * BROADCAST below [[NoveltySeerBroadcastKnee]] documents (one row
+    * per distinct shingle; this corpus' vocabulary is KB-sized). At web
+    * scale, where the shingle vocabulary outgrows a broadcast, the gate
+    * drops the hint and the join degrades gracefully to a shuffle join
+    * on the hash — the key the seer aggregation already partitioned
+    * by, so the seer side moves nothing. The bucket rollup
     * is integer sums; the one double division per bucket is a ratio of
     * exact integers, rounded identically in both engines.
     */
+  /** Document count above which q115's first-seer table stops being
+    * broadcast (see the inline arithmetic at the join). */
+  private[graft] val NoveltySeerBroadcastKnee = 50000L
+
   val q115NoveltyCurve: QueryDef = sql(
     "q115_novelty_curve",
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
@@ -2406,8 +2420,18 @@ object TextOps {
       |FROM p GROUP BY 1 ORDER BY 1""") { (s, d) =>
     val h = shingleIndex(s, d)
       .select(col("doc_id"), tokHash(col("tok")).as("hh"))
-    val first = h.groupBy(col("hh")).agg(min(col("doc_id")).as("first_doc"))
-    h.join(broadcast(first), Seq("hh"))
+    val first0 = h.groupBy(col("hh")).agg(min(col("doc_id")).as("first_doc"))
+    // cost-gated broadcast (the q27/q34 pattern): the first-seer table
+    // is vocabulary-sized — ~150 distinct capped shingles/doc, 16 bytes
+    // a row, so ≈120 MB at the 50k-doc knee. Past it, drop the hint and
+    // the join degrades to a shuffle on hh — the key the seer
+    // aggregation already partitioned by, so the seer side moves
+    // nothing. Gated on the metadata-cheap document count.
+    val first =
+      if (documents(s, d).count() <= NoveltySeerBroadcastKnee)
+        broadcast(first0)
+      else first0
+    h.join(first, Seq("hh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))

@@ -24,8 +24,9 @@ class CurationOpsSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q105_snapshot_diff")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val ids = docs.map(_._1)
+    val off = ids.max + 1 // the query derives the shift from the corpus
     val added = ids.filter(_ % 11 == 3)
-    val removed = ids.filter(_ % 13 == 5).map(_ + 1000000L)
+    val removed = ids.filter(_ % 13 == 5).map(_ + off)
     val changed = ids.filter(i => i % 11 != 3 && i % 7 == 2)
     val unchanged = ids.filter(i => i % 11 != 3 && i % 7 != 2)
     def exp(s: Seq[Long]) = (s.length.toLong, s.sum)
