@@ -226,17 +226,25 @@ object TextOps {
     cachedCheckpoint("docHashArrays", s, d)(docHashArraysPlan(s, d))
 
   /** Above this many documents the per-doc hash-array table stops being
-    * broadcast (≈40 MB at 10⁵ docs × ~50 shingles) and the candidate
-    * verification joins shuffle on the pair keys instead — the same
-    * cost-gated index-selection pattern q34 uses, evaluated from one
-    * metadata-cheap parquet row count. At 100 TB the shuffle branch is
-    * the only one that exists; at bench scale the broadcast branch keeps
-    * verification entirely map-side. */
+    * broadcast and the candidate verification joins shuffle on the pair
+    * keys instead — the same cost-gated index-selection pattern q34
+    * uses, evaluated from one metadata-cheap parquet row count. At
+    * 100 TB the shuffle branch is the only one that exists; at bench
+    * scale the broadcast branch keeps verification entirely map-side.
+    * The knee is a CAPACITY limit, not a preference — measured at the
+    * 150k-doc sf3 sweep: the broadcast tier (two ~200 MB
+    * UnsafeHashedRelations per run) runs q27 in 43-82 s, while forcing
+    * the shuffle tier there costs 111-182 s, because a shuffled hash
+    * join must also shuffle the 144M-row candidate stream on the pair
+    * keys. Broadcast wins as long as the per-doc array relation fits
+    * executor memory (~330 MB at the knee); past it the candidate
+    * shuffle is simply the price of scale. */
   private[graft] val ArrayBroadcastKnee = 250000L
 
   /** Attach both documents' sorted hash arrays (+ sizes) to (d1, d2)
     * candidate pairs — broadcast map-side below [[ArrayBroadcastKnee]]
-    * documents, plain shuffled joins above it. */
+    * documents, shuffled hash joins above it (hinted: see the knee's
+    * scaladoc for the measured trade on both sides of it). */
   private def withPairArrays(s: SparkSession, d: String,
       cand: DataFrame): DataFrame = {
     val arrs = docHashArrays(s, d)
@@ -246,7 +254,12 @@ object TextOps {
       col("n").as("n2"))
     if (documents(s, d).count() <= ArrayBroadcastKnee)
       cand.join(broadcast(va), "d1").join(broadcast(vb), "d2")
-    else cand.join(va, "d1").join(vb, "d2")
+    else
+      // the hint is load-bearing: checkpoint-RDD stats underestimate,
+      // so without it the planner silently converts these back to the
+      // corpus-sized broadcasts the knee just rejected
+      cand.join(va.hint("SHUFFLE_HASH"), "d1")
+        .join(vb.hint("SHUFFLE_HASH"), "d2")
   }
 
   /** (tok, cnt) corpus unigram vocabulary — one corpus explode+hash-agg,
@@ -511,6 +524,27 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** PairProbe hooks: the ranked index and the raw prefix-filter
+    * candidate stream, exposed so the dev cost probe can count phases
+    * without duplicating the plan. */
+  private[graft] def rankedIndexProbe(s: SparkSession, d: String): DataFrame =
+    rankedIndex(s, d)
+  private[graft] def prefixCandidatesProbe(s: SparkSession,
+      d: String): DataFrame = {
+    val rk = rankedIndex(s, d)
+    val pre = rk.filter(col("r") <= col("n") - expr("(2*n+4) DIV 5") + 1)
+    val a = pre.select(col("doc_id").as("d1"), col("h"),
+      col("n").as("n1"), col("r").as("r1"))
+    val b = pre.select(col("doc_id").as("d2"), col("h"),
+      col("n").as("n2"), col("r").as("r2"))
+    a.join(b, Seq("h"))
+      .filter(col("d1") < col("d2") &&
+        col("n1") * 5 >= col("n2") * 2 && col("n2") * 5 >= col("n1") * 2 &&
+        (lit(1) + least(col("n1") - col("r1"), col("n2") - col("r2"))) * 7 >=
+          (col("n1") + col("n2")) * 2)
+      .select(col("d1"), col("d2"))
+  }
+
   /** Above-knee q27 plan: the AllPairs/PPJoin prefix-filter chain (see
     * the q27 scaladoc) + broadcast sorted-array verification. */
   private[graft] def jaccardPrefixPath(s: SparkSession, d: String): DataFrame = {
@@ -522,7 +556,14 @@ object TextOps {
     val b = pre.select(col("doc_id").as("d2"), col("h"),
       col("n").as("n2"), col("r").as("r2"))
     // minoverlap ⌈2(n1+n2)/7⌉ ≤ ubound ⟺ 7·ubound ≥ 2(n1+n2) (ubound int)
-    val cand = a.join(b, Seq("h"))
+    // above the knee the prefix sides are index-sized (grow with the
+    // corpus): force the equi-join to shuffle on h rather than let the
+    // planner broadcast a corpus-derived relation off underestimated
+    // checkpoint stats
+    val bSide =
+      if (documents(s, d).count() <= ArrayBroadcastKnee) b
+      else b.hint("SHUFFLE_HASH")
+    val cand = a.join(bSide, Seq("h"))
       .filter(col("d1") < col("d2") &&
         col("n1") * 5 >= col("n2") * 2 && col("n2") * 5 >= col("n1") * 2 &&
         (lit(1) + least(col("n1") - col("r1"), col("n2") - col("r2"))) * 7 >=
@@ -1517,8 +1558,12 @@ object TextOps {
       col("n").as("nb"), col("r").as("rb"))
     // role order (n, doc_id): each unordered pair meets exactly once,
     // with `a` the smaller document. minoverlap ⌈4·na/5⌉ ≤ ubound ⟺
-    // 5·ubound ≥ 4·na (ubound integer).
-    val cand = a.join(b, Seq("h"))
+    // 5·ubound ≥ 4·na (ubound integer). Same shuffle-hint rationale as
+    // q27's candidate join: the b side is the FULL ranked index.
+    val bSide =
+      if (documents(s, d).count() <= ArrayBroadcastKnee) b
+      else b.hint("SHUFFLE_HASH")
+    val cand = a.join(bSide, Seq("h"))
       .filter((col("na") < col("nb") ||
           (col("na") === col("nb") && col("da") < col("db"))) &&
         (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))) * 5 >=
