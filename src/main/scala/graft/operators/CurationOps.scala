@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
@@ -544,8 +545,147 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** Token-budget mixture allocation (waterfilling): given each
+    * source's token inventory, a total training budget B = 2× the
+    * corpus, and a repetition cap of E = 3 epochs per source (the
+    * data-constrained-scaling rule of thumb: past a few epochs,
+    * repeated tokens stop helping), allocate the budget at a uniform
+    * consumption level — every source contributes min(cap_i, λ) tokens,
+    * sources too small to reach the level are taken whole (all E
+    * epochs) and the remainder spreads evenly over the rest. The
+    * classic sorted waterfill, in EXACT integer arithmetic: with caps
+    * ascending, source i is capped iff cap_i·m_i ≤ B − Σ_{j<i} cap_j
+    * (m_i = sources remaining), the uncapped share is one integer
+    * division, and the division remainder goes to the first (rem mod m)
+    * uncapped sources by name — fully deterministic, so both engines
+    * agree bit-for-bit with no float in sight.
+    *
+    * Scale shape: the token inventory is one map-side-combinable
+    * hash-agg over the corpus scan; everything after operates on the
+    * |sources|-row table (windows over a broadcast-sized relation) —
+    * exactly how a mixture planner runs at 100 TB, where the corpus
+    * pass is the cost and the allocation math is free.
+    */
+  val q119TokenBudget: QueryDef = sql(
+    "q119_token_budget",
+    """WITH tok AS (SELECT source,
+      |        CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS t
+      |      FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(2 * sum(t) AS BIGINT) AS b, count(*) AS ns FROM tok),
+      |o AS (SELECT source, t, 3 * t AS cap,
+      |        row_number() OVER (ORDER BY 3 * t, source) AS rn,
+      |        coalesce(sum(3 * t) OVER (ORDER BY 3 * t, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |      FROM tok),
+      |g AS (SELECT o.*, tot.b, tot.ns,
+      |        CASE WHEN cap * (ns - rn + 1) <= b - cumb THEN 1 ELSE 0 END
+      |          AS is_capped
+      |      FROM o, tot),
+      |agg AS (SELECT coalesce(sum(CASE WHEN is_capped = 1 THEN cap END), 0)
+      |          AS capped_sum,
+      |          count(*) FILTER (WHERE is_capped = 0) AS m_un
+      |        FROM g),
+      |r AS (SELECT g.*, agg.capped_sum, agg.m_un,
+      |        CASE WHEN is_capped = 0 THEN
+      |          row_number() OVER (PARTITION BY is_capped ORDER BY source) END
+      |          AS ru
+      |      FROM g, agg),
+      |al AS (SELECT source, t, cap,
+      |         CASE WHEN is_capped = 1 OR m_un = 0 THEN cap
+      |           ELSE (b - capped_sum) // m_un
+      |             + CASE WHEN ru <= (b - capped_sum) % m_un THEN 1 ELSE 0 END
+      |         END AS alloc
+      |       FROM r)
+      |SELECT source, t AS n_tokens, CAST(cap AS BIGINT) AS cap,
+      |  CAST(alloc AS BIGINT) AS alloc,
+      |  CAST(alloc * 1000000 // t AS BIGINT) AS epochs_micro
+      |FROM al ORDER BY source""") { (s, d) =>
+    val w = Window.orderBy(col("cap"), col("source"))
+    val tok = documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(toks(col("text")))).cast("long").as("t"))
+    val tot = tok.agg((lit(2) * sum(col("t"))).cast("long").as("b"),
+      count(lit(1)).as("ns"))
+    val o = tok.withColumn("cap", lit(3) * col("t"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cumb", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val g = o.crossJoin(broadcast(tot))
+      .withColumn("is_capped",
+        when(col("cap") * (col("ns") - col("rn") + 1) <= col("b") - col("cumb"),
+          1).otherwise(0))
+    val agg = g.agg(
+      coalesce(sum(when(col("is_capped") === 1, col("cap"))), lit(0L))
+        .as("capped_sum"),
+      sum(when(col("is_capped") === 0, 1).otherwise(0)).as("m_un"))
+    val wU = Window.partitionBy(col("is_capped")).orderBy(col("source"))
+    g.crossJoin(broadcast(agg))
+      .withColumn("ru",
+        when(col("is_capped") === 0, row_number().over(wU)))
+      .withColumn("alloc",
+        when(col("is_capped") === 1 || col("m_un") === 0, col("cap"))
+          .otherwise(((col("b") - col("capped_sum")) / col("m_un"))
+            .cast("long") +
+            when(col("ru") <= pmod(col("b") - col("capped_sum"), col("m_un")),
+              1).otherwise(0)))
+      .select(col("source"), col("t").as("n_tokens"),
+        col("cap").cast("long").as("cap"),
+        col("alloc").cast("long").as("alloc"),
+        ((col("alloc") * 1000000) / col("t")).cast("long").as("epochs_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source EXACT length quantiles (p25/p50/p90 of per-document
+    * token count) via the grouped count-map — the q82 exact-quantile
+    * construction lifted to grouped form: order statistics come from a
+    * cumulative sum over the VALUE DOMAIN (one row per distinct
+    * (source, length)), never from sorting documents within a group.
+    * Type-1 quantile, integer-exact: p_q = min{v : cum(v)·den ≥
+    * tot·num}, evaluated as a cross-multiplied integer comparison.
+    *
+    * Scale shape: the (source, length) counts partial-aggregate
+    * map-side into a domain-sized table (|sources| × distinct lengths);
+    * the window runs over that compact relation. A per-group sort of
+    * raw documents — the naive plan — would shuffle the corpus; this
+    * shuffles counts. The quantile audit every curation pipeline runs
+    * before choosing truncation/packing lengths.
+    */
+  val q120LengthQuantiles: QueryDef = sql(
+    "q120_length_quantiles",
+    """WITH n AS (SELECT source,
+      |        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS v
+      |      FROM documents),
+      |cnt AS (SELECT source, v, count(*) AS c FROM n GROUP BY 1, 2),
+      |w AS (SELECT source, v, c,
+      |        sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+      |        sum(c) OVER (PARTITION BY source) AS tot
+      |      FROM cnt)
+      |SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+      |  CAST(min(CASE WHEN cum * 4 >= tot THEN v END) AS BIGINT) AS p25,
+      |  CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS BIGINT) AS p90
+      |FROM w GROUP BY source ORDER BY source""") { (s, d) =>
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+    val wTot = Window.partitionBy(col("source"))
+    documents(s, d)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).cast("long").as("n_docs"),
+        min(when(col("cum") * 4 >= col("tot"), col("v"))).cast("long")
+          .as("p25"),
+        min(when(col("cum") * 2 >= col("tot"), col("v"))).cast("long")
+          .as("p50"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("v"))).cast("long")
+          .as("p90"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q105SnapshotDiff, q106DataProfile, q107ImportanceWeights, q108PiiScan,
       q111NfcNormalize, q112WeightedSample, q114TemperatureMix,
-      q116DatasetCard)
+      q116DatasetCard, q119TokenBudget, q120LengthQuantiles)
 }

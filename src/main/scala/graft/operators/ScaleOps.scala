@@ -381,7 +381,73 @@ object ScaleOps {
         sum(col("l_suppkey")).cast("long").as("sk_sum"))
   }
 
+  /** Once-per-(session, snapshot) staging of the bucketed join tables:
+    * lineitem and orders both bucketed+sorted on the order key into
+    * matching bucket counts, registered as EXTERNAL tables at explicit
+    * tmp paths (no warehouse dir side effects). The guard is
+    * session-scoped because table registration is; the write itself is
+    * the one-time layout job a warehouse runs at ingest. */
+  private val bucketStaged =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), (String, String)]
+
+  private def stageBucketedJoinTables(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    val k = (s, d)
+    val existing = bucketStaged.get(k)
+    if (existing != null) existing
+    else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Paths.get(d).toAbsolutePath.toString
+          .getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toString
+      val liT = s"graft_li_$h"
+      val ordT = s"graft_ord_$h"
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/$liT").saveAsTable(liT)
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/$ordT").saveAsTable(ordT)
+      val names = (liT, ordT)
+      val prev = bucketStaged.putIfAbsent(k, names)
+      if (prev != null) prev else names
+    }
+  }
+
+  /** Co-located fact⋈fact join over BUCKETED layout (SURVEY §2.A A4 as
+    * a registered query, not just a unit test): both sides are staged
+    * bucketed+sorted on the order key into matching bucket counts, so
+    * the equi-join plans with NO exchange on either side — the shuffle
+    * a recurring warehouse join would otherwise pay on every run
+    * happens once at layout time. The MERGE hint keeps the strategy
+    * question honest (a broadcast would also be exchange-free, but
+    * only bucketing survives two FACT-sized sides at 100 TB); the
+    * plan's exchange-freedom below the join is pinned by
+    * `PlanAuditSpec`. The oracle states the join's RESULT on the raw
+    * tables — layout must never change semantics.
+    */
+  val q122BucketedJoin: QueryDef = sql(
+    "q122_bucketed_join",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val (liT, ordT) = stageBucketedJoinTables(s, d)
+    s.table(liT).hint("MERGE")
+      .join(s.table(ordT).hint("MERGE"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumd2(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def all: Seq[QueryDef] = Seq(q38SaltedAgg, q39ApproxDistinct,
     q82ApproxQuantile, q87IncrAggRefresh, q92HeavyHitters, q95SkewJoin,
-    q118ZorderScan)
+    q118ZorderScan, q122BucketedJoin)
 }

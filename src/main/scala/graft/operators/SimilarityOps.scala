@@ -870,6 +870,130 @@ object SimilarityOps {
     * and the scoring pass is map-side — the same two-shuffle shape as a
     * grouped average plus a broadcast join, at any corpus size.
     */
+  /** Per-label exact centroid of `df` (label, embedding) — the 56-bit
+    * floor-split bit-reproducible mean (q44's construction, see its
+    * scaladoc), returning (label, c_emb, c_nr). Shared by q103
+    * (outlier scoring) and q121 (cross-snapshot drift). */
+  private def labelCentroids(df: DataFrame): DataFrame = {
+    val S = 72057594037927936L // 2^56
+    val sp = df
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        col("col").cast("double").as("v"))
+      .withColumn("x1", floor(col("v") * S))
+      .withColumn("r1", col("v") * S - col("x1"))
+      .withColumn("x2", floor(col("r1") * S))
+      .withColumn("r2", col("r1") * S - col("x2"))
+      .withColumn("x3", floor(col("r2") * S))
+    val dm = sp.groupBy(col("label"), col("dim"))
+      .agg(
+        sum(col("x1").cast("decimal(38,0)")).as("s1"),
+        sum(col("x2").cast("decimal(38,0)")).as("s2"),
+        sum(col("x3").cast("decimal(38,0)")).as("s3"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("dim"),
+        ((col("s1").cast("double")
+          + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
+          / S / col("cnt")).as("m"))
+    dm.groupBy(col("label"))
+      .agg(array((0 until 64).map(i =>
+        max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
+      .select(col("label"), col("c_emb"),
+        sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
+  }
+
+  /** Oracle fragment: the label-keyed 56-bit floor-split mean chain
+    * over CTE `base` (label, embedding), prefixed so two snapshots can
+    * instantiate it in one WITH clause. Ends at `<p>cents2`
+    * (label, c_emb, c_nr). */
+  private def labelMeanCtesSql(base: String, p: String): String =
+    s"""${p}comp AS (SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS v
+      |         FROM $base CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
+      |${p}sp1 AS (SELECT label, dim,
+      |          CAST(floor(v * 72057594037927936) AS BIGINT) AS x1,
+      |          v * 72057594037927936 - floor(v * 72057594037927936) AS r1
+      |        FROM ${p}comp),
+      |${p}sp2 AS (SELECT label, dim, x1,
+      |          CAST(floor(r1 * 72057594037927936) AS BIGINT) AS x2,
+      |          r1 * 72057594037927936 - floor(r1 * 72057594037927936) AS r2
+      |        FROM ${p}sp1),
+      |${p}dm AS (SELECT label, dim,
+      |         (CAST(sum(x1) AS DOUBLE)
+      |           + (CAST(sum(x2) AS DOUBLE)
+      |              + CAST(sum(CAST(floor(r2 * 72057594037927936) AS BIGINT)) AS DOUBLE)
+      |                / 72057594037927936)
+      |             / 72057594037927936)
+      |         / 72057594037927936 / count(*) AS m
+      |       FROM ${p}sp2 GROUP BY label, dim),
+      |${p}cents AS (SELECT label, list(m ORDER BY dim) AS c_emb
+      |              FROM ${p}dm GROUP BY label),
+      |${p}cents2 AS (SELECT label, c_emb,
+      |             sqrt(${sqlDotFast("c_emb", "c_emb")}) AS c_nr
+      |           FROM ${p}cents)""".stripMargin
+
+  /** Embedding-space DRIFT across corpus snapshots — the monitoring
+    * operator a curation pipeline runs per ingest: per label, the exact
+    * centroid of the previous snapshot vs the current one, reported as
+    * the cosine between them plus both populations. A centroid that
+    * swings (cosine well below 1) flags a distribution shift in that
+    * slice of the corpus before it reaches training. The old snapshot
+    * derives deterministically from the current one (the q105 recipe):
+    * the vec_id % 13 == 5 slice is new since last ingest (absent from
+    * old), and the % 7 == 2 slice was re-embedded with a sign flip on
+    * odd dimensions (an exact float negation, so both engines derive
+    * identical inputs).
+    *
+    * Scale shape: two grouped exact means (compact (label, dim, digit)
+    * shuffle rows with map-side partials — q103's posture) and one
+    * |labels|-row join; the cosine is evaluated once per label. No
+    * pair joins anywhere — drift is a per-cell statistic, linear in
+    * corpus size at any scale.
+    */
+  val q121CentroidDrift: QueryDef = sql(
+    "q121_centroid_drift",
+    s"""WITH newv AS (SELECT label, embedding FROM embeddings),
+      |oldv AS (SELECT label,
+      |           CASE WHEN vec_id % 7 = 2 THEN
+      |             list_transform(range(1, len(embedding) + 1),
+      |               i -> CASE WHEN i % 2 = 0 THEN -CAST(embedding[i] AS DOUBLE)
+      |                    ELSE CAST(embedding[i] AS DOUBLE) END)
+      |           ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+      |         FROM embeddings WHERE vec_id % 13 <> 5),
+      |${labelMeanCtesSql("newv", "n_")},
+      |${labelMeanCtesSql("oldv", "o_")},
+      |nc AS (SELECT label, count(*) AS n_new FROM newv GROUP BY 1),
+      |oc AS (SELECT label, count(*) AS n_old FROM oldv GROUP BY 1)
+      |SELECT n_cents2.label, oc.n_old, nc.n_new,
+      |  ${sqlDotFast("o_cents2.c_emb", "n_cents2.c_emb")}
+      |    / (o_cents2.c_nr * n_cents2.c_nr) AS drift_cos
+      |FROM n_cents2 JOIN o_cents2 ON o_cents2.label = n_cents2.label
+      |  JOIN nc ON nc.label = n_cents2.label
+      |  JOIN oc ON oc.label = n_cents2.label
+      |ORDER BY n_cents2.label""") { (s, d) =>
+    val cur = embeddings(s, d)
+    val newv = cur.select(col("label"), col("embedding"))
+    val oldv = cur.filter(col("vec_id") % 13 =!= 5)
+      .select(col("label"),
+        when(col("vec_id") % 7 === 2,
+          transform(col("embedding"),
+            (x, i) => when(i % 2 === 1, -x.cast("double"))
+              .otherwise(x.cast("double"))))
+          .otherwise(col("embedding").cast("array<double>"))
+          .as("embedding"))
+    val cn = labelCentroids(newv)
+      .select(col("label"), col("c_emb").as("c_new"), col("c_nr").as("nr_new"))
+    val co = labelCentroids(oldv)
+      .select(col("label"), col("c_emb").as("c_old"), col("c_nr").as("nr_old"))
+    val nc = newv.groupBy(col("label")).agg(count(lit(1)).as("n_new"))
+    val oc = oldv.groupBy(col("label")).agg(count(lit(1)).as("n_old"))
+    cn.join(co, "label").join(broadcast(oc), "label")
+      .join(broadcast(nc), "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        (dotAny(col("c_old"), col("c_new")) / (col("nr_old") * col("nr_new")))
+          .as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
   val q103EmbedOutliers: QueryDef = sql(
     "q103_embed_outliers",
     s"""WITH comp AS (SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS v
@@ -901,34 +1025,10 @@ object SimilarityOps {
       |         JOIN cents2 ON cents2.label = e.label)
       |SELECT vec_id, label, cosine FROM sc WHERE cosine < 0.0
       |ORDER BY vec_id""") { (s, d) =>
-    val S = 72057594037927936L // 2^56
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         nrm(col("embedding")).as("nr"))
-    val sp = e
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos").as("dim"),
-        col("col").cast("double").as("v"))
-      .withColumn("x1", floor(col("v") * S))
-      .withColumn("r1", col("v") * S - col("x1"))
-      .withColumn("x2", floor(col("r1") * S))
-      .withColumn("r2", col("r1") * S - col("x2"))
-      .withColumn("x3", floor(col("r2") * S))
-    val dm = sp.groupBy(col("label"), col("dim"))
-      .agg(
-        sum(col("x1").cast("decimal(38,0)")).as("s1"),
-        sum(col("x2").cast("decimal(38,0)")).as("s2"),
-        sum(col("x3").cast("decimal(38,0)")).as("s3"),
-        count(lit(1)).as("cnt"))
-      .select(col("label"), col("dim"),
-        ((col("s1").cast("double")
-          + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
-          / S / col("cnt")).as("m"))
-    val cents = dm.groupBy(col("label"))
-      .agg(array((0 until 64).map(i =>
-        max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
-      .select(col("label"), col("c_emb"),
-        sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
+    val cents = labelCentroids(e.select(col("label"), col("embedding")))
     e.join(broadcast(cents), "label")
       .select(col("vec_id"), col("label"),
         (dotAny(col("embedding"), col("c_emb")) / (col("nr") * col("c_nr")))
@@ -1213,5 +1313,5 @@ object SimilarityOps {
   def all: Seq[QueryDef] =
     Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf,
       q56QuantizeInt8, q72KnnClassify, q102SemanticDedup, q103EmbedOutliers,
-      q109KmeansTrain, q113HybridRrf)
+      q109KmeansTrain, q113HybridRrf, q121CentroidDrift)
 }

@@ -398,4 +398,95 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getLong(3)).sum - 1000000L) <=
       rows.length / 2 + 1)
   }
+
+  test("q119 waterfill allocation: budget exhausted exactly, caps " +
+      "respected, uncapped sources level within one token") {
+    val rows = SparkEntry.queries("q119_token_budget")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totTok = rows.map(_._2).sum
+    val b = 2 * totTok
+    rows.foreach { case (src, t, cap, alloc) =>
+      assert(cap == 3 * t, src)
+      assert(alloc <= cap, s"$src allocated past its epoch cap")
+      assert(alloc >= 0)
+    }
+    assert(rows.map(_._4).sum == math.min(b, rows.map(_._3).sum),
+      "allocation must exhaust min(budget, total capacity) exactly")
+    // uncapped sources (alloc < cap) sit at a uniform level ±1 token
+    val uncapped = rows.filter(r => r._4 < r._3).map(_._4)
+    if (uncapped.nonEmpty)
+      assert(uncapped.max - uncapped.min <= 1,
+        s"uncapped allocations not level: ${uncapped.toSeq}")
+    // and every capped source is smaller than every uncapped allocation
+    val capped = rows.filter(r => r._4 == r._3).map(_._4)
+    if (capped.nonEmpty && uncapped.nonEmpty)
+      assert(capped.max <= uncapped.min,
+        "a capped source out-consumed the uniform level")
+  }
+
+  test("q120 grouped exact quantiles equal a driver-side sorted " +
+      "type-1 percentile per source") {
+    val got = SparkEntry.queries("q120_length_quantiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val bySource = docs.groupBy(_._4)
+    def q(tokCounts: Seq[Long], num: Int, den: Int): Long = {
+      val sorted = tokCounts.sorted
+      // type-1: smallest v with cum*den >= tot*num
+      val k = (sorted.size * num + den - 1) / den // ceil
+      sorted(k - 1)
+    }
+    bySource.foreach { case (src, ds) =>
+      val lens = ds.map(d => d._2.trim.split(" ").length.toLong).toSeq
+      val (n, p25, p50, p90) = got(src)
+      assert(n == lens.size)
+      assert(p25 == q(lens, 1, 4), s"$src p25")
+      assert(p50 == q(lens, 1, 2), s"$src p50")
+      assert(p90 == q(lens, 9, 10), s"$src p90")
+    }
+  }
+
+  test("q121 centroid drift matches a driver-side double-mean cosine " +
+      "and flags only real movement") {
+    val rows = SparkEntry.queries("q121_centroid_drift")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getSeq[Float](2).toArray))
+    def centroid(vs: Seq[Array[Double]]): Array[Double] = {
+      val c = new Array[Double](64)
+      vs.foreach(v => (0 until 64).foreach(i => c(i) += v(i)))
+      c.map(_ / vs.size)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = (0 until 64).map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val newBy = embs.groupBy(_._2)
+    val oldBy = embs.filter(_._1 % 13 != 5).map { case (id, l, e) =>
+      val p = if (id % 7 == 2)
+        e.zipWithIndex.map { case (x, i) =>
+          if (i % 2 == 1) -x.toDouble else x.toDouble }
+      else e.map(_.toDouble)
+      (l, p)
+    }.groupBy(_._1)
+    rows.foreach { case (label, nOld, nNew, drift) =>
+      assert(nNew == newBy(label).length)
+      assert(nOld == oldBy(label).length)
+      val expected = cos(
+        centroid(oldBy(label).map(_._2).toSeq),
+        centroid(newBy(label).map(_._3.map(_.toDouble)).toSeq))
+      // plain double mean vs the exact 56-bit mean: identical to ~1e-12
+      assert(math.abs(drift - expected) < 1e-9,
+        s"label $label drift $drift vs recompute $expected")
+      assert(drift <= 1.0 && drift >= -1.0)
+      // the sign-flip slice guarantees real movement somewhere
+    }
+    assert(rows.exists(_._4 < 0.9999),
+      "perturbed snapshot should show measurable drift for some label")
+  }
 }

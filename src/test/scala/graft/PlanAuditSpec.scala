@@ -545,4 +545,58 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!reads.contains("doc_id") && !reads.contains("n_chars"),
       s"scan reads unused columns: $reads")
   }
+
+  test("q119 token budget: the corpus pass is aggregation-only; all " +
+      "waterfill math runs on broadcast |sources|-sized relations") {
+    val df = SparkEntry.queries("q119_token_budget")(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"waterfill math must never shuffle-join:\n$plan")
+    val fmt = formatted(df)
+    val reads = fmt.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+      .mkString("\n")
+    assert(!reads.contains("doc_id") && !reads.contains("n_chars"),
+      s"scan reads unused columns: $reads")
+  }
+
+  test("q120 grouped quantiles: join-free — order statistics come from " +
+      "the (source, value) count map, never a per-group document sort") {
+    val plan = finalPlan(
+      SparkEntry.queries("q120_length_quantiles")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"grouped quantiles must be join-free:\n$plan")
+    assert(plan.contains("Window"), "count-map cumsum window missing")
+    // the window input is the compact (source, v, c) count table: a
+    // hash aggregate must run BELOW the window
+    val belowWindow = plan.split("Window").last
+    assert(belowWindow.contains("HashAggregate"),
+      s"window must consume pre-aggregated counts, not raw documents:\n$plan")
+  }
+
+  test("q121 centroid drift: label-keyed means only — no pair join, " +
+      "no cartesian; the cosine uses the codegen mixed dot") {
+    val plan = finalPlan(
+      SparkEntry.queries("q121_centroid_drift")(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.toLowerCase.contains("vectordot"),
+      "drift cosine must use the native codegen expression")
+    assert(!plan.contains("SortMergeJoin"),
+      s"|labels|-sized joins must broadcast:\n$plan")
+  }
+
+  test("q122 bucketed join: sort-merge with NO exchange below the " +
+      "join — bucketing replaces the per-query shuffle") {
+    val plan = finalPlan(
+      SparkEntry.queries("q122_bucketed_join")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // everything below the join must be scan-only: the section after
+    // the SMJ node lists its two bucketed-scan subtrees
+    val below = plan.split("SortMergeJoin").last
+    assert(!below.contains("Exchange"),
+      s"bucketed join still shuffles its inputs:\n$plan")
+    assert(below.toLowerCase.contains("bucketed: true"),
+      s"scans must report bucketed reads:\n$below")
+  }
 }
