@@ -111,13 +111,34 @@ object SimilarityOps {
     * corpus: 16 cells/nprobe 2 → recall 0.545, 64/3 → 0.497, 128/4 →
     * 0.527). Independent quantizers multiply the misses instead:
     * measured 4 × (128 cells, nprobe 4) → recall 0.947 at 20k (0.967 at
-    * the 5k spec fixture) with candidate volume p²R/(2C)·n² = 0.25·n² —
-    * half the exhaustive product's, and the fraction FALLS as a larger
-    * corpus configures more cells (fixed cell size ⇒ volume linear in
-    * n). Sweep tool: `RecallProbe --cells`. */
+    * the 5k spec fixture) with candidate volume quantizers·(nprobe·n)²
+    * /(2k) = (64/k)·n²/2 — half the exhaustive product at k = 128, and
+    * the fraction FALLS as a larger corpus configures more cells: k
+    * scales as max(128, n/[[PairCellTarget]]) ([[pairCells]]), keeping
+    * per-cell population (and hence candidate rows per vector) CONSTANT
+    * past the swept point. Measured one decade further out (60k-vector
+    * sf3 corpus, k = 382): candidates fall to ~1/6 of exhaustive and
+    * recall holds at 0.804 — degraded from 0.947 as the extra cells add
+    * boundary misses, the documented trade on this adversarially
+    * near-random corpus (real embedding corpora, whose near-dups sit at
+    * cosine ≥ 0.8, co-cluster far more reliably). Sweep tool:
+    * `RecallProbe --cells`; the decade point: `RecallProbe <sf3dir>`. */
   private[graft] val PairCells = 128
   private[graft] val PairNprobe = 4
   private[graft] val PairQuantizers = 4
+
+  /** Cell-population target for q34's above-knee tier: the per-quantizer
+    * cell count is k = max([[PairCells]], n/PairCellTarget), so the
+    * benched scales keep today's exact geometry (n ≤ 20,000 ⇒ k = 128,
+    * the recall-swept configuration) while a LARGER corpus configures
+    * proportionally more cells — fixed cell size ⇒ per-cell pair volume
+    * LINEAR in n, the same k ∝ n contract q102's SemDeDup clusters
+    * follow (a fixed k would turn the per-cell product quadratic one
+    * decade past sf1). 157 = 20,000/128 — the measured-recall operating
+    * point extends as the density-preserving DataGen corpus grows. */
+  private[graft] val PairCellTarget = 157L
+  private[graft] def pairCells(n: Long): Int =
+    math.max(PairCells.toLong, n / PairCellTarget).toInt
 
   /** Embedding-cosine near-duplicate pairs over the full table, via
     * banded sign-LSH candidate generation + exact cosine verification:
@@ -177,6 +198,8 @@ object SimilarityOps {
     sql(
       "q34_embed_near_pairs",
       s"""WITH nc AS (SELECT count(*) AS n FROM embeddings),
+        |pknc AS (SELECT greatest($PairCells, count(*) // $PairCellTarget) AS k
+        |         FROM embeddings),
         |d AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
         |      FROM embeddings WHERE (SELECT n FROM nc) <= $PairExactKnee),
         |b AS ($bandSelects),
@@ -188,8 +211,9 @@ object SimilarityOps {
         |      FROM cand JOIN d a ON a.vec_id = v1 JOIN d a2 ON a2.vec_id = v2),
         |de AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
         |       FROM embeddings WHERE (SELECT n FROM nc) > $PairExactKnee),
-        |${(0 until PairQuantizers).map(r => ivfCtesSql("de", s"k${r}_",
-             r * PairCells, (r + 1) * PairCells, sqlDotFast)).mkString(",\n")},
+        |${(0 until PairQuantizers).map(r => ivfCtesSqlExpr("de", s"k${r}_",
+             s"$r * (SELECT k FROM pknc)", s"${r + 1} * (SELECT k FROM pknc)",
+             sqlDotFast)).mkString(",\n")},
         |kasn AS (${(0 until PairQuantizers).map(r =>
              s"SELECT vec_id, embedding, nr, c_id FROM k${r}_a1 WHERE crn <= $PairNprobe")
              .mkString("\nUNION ALL\n")}),
@@ -258,8 +282,13 @@ object SimilarityOps {
   private[graft] val CellBroadcastKnee = 200000L
 
   private[graft] def embedNearPairsPerCell(s: SparkSession, d: String,
-      cells: Int = PairCells, nprobe: Int = PairNprobe,
+      cellsOverride: Int = 0, nprobe: Int = PairNprobe,
       quantizers: Int = PairQuantizers): DataFrame = {
+    // corpus-sized cell count (k ∝ n past the swept 128-cell floor) —
+    // see [[pairCells]]; an explicit override serves the sweep tool
+    val cells =
+      if (cellsOverride > 0) cellsOverride
+      else pairCells(embeddings(s, d).count())
     val e = embVecs(s, d)
     val wA = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
