@@ -684,8 +684,69 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** ADAPTIVE quality gating — per-source learned thresholds instead of
+    * one global cutoff: each document scores its type-token ratio
+    * (distinct tokens / tokens, in exact ppm — a lexical-diversity
+    * quality proxy), each SOURCE learns its own p10 of that score via
+    * the q120 count-map order statistic, and the gate drops documents
+    * below their own source's p10. This is how production curation
+    * thresholds actually work (a cutoff tuned on web text would gut a
+    * code corpus — score distributions differ per source, so the
+    * threshold must be conditional), and the whole operator is two
+    * passes: the scoring scan (map-side) and the count-map threshold
+    * (compact (source, score) rows), with the |sources|-row threshold
+    * table broadcast back over the second scan. Output per source:
+    * the learned threshold, populations, and the exact kept-id
+    * checksum.
+    */
+  val q124AdaptiveQualityGate: QueryDef = sql(
+    "q124_adaptive_quality_gate",
+    """WITH sc AS (SELECT doc_id, source,
+      |        CAST(floor(1000000.0
+      |          * len(list_distinct(string_split(trim(text), ' ')))
+      |          / len(string_split(trim(text), ' '))) AS BIGINT) AS ppm
+      |      FROM documents),
+      |cnt AS (SELECT source, ppm, count(*) AS c FROM sc GROUP BY 1, 2),
+      |w AS (SELECT source, ppm, c,
+      |        sum(c) OVER (PARTITION BY source ORDER BY ppm) AS cum,
+      |        sum(c) OVER (PARTITION BY source) AS tot
+      |      FROM cnt),
+      |th AS (SELECT source,
+      |         min(CASE WHEN cum * 10 >= tot THEN ppm END) AS thr
+      |       FROM w GROUP BY 1)
+      |SELECT sc.source, CAST(max(thr) AS BIGINT) AS threshold_ppm,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ppm < thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(sum(CASE WHEN ppm >= thr THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS kept_id_sum
+      |FROM sc JOIN th ON th.source = sc.source
+      |GROUP BY sc.source ORDER BY sc.source""") { (s, d) =>
+    val sc = documents(s, d).select(col("doc_id"), col("source"),
+      floor(lit(1000000.0) * size(array_distinct(toks(col("text"))))
+        / size(toks(col("text")))).cast("long").as("ppm"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("ppm"))
+    val wTot = Window.partitionBy(col("source"))
+    val th = sc.groupBy(col("source"), col("ppm"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") * 10 >= col("tot"), col("ppm"))).as("thr"))
+    sc.join(broadcast(th), "source")
+      .groupBy(col("source"))
+      .agg(max(col("thr")).cast("long").as("threshold_ppm"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ppm") < col("thr"), 1).otherwise(0)).cast("long")
+          .as("n_dropped"),
+        sum(when(col("ppm") >= col("thr"), col("doc_id")).otherwise(0L))
+          .cast("long").as("kept_id_sum"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q105SnapshotDiff, q106DataProfile, q107ImportanceWeights, q108PiiScan,
       q111NfcNormalize, q112WeightedSample, q114TemperatureMix,
-      q116DatasetCard, q119TokenBudget, q120LengthQuantiles)
+      q116DatasetCard, q119TokenBudget, q120LengthQuantiles,
+      q124AdaptiveQualityGate)
 }

@@ -1339,8 +1339,89 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("fused_rank"))
   }
 
+  /** Incremental ANN-index maintenance audit — the decision signal an
+    * embedding pipeline computes per ingest: assign the NEW snapshot
+    * slice (the q105 convention: vec_id % 13 == 5 arrived since the
+    * index was built) into the EXISTING learned cells (q44's cached
+    * per-snapshot centroids) and report, per cell, the base and delta
+    * populations, the growth rate, and the mean member-to-centroid
+    * cosine of each population (micro-quantized, integer-summed — the
+    * q94 recipe, so the mean is order-independent and engine-exact). A
+    * cell whose delta grows fast or sits measurably farther from its
+    * centroid than the base did is the retrain trigger; everything
+    * here is map-side against the broadcast centroid table plus one
+    * |cells|-sized rollup — index maintenance costs one scan of the
+    * delta at any corpus size (the base statistics are the kind a real
+    * pipeline keeps per snapshot; both engines derive them here from
+    * the same table so the oracle stays self-contained).
+    */
+  val q123IndexMaintenance: QueryDef = sql(
+    "q123_index_maintenance",
+    s"""WITH d AS (SELECT vec_id, embedding,
+      |        sqrt(${sqlDotFast("embedding", "embedding")}) AS nr
+      |      FROM embeddings),
+      |${ivfCtesSqlExpr("d", "", "0", "16", sqlDotFast)},
+      |cells AS (SELECT a1.vec_id, a1.c_id,
+      |            ${sqlDotFast("a1.embedding", "cents2.c_emb")}
+      |              / (a1.nr * cents2.c_nr) AS cos
+      |          FROM a1 JOIN cents2 ON cents2.c_id = a1.c_id
+      |          WHERE crn = 1),
+      |m AS (SELECT c_id,
+      |        CASE WHEN vec_id % 13 = 5 THEN 1 ELSE 0 END AS is_delta,
+      |        CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      |      FROM cells),
+      |g AS (SELECT c_id,
+      |        count(*) FILTER (WHERE is_delta = 0) AS n_base,
+      |        count(*) FILTER (WHERE is_delta = 1) AS n_delta,
+      |        sum(CASE WHEN is_delta = 0 THEN cos_micro ELSE 0 END) AS bs,
+      |        sum(CASE WHEN is_delta = 1 THEN cos_micro ELSE 0 END) AS ds
+      |      FROM m GROUP BY c_id)
+      |SELECT c_id, n_base, n_delta,
+      |  CAST(floor(CAST(1000000 * n_delta AS DOUBLE)
+      |    / greatest(1, n_base)) AS BIGINT) AS growth_micro,
+      |  CAST(floor(CAST(bs AS DOUBLE) / greatest(1, n_base)) AS BIGINT)
+      |    AS base_cos_micro,
+      |  CAST(floor(CAST(ds AS DOUBLE) / greatest(1, n_delta)) AS BIGINT)
+      |    AS delta_cos_micro
+      |FROM g ORDER BY c_id""") { (s, d) =>
+    val e = embVecs(s, d)
+    val cents = learnedCentroids(s, d, 0, 16)
+    // single-nearest assignment carrying the cosine itself (assignNearest
+    // drops it): map-side broadcast argmax via max_by on the same
+    // (cosine, -c_id) key, then one micro-quantized rollup
+    e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", dotAny(col("embedding"), col("c_emb")) /
+        (col("nr") * col("c_nr")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("c_id"), col("c_cos")),
+          struct(col("c_cos"), (-col("c_id")).as("neg"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("c_id"),
+        col("best.c_cos").as("cos"))
+      .withColumn("is_delta", when(col("vec_id") % 13 === 5, 1).otherwise(0))
+      .withColumn("cos_micro",
+        floor(col("cos") * 1000000 + 0.5).cast("long"))
+      .groupBy(col("c_id"))
+      .agg(
+        sum(when(col("is_delta") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta") === 1, 1L).otherwise(0L)).as("n_delta"),
+        sum(when(col("is_delta") === 0, col("cos_micro")).otherwise(0L))
+          .as("bs"),
+        sum(when(col("is_delta") === 1, col("cos_micro")).otherwise(0L))
+          .as("ds"))
+      .select(col("c_id"), col("n_base"), col("n_delta"),
+        floor((lit(1000000) * col("n_delta")).cast("double")
+          / greatest(lit(1L), col("n_base"))).cast("long").as("growth_micro"),
+        floor(col("bs").cast("double") / greatest(lit(1L), col("n_base")))
+          .cast("long").as("base_cos_micro"),
+        floor(col("ds").cast("double") / greatest(lit(1L), col("n_delta")))
+          .cast("long").as("delta_cos_micro"))
+      .orderBy(col("c_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf,
       q56QuantizeInt8, q72KnnClassify, q102SemanticDedup, q103EmbedOutliers,
-      q109KmeansTrain, q113HybridRrf, q121CentroidDrift)
+      q109KmeansTrain, q113HybridRrf, q121CentroidDrift,
+      q123IndexMaintenance)
 }

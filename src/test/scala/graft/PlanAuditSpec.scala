@@ -585,6 +585,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"|labels|-sized joins must broadcast:\n$plan")
   }
 
+  test("q123 index maintenance: one broadcast-argmax assignment pass, " +
+      "no window sort over the table, no pair join") {
+    val plan = finalPlan(
+      SparkEntry.queries("q123_index_maintenance")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"),
+      s"assignment must be the max_by argmax, not a window rank:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"index maintenance must not shuffle-join or cross:\n$plan")
+  }
+
+  test("q124 adaptive gate: threshold table broadcasts back over the " +
+      "scoring scan; the count-map window consumes aggregated rows") {
+    val plan = finalPlan(
+      SparkEntry.queries("q124_adaptive_quality_gate")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      "|sources|-row threshold table must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+    val belowWindow = plan.split("Window").last
+    assert(belowWindow.contains("HashAggregate"),
+      s"window must consume pre-aggregated (source, ppm) counts:\n$plan")
+  }
+
   test("q122 bucketed join: sort-merge with NO exchange below the " +
       "join — bucketing replaces the per-query shuffle") {
     val plan = finalPlan(
