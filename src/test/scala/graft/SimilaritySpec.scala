@@ -54,4 +54,29 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"per-cell recall: ${perCell.size}/${exact.size} = $recall%.3f")
     assert(recall >= 0.9, f"per-cell recall $recall%.3f below the 0.9 floor")
   }
+
+  test("q34 per-cell tier in the SCALED-k regime (30k vectors, " +
+      "k = 191 > the 128 floor): subset + recall floor holds as the " +
+      "cell count grows with the corpus") {
+    // 15× sf0.1 = 30,000 vectors — past the k = max(128, n/157) floor,
+    // so this pins the k ∝ n regime the benched sfs never enter (the
+    // sf3 decade sweep measured 0.804 at 60k/k=382; more cells add
+    // boundary misses, the documented trade, so the floor is 0.7)
+    val dir = TestEmbeddingFixtures.scaled(spark, "/root/testdata/sf0.1", 15)
+    assert(graft.operators.SimilarityOps.pairCells(30000) == 191)
+    def keyed(rows: Array[org.apache.spark.sql.Row]): Map[(Long, Long), Double] =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val perCell = keyed(
+      SparkEntry.queries("q34_embed_near_pairs")(spark, dir).collect())
+    val exact = keyed(
+      SimilarityOps.embedNearPairsAllPairs(spark, dir).collect())
+    perCell.foreach { case (k, cos) =>
+      assert(exact.contains(k), s"per-cell pair $k not in exhaustive product")
+      assert(exact(k) == cos, s"cosine mismatch for $k")
+    }
+    val recall = perCell.size.toDouble / exact.size
+    info(f"scaled-k recall at 30k: ${perCell.size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.7,
+      f"scaled-k per-cell recall $recall%.3f below the 0.7 floor")
+  }
 }
