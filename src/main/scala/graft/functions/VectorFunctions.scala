@@ -167,6 +167,130 @@ case class MixedVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-row IVF coarse assignment: the `nprobe` nearest centroids of
+  * `vec` among the broadcast centroid array `cells` (elements
+  * `struct<c_id: bigint, c_emb: array<float|double>, c_nr: double>`),
+  * returned as the `c_id`s in rank order (cosine DESC, c_id ASC — the
+  * oracle window's exact ORDER BY, with `java.lang.Double.compare` ties
+  * so NaN ranks greatest like both engines' sorts).
+  *
+  * Why an expression and not a plan: the row_number-window form
+  * shuffles all n·k scored rows (each still carrying its embedding) to
+  * discard all but nprobe — measured 92M-row exchange at the sf3 corpus
+  * and the dominant cost of q34 — while the higher-order-function form
+  * (`transform`→`array_sort`→`slice`) evaluates ~n·k interpreted
+  * lambdas plus n·k·log k interpreted comparator calls (measured 2.6×
+  * SLOWER than the window at sf3: boxing, not arithmetic). One eval per
+  * ROW with a tight primitive loop over the k broadcast centroids does
+  * the same k dots with neither the exchange nor the boxing.
+  * CodegenFallback is deliberate: the call is per-row, not per-element,
+  * so fallback overhead is one virtual call per row while the k·dim
+  * multiply-adds inside stay primitive. Same fold as [[MixedVectorDot]]
+  * (left-to-right `sum += (double)x[i] * (double)c[i]`), so cosines are
+  * bit-identical to the verified window/oracle arithmetic. */
+case class NearestCellIds(vec: Expression, nr: Expression,
+    cells: Expression, nprobe: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nprobe > 0)
+
+  override def children: Seq[Expression] = Seq(vec, nr, cells)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isFloatArr(t: DataType): Boolean =
+    t match { case ArrayType(FloatType, _) => true; case _ => false }
+
+  private lazy val vecFloat = isFloatArr(vec.dataType)
+  private lazy val centFloat = cells.dataType match {
+    case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+      isFloatArr(st.fields(1).dataType)
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cellsOk = cells.dataType match {
+      case ArrayType(st: org.apache.spark.sql.types.StructType, _)
+          if st.fields.length == 3 =>
+        st.fields(0).dataType == org.apache.spark.sql.types.LongType &&
+          (st.fields(1).dataType match {
+            case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+            case _ => false
+          }) && st.fields(2).dataType == DoubleType
+      case _ => false
+    }
+    if (vecOk && nr.dataType == DoubleType && cellsOk)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_cell_ids requires (array<float|double>, double, " +
+        "array<struct<bigint, array<float|double>, double>>), got " +
+        s"(${vec.dataType.simpleString}, ${nr.dataType.simpleString}, " +
+        s"${cells.dataType.simpleString})")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    val nrv = nr.eval(input)
+    val cs = cells.eval(input)
+    if (v == null || nrv == null || cs == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val norm = nrv.asInstanceOf[Double]
+    val arr = cs.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val dim = x.numElements()
+    val m = math.min(nprobe, k)
+    // insertion-sorted top-m: rank order is (cosine DESC, c_id ASC)
+    val bc = new Array[Double](m)
+    val bi = new Array[Long](m)
+    var filled = 0
+    var ci = 0
+    while (ci < k) {
+      val row = arr.getStruct(ci, 3)
+      val cEmb = row.getArray(1)
+      if (cEmb.numElements() == dim) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) {
+          val xv = if (vecFloat) x.getFloat(j).toDouble else x.getDouble(j)
+          val cv = if (centFloat) cEmb.getFloat(j).toDouble else cEmb.getDouble(j)
+          s += xv * cv
+          j += 1
+        }
+        val cos = s / (norm * row.getDouble(2))
+        val cid = row.getLong(0)
+        // position = count of incumbents that outrank the candidate
+        var p = filled
+        var search = 0
+        var found = false
+        while (search < filled && !found) {
+          val cmp = java.lang.Double.compare(cos, bc(search))
+          if (cmp > 0 || (cmp == 0 && cid < bi(search))) { p = search; found = true }
+          else search += 1
+        }
+        if (p < m) {
+          var q = math.min(filled, m - 1)
+          while (q > p) { bc(q) = bc(q - 1); bi(q) = bi(q - 1); q -= 1 }
+          bc(p) = cos
+          bi(p) = cid
+          if (filled < m) filled += 1
+        }
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCellIds =
+    copy(vec = newChildren(0), nr = newChildren(1), cells = newChildren(2))
+}
+
 object VectorFunctions {
   /** `dot(a, b)` over two `array<float>` columns, as a native codegen
     * expression. */
@@ -179,4 +303,11 @@ object VectorFunctions {
   def vecDotAny(a: Column, b: Column): Column =
     GraftBridge.column(
       MixedVectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Top-`nprobe` nearest-centroid ids for a vector against a broadcast
+    * centroid array — see [[NearestCellIds]]. */
+  def nearestCellIds(vec: Column, nr: Column, cells: Column,
+      nprobe: Int): Column =
+    GraftBridge.column(NearestCellIds(GraftBridge.expression(vec),
+      GraftBridge.expression(nr), GraftBridge.expression(cells), nprobe))
 }

@@ -266,9 +266,10 @@ object SimilarityOps {
   }
 
   /** q34's above-knee tier: the exact codegen-dot product PER LEARNED
-    * IVF CELL. Every vector is assigned to its nprobe=2 nearest learned
-    * centroids (q44's one-Lloyd-round cells — the shared session-cached
-    * index artifact), candidate pairs meet on the cell id (an equi-join,
+    * IVF CELL. Every vector is assigned to its [[PairNprobe]] nearest
+    * learned centroids per quantizer (q44's one-Lloyd-round cells — the
+    * shared session-cached index artifact), candidate pairs meet on the
+    * cell id (an equi-join,
     * never a global product), each candidate gets the exact float-dot
     * cosine, and duplicates from pairs sharing both cells collapse
     * AFTER the ≥ 0.4 filter (distinct over the few survivors, not the
@@ -290,19 +291,27 @@ object SimilarityOps {
       if (cellsOverride > 0) cellsOverride
       else pairCells(embeddings(s, d).count())
     val e = embVecs(s, d)
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
     // one assignment per coarse quantizer; c_id ranges are disjoint
     // across quantizers (the seed vec_id IS the cell id), so the
-    // unioned assignments join on c_id alone
+    // unioned assignments join on c_id alone. Top-nprobe is computed
+    // PER ROW against the broadcast centroid array by the
+    // [[graft.functions.NearestCellIds]] expression instead of a
+    // row_number window: the window form shuffles all n·k scored rows —
+    // each still carrying its embedding — to sort away all but nprobe
+    // of them (measured 60k×382×4 = 92M-row exchange at sf3, the
+    // dominant cost of the whole query); the per-row expression is
+    // exchange-free and spends the same k dot products in one primitive
+    // loop. Rank order (cosine DESC, c_id ASC) is the oracle window's
+    // exact ORDER BY — sf1 stays hash-exact against the unchanged
+    // window-form oracle SQL.
     val asn = (0 until quantizers).map { r =>
       val cents = learnedCentroids(s, d, r * cells, (r + 1) * cells)
-      e.crossJoin(broadcast(cents))
-        .withColumn("c_cos", dotAny(col("embedding"), col("c_emb")) /
-          (col("nr") * col("c_nr")))
-        .withColumn("crn", row_number().over(wA))
-        .filter(col("crn") <= nprobe)
-        .select(col("c_id"), col("vec_id"), col("embedding"), col("nr"))
+      val centArr = cents.agg(collect_list(
+        struct(col("c_id"), col("c_emb"), col("c_nr"))).as("cs"))
+      e.crossJoin(broadcast(centArr))
+        .select(explode(graft.functions.VectorFunctions.nearestCellIds(
+            col("embedding"), col("nr"), col("cs"), nprobe)).as("c_id"),
+          col("vec_id"), col("embedding"), col("nr"))
     }.reduce(_ unionByName _)
     val x = asn.select(col("c_id"), col("vec_id").as("v1"),
       col("embedding").as("ea"), col("nr").as("na"))

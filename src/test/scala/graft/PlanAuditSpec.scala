@@ -116,7 +116,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in q34\n$plan")
     assert(plan.contains("HashJoin [c_id"),
       s"per-cell pair join (equi on c_id) missing above the knee\n$plan")
-    assert(!plan.contains("explode"), s"band generator ran above the knee\n$plan")
+    // the band generator explodes a literal array(struct(band, sig));
+    // the per-cell tier's only explode is the top-nprobe cell-id list
+    // from the per-row assignment (exchange-free, no window)
+    assert(!plan.contains("explode(array("),
+      s"band generator ran above the knee\n$plan")
+    assert(plan.toLowerCase.contains("explode(nearestcellids"),
+      s"per-row top-nprobe assignment explode missing above the knee\n$plan")
+    assert(!plan.contains("Window"),
+      s"assignment fell back to a row_number window above the knee\n$plan")
   }
 
   test("q48 fuzzy-match candidates come from an equi-join, not all-pairs") {

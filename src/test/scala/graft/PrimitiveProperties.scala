@@ -221,4 +221,45 @@ object PrimitiveProperties extends Properties("primitives") {
       (spread32(a) & (spread32(b) << 1)) == 0L &&
         unspread(z) == a && unspread(z >>> 1) == b
     }
+
+  // q34 per-row IVF assignment: NearestCellIds must reproduce the
+  // window form it replaced — score every centroid with the promoted
+  // double fold, rank (cosine DESC, c_id ASC), keep nprobe.
+  private val centroidGen = for {
+    n <- Gen.chooseNum(1, 12)
+    embs <- Gen.listOfN(n, Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0)))
+  } yield embs
+
+  property("q34 NearestCellIds equals rank-by-(cosine desc, id asc) " +
+      "take-nprobe over the same double fold") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f)), centroidGen,
+        Gen.chooseNum(1, 6)) { (v, cents, nprobe) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+      import org.apache.spark.sql.types._
+      val nr = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      def cnr(c: Seq[Double]) = math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x))
+      val structT = StructType(Seq(
+        StructField("c_id", LongType),
+        StructField("c_emb", ArrayType(DoubleType)),
+        StructField("c_nr", DoubleType)))
+      val cellRows = cents.zipWithIndex.map { case (c, i) =>
+        InternalRow(i.toLong, new GenericArrayData(c.toArray), cnr(c))
+      }
+      val expr = graft.functions.NearestCellIds(
+        Literal(new GenericArrayData(v.toArray), ArrayType(FloatType)),
+        Literal(nr),
+        Literal(new GenericArrayData(cellRows.toArray), ArrayType(structT)),
+        nprobe)
+      val got = expr.eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+      val want = cents.zipWithIndex.map { case (c, i) =>
+        val dot = v.zip(c).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y }
+        (dot / (nr * cnr(c)), i.toLong)
+      }.sortWith { case ((ca, ia), (cb, ib)) =>
+        val cmp = java.lang.Double.compare(ca, cb)
+        cmp > 0 || (cmp == 0 && ia < ib)
+      }.take(nprobe).map(_._2)
+      got == want
+    }
 }
