@@ -274,13 +274,28 @@ object SimilarityOps {
     * cosine, and duplicates from pairs sharing both cells collapse
     * AFTER the ≥ 0.4 filter (distinct over the few survivors, not the
     * candidate stream). The assignment side is broadcast below
-    * [[CellBroadcastKnee]] vectors (the 2n×(c_id, embedding) table is
-    * ~12 MB at n=20k), which keeps the whole pair stage map-side; above
-    * it the same plan shuffles both sides on c_id — the per-cell join
-    * IS the 100 TB shape (cells partition the corpus; each cell's
-    * product is local).
+    * [[CellBroadcastKnee]] vectors — quantizers·nprobe·n = 16n rows
+    * carrying their embeddings (~90 MB at n=20k, ~300 MB at the sf3
+    * 60k corpus, both measured fine in one 24 GB JVM), which keeps the
+    * whole pair stage map-side; above it the same plan shuffles both
+    * sides on c_id — the per-cell join IS the 100 TB shape (cells
+    * partition the corpus; each cell's product is local).
+    *
+    * Assignment-side scale bound, stated honestly: k ∝ n keeps the
+    * per-cell PAIR volume linear, but the coarse assignment itself is
+    * n·k dots against a driver-collected broadcast array — fine through
+    * every benched scale (k = 382 at sf3 is ~200 KB per quantizer) and
+    * for any single-machine corpus, but at k in the millions the
+    * centroid array outgrows a broadcast and the assignment flops turn
+    * quadratic. The standard escape is hierarchical (two-level)
+    * assignment — pick among √k coarse cells, then among that cell's √k
+    * children — which this corpus cannot exercise (128 ≤ k ≤ 382 at
+    * every benched sf, where one level is both faster and exactly what
+    * the oracle's window ranks), so it is documented rather than built.
     */
-  private[graft] val CellBroadcastKnee = 200000L
+  // 100k vectors ⇒ ~500 MB of build side (16n rows × ~300 B); past
+  // that the broadcast stops paying for the avoided c_id shuffle
+  private[graft] val CellBroadcastKnee = 100000L
 
   private[graft] def embedNearPairsPerCell(s: SparkSession, d: String,
       cellsOverride: Int = 0, nprobe: Int = PairNprobe,

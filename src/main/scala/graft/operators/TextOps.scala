@@ -207,6 +207,77 @@ object TextOps {
     * spec-pinned at fixture scale), so the gate changes cost only. */
   private[graft] val PairCountKnee = 60000000L
 
+  /** Single-NODE disk ceiling for the exact pair scans: above this many
+    * pair rows (Σ df·(df−1)/2), one prefix-filter job's candidate
+    * shuffle outruns local scratch disk — measured at the 500k-doc sf10
+    * corpus (pair volume ≈ 3.7G rows), whose single-job q27/q55 died
+    * with `No space left on device` after ~70 GB of shuffle spill,
+    * while the sf3 point (1.1G rows) finishes comfortably. Above the
+    * knee the SAME exact plan runs as [[pairWaves]] sequential
+    * token-hash waves (h mod W), each a bounded job whose results land
+    * in a staged per-snapshot artifact — the relation is unchanged
+    * (the oracle stays the single count formulation; equivalence
+    * spec-pinned in `ContainmentQuantizeSpec`), only its peak scratch
+    * footprint is. On a CLUSTER this knee effectively never fires:
+    * aggregate shuffle disk grows with executors, which is the real
+    * 100 TB answer — the wave tier is the single-node degradation that
+    * keeps the exact semantics available instead of failing. */
+  private[graft] val PairDiskKnee = 1500000000L
+
+  /** Target pair rows per wave (~the sf3 volume, the largest measured
+    * single-job success at ~25 GB peak spill). */
+  private[graft] val PairWaveRows = 900000000L
+  private[graft] def pairWaves(pv: Long): Int =
+    math.max(2, ((pv + PairWaveRows - 1) / PairWaveRows).toInt)
+
+  /** Run `wave(i)` for i ∈ [0, waves) as SEQUENTIAL jobs, appending
+    * each result to a staged parquet artifact (the Z-order/bucketed
+    * staging convention: (size, mtime, params) fingerprint marker,
+    * cache dir keyed on a hash of the full dataset path, write-to-temp
+    * + atomic rename). Between waves a GC nudge lets the ContextCleaner
+    * reclaim the finished wave's shuffle files — that reclamation is
+    * the entire point of the tier (peak scratch = one wave, not the
+    * sum). */
+  private[graft] def stagedPairScan(s: SparkSession, d: String, name: String,
+      waves: Int)(wave: Int => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "documents.parquet")
+    val fp = s"$name|w=$waves|${Files.size(src)}|" +
+      s"${Files.getLastModifiedTime(src).toMillis}"
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${Paths.get(d).toAbsolutePath}|$name".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_pairscan", pathKey)
+    val marker = dir.resolve("_staged")
+    val data = dir.resolve("data")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == fp
+    if (!fresh) {
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(s"data.tmp${System.nanoTime}")
+      (0 until waves).foreach { i =>
+        wave(i).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(tmp.toString)
+        // the ContextCleaner deletes a finished wave's shuffle files
+        // asynchronously after its dependencies become unreachable; the
+        // pause lets those deletes land before the next wave floods the
+        // same scratch disk (measured: without it, two waves' spill can
+        // coexist and re-create the overflow the tier exists to avoid)
+        System.gc()
+        Thread.sleep(3000)
+      }
+      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        if (Files.isDirectory(p))
+          Files.list(p).toArray.foreach(c => rmTree(c.asInstanceOf[java.nio.file.Path]))
+        Files.delete(p)
+      }
+      rmTree(data)
+      Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
+      Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    s.read.parquet(data.toString)
+  }
+
   /** Per-document SORTED array of capped-index token hashes (plus its
     * length): the compact verification artifact for candidate pairs.
     * `SortedIntersectCount` over two of these arrays reproduces the
@@ -495,8 +566,10 @@ object TextOps {
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
       |SELECT d1, d2, round(jac, 6) AS jaccard
       |FROM j WHERE jac >= 0.4 ORDER BY d1, d2""") { (s, d) =>
-    if (pairVolume(s, d) <= PairCountKnee) jaccardCountPath(s, d)
-    else jaccardPrefixPath(s, d)
+    val pv = pairVolume(s, d)
+    if (pv <= PairCountKnee) jaccardCountPath(s, d)
+    else if (pv <= PairDiskKnee) jaccardPrefixPath(s, d)
+    else jaccardStagedPath(s, d)
   }
 
   /** Sub-knee q27 plan: index self-join on the hash key + one count row
@@ -547,10 +620,34 @@ object TextOps {
 
   /** Above-knee q27 plan: the AllPairs/PPJoin prefix-filter chain (see
     * the q27 scaladoc) + broadcast sorted-array verification. */
-  private[graft] def jaccardPrefixPath(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jaccardPrefixPath(s: SparkSession, d: String): DataFrame =
+    jaccardPrefixVerified(s, d, None).orderBy(col("d1"), col("d2"))
+
+  /** q27's disk tier: the identical prefix-filter relation computed as
+    * sequential token-hash waves (see [[PairDiskKnee]]). A pair found
+    * through shared prefix tokens in several waves verifies to the
+    * identical row in each, so one distinct after the staged union
+    * restores exact pair uniqueness. */
+  private[graft] def jaccardStagedPath(s: SparkSession, d: String,
+      wavesOverride: Int = 0): DataFrame = {
+    val w = if (wavesOverride > 0) wavesOverride else pairWaves(pairVolume(s, d))
+    stagedPairScan(s, d, "jaccard", w)(i =>
+        jaccardPrefixVerified(s, d, Some((i, w))))
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** The verified (d1, d2, jaccard) relation, optionally restricted to
+    * the tokens of wave (i, W) — h ≡ i (mod W) on BOTH join sides, so
+    * the equi-join on h makes the wave partition of the candidate
+    * relation exact, disjoint in tokens, and exhaustive across waves. */
+  private def jaccardPrefixVerified(s: SparkSession, d: String,
+      wave: Option[(Int, Int)]): DataFrame = {
     val rk = rankedIndex(s, d)
     // prefix length |X| − ⌈0.4·|X|⌉ + 1, integer-exact: ⌈2n/5⌉ = (2n+4) DIV 5
-    val pre = rk.filter(col("r") <= col("n") - expr("(2*n+4) DIV 5") + 1)
+    val pre0 = rk.filter(col("r") <= col("n") - expr("(2*n+4) DIV 5") + 1)
+    val pre = wave.fold(pre0) { case (i, ww) =>
+      pre0.filter(col("h") % ww === i) }
     val a = pre.select(col("doc_id").as("d1"), col("h"),
       col("n").as("n1"), col("r").as("r1"))
     val b = pre.select(col("doc_id").as("d2"), col("h"),
@@ -582,7 +679,6 @@ object TextOps {
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= 0.4)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** 48-bit SimHash fingerprints: per-token md5-derived bits, weighted by
@@ -1518,8 +1614,10 @@ object TextOps {
       |      FROM p JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
       |SELECT d1, d2, round(containment, 6) AS containment
       |FROM j WHERE containment >= 0.8 ORDER BY d1, d2""") { (s, d) =>
-    if (pairVolume(s, d) <= PairCountKnee) containmentCountPath(s, d)
-    else containmentPrefixPath(s, d)
+    val pv = pairVolume(s, d)
+    if (pv <= PairCountKnee) containmentCountPath(s, d)
+    else if (pv <= PairDiskKnee) containmentPrefixPath(s, d)
+    else containmentStagedPath(s, d)
   }
 
   /** Sub-knee q55 plan: raw index self-join + pair count (the oracle's
@@ -1548,8 +1646,32 @@ object TextOps {
   /** Above-knee q55 plan: one-sided (smaller-role) prefix filter +
     * broadcast sorted-array verification (see the q55 scaladoc). */
   private[graft] def containmentPrefixPath(
-      s: SparkSession, d: String): DataFrame = {
-    val rk = rankedIndex(s, d)
+      s: SparkSession, d: String): DataFrame =
+    containmentPrefixVerified(s, d, None).orderBy(col("d1"), col("d2"))
+
+  /** q55's disk tier — same wave construction as [[jaccardStagedPath]],
+    * at DOUBLE the wave count: the one-sided candidate join runs
+    * prefix(smaller-role) × the FULL ranked index (q27's runs prefix ×
+    * prefix), so its scratch footprint per unit of the shared Σ df²/2
+    * gate statistic is roughly twice q27's — measured at sf10, where 5
+    * q27-sized waves still overflowed the disk for q55. */
+  private[graft] def containmentStagedPath(s: SparkSession, d: String,
+      wavesOverride: Int = 0): DataFrame = {
+    val w = if (wavesOverride > 0) wavesOverride
+      else 2 * pairWaves(pairVolume(s, d))
+    stagedPairScan(s, d, "containment", w)(i =>
+        containmentPrefixVerified(s, d, Some((i, w))))
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private def containmentPrefixVerified(s: SparkSession, d: String,
+      wave: Option[(Int, Int)]): DataFrame = {
+    val rk0 = rankedIndex(s, d)
+    // both join sides restrict to the wave's token-hash class (the join
+    // key is h, so the wave partition is exact — see jaccard's twin)
+    val rk = wave.fold(rk0) { case (i, ww) =>
+      rk0.filter(col("h") % ww === i) }
     // smaller-role prefix |X| − ⌈0.8·|X|⌉ + 1; ⌈4n/5⌉ = (4n+4) DIV 5
     val pre = rk.filter(col("r") <= col("n") - expr("(4*n+4) DIV 5") + 1)
     val a = pre.select(col("doc_id").as("da"), col("h"),
@@ -1578,7 +1700,6 @@ object TextOps {
         col("inter").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= 0.8)
       .select(col("d1"), col("d2"), round(col("containment"), 6).as("containment"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** Sliding-window token chunking (chunk = 32 tokens, stride = 24,

@@ -59,6 +59,21 @@ class ContainmentQuantizeSpec extends AnyFunSuite {
     assert(graft.operators.TextOps.pairVolume(spark, sf001) > 0)
   }
 
+  test("q27/q55 disk tier: the wave-staged scan (forced to 3 token-hash " +
+      "waves) equals the single-job relation row for row") {
+    // the PairDiskKnee gate only fires past any verified sf, so force
+    // the wave machinery here: 3 waves at fixture scale must reproduce
+    // the count-path relation exactly (disjoint token classes cover the
+    // index; cross-wave duplicate pairs collapse in the final distinct)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sf001 = "/root/testdata/sf0.001"
+    assert(rows(graft.operators.TextOps.jaccardStagedPath(spark, sf001, 3)) ==
+      rows(graft.operators.TextOps.jaccardCountPath(spark, sf001)))
+    assert(rows(graft.operators.TextOps.containmentStagedPath(spark, sf001, 3)) ==
+      rows(graft.operators.TextOps.containmentCountPath(spark, sf001)))
+  }
+
   test("q55 reports size-mismatched pairs that symmetric Jaccard scores " +
       "strictly lower (containment > jaccard whenever |A| != |B|)") {
     val sizes: Map[Long, Int] = TextOps.shingleIndexPlan(spark, sf)
