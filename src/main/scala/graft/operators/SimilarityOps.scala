@@ -116,13 +116,17 @@ object SimilarityOps {
     * the fraction FALLS as a larger corpus configures more cells: k
     * scales as max(128, n/[[PairCellTarget]]) ([[pairCells]]), keeping
     * per-cell population (and hence candidate rows per vector) CONSTANT
-    * past the swept point. Measured one decade further out (60k-vector
-    * sf3 corpus, k = 382): candidates fall to ~1/6 of exhaustive and
-    * recall holds at 0.804 — degraded from 0.947 as the extra cells add
-    * boundary misses, the documented trade on this adversarially
-    * near-random corpus (real embedding corpora, whose near-dups sit at
-    * cosine ≥ 0.8, co-cluster far more reliably). Sweep tool:
-    * `RecallProbe --cells`; the decade point: `RecallProbe <sf3dir>`. */
+    * past the swept point. Measured TWO decades further out at fixed
+    * (nprobe, quantizers): recall 0.947 at k = 128 (20k vectors) →
+    * 0.804 at k = 382 (60k, sf3) → 0.585 at k = 1273 (200k, sf10) —
+    * the boundary-miss decay of a growing cell count on this
+    * adversarially near-random corpus (a cosine-0.4 pair spans ~66° and
+    * straddles ever more Voronoi boundaries as cells shrink). Holding
+    * recall while k grows means scaling nprobe/quantizers too
+    * (candidate volume rises with nprobe²) — both are parameters of
+    * [[embedNearPairsPerCell]]; real embedding corpora, whose near-dups
+    * sit at cosine ≥ 0.8, co-cluster far more reliably. Sweep tool:
+    * `RecallProbe --cells`; the decade points: `RecallProbe <dir>`. */
   private[graft] val PairCells = 128
   private[graft] val PairNprobe = 4
   private[graft] val PairQuantizers = 4
