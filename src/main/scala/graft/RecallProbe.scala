@@ -19,6 +19,53 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // scaled-k sweep: `RecallProbe --sweep <sfDir> sym:np:q,asym:np:q,…`
+    // measures the per-cell tier's recall and cost at the corpus's OWN
+    // k = pairCells(n) across (shape, nprobe, quantizers) combos — the
+    // round-11 instrument for holding recall as k scales. The exhaustive
+    // ground truth (O(N²/2), 12 min cold at 200k) is cached to a
+    // fingerprinted parquet so repeated sweeps pay it once.
+    if (args.headOption.contains("--sweep")) {
+      val sf = args(1)
+      val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+      val fp = s"${java.nio.file.Files.size(src)}|" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${src.toAbsolutePath}|$fp".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_pairtruth", key)
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        graft.operators.SimilarityOps.embedNearPairsAllPairs(spark, sf)
+          .select("v1", "v2")
+          .write.mode("overwrite").parquet(dir.toString)
+        println(f"truth computed in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      val truth = spark.read.parquet(dir.toString)
+      val tn = truth.count()
+      println(s"$sf exhaustive pairs: $tn")
+      args(2).split(",").foreach { c =>
+        val Array(shape, np, q) = c.split(":")
+        val t0 = System.nanoTime()
+        val df = shape match {
+          case "sym" => graft.operators.SimilarityOps
+            .embedNearPairsPerCell(spark, sf, 0, np.toInt, q.toInt)
+          case "asym" => graft.operators.SimilarityOps
+            .embedNearPairsPerCellAsym(spark, sf, 0, np.toInt, q.toInt)
+        }
+        val got = df.select("v1", "v2")
+        val pairs = got.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // emitted pairs are exact-verified (subset of truth), so
+        // recall = |result| / |truth|; the semi-join double-checks
+        val hits = got.join(truth, Seq("v1", "v2"), "left_semi").count()
+        println(f"$c%-12s pairs=$pairs%8d hits=$hits%8d " +
+          f"recall=${hits.toDouble / tn}%.4f time=$secs%.1fs")
+      }
+      spark.stop()
+      return
+    }
     // sweep mode: `RecallProbe --cells <sfDir>` measures the per-cell
     // tier's PAIR recall and cost across (cells, nprobe) combos against
     // the exhaustive product — how PairCells/PairNprobe were chosen.

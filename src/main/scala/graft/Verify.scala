@@ -20,6 +20,10 @@ object Verify {
       // see Bench: small Tungsten pages — many short tasks would other-
       // wise zero tens of MB each on sorter/map setup.
       .config("spark.buffer.pageSize", "1m")
+      // synchronous shuffle cleanup — see Bench.scala (wave-tier scratch
+      // bound); harmless for batch queries, load-bearing for the staged
+      // pair scans
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.ui.enabled", "false")
       // see Bench: the status stores otherwise retain every execution's
       // plan graph + metrics across the 72-query run — old-gen pressure

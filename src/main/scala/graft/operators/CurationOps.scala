@@ -624,15 +624,17 @@ object CurationOps {
       .withColumn("ru",
         when(col("is_capped") === 0, row_number().over(wU)))
       .withColumn("alloc",
+        // integer `div`, not truncated double `/`: the oracle's `//` is
+        // exact at any magnitude; a double quotient only matches while
+        // the operands stay well under 2^53
         when(col("is_capped") === 1 || col("m_un") === 0, col("cap"))
-          .otherwise(((col("b") - col("capped_sum")) / col("m_un"))
-            .cast("long") +
+          .otherwise(expr("(b - capped_sum) div m_un") +
             when(col("ru") <= pmod(col("b") - col("capped_sum"), col("m_un")),
               1).otherwise(0)))
       .select(col("source"), col("t").as("n_tokens"),
         col("cap").cast("long").as("cap"),
         col("alloc").cast("long").as("alloc"),
-        ((col("alloc") * 1000000) / col("t")).cast("long").as("epochs_micro"))
+        expr("(alloc * 1000000) div t").cast("long").as("epochs_micro"))
       .orderBy(col("source"))
   }
 

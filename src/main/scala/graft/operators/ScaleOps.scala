@@ -334,12 +334,7 @@ object ScaleOps {
         lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice")),
         tmp.toString, n = nFiles, clusterCols.head, clusterCols(1))
-      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-        if (Files.isDirectory(p))
-          Files.list(p).toArray.foreach(c => rmTree(c.asInstanceOf[java.nio.file.Path]))
-        Files.delete(p)
-      }
-      rmTree(data)
+      graft.Fs.rmTree(data)
       Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
       Files.write(marker, fp.getBytes("UTF-8"))
     }
@@ -389,16 +384,26 @@ object ScaleOps {
     * the one-time layout job a warehouse runs at ingest. */
   private val bucketStaged =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), (String, String)]
+      (org.apache.spark.sql.SparkSession, String, String), (String, String)]
 
   private def stageBucketedJoinTables(
       s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
-    val k = (s, d)
+    // (size, mtime) fingerprint of both source files in BOTH the cache
+    // key and the table-name hash: a corpus regenerated in-place
+    // mid-session restages under fresh names instead of serving stale
+    // bucketed data (the same staleness guard stagedPairScan and
+    // stageZorderedLineitem carry)
+    val fp = Seq("lineitem.parquet", "orders.parquet").map { f =>
+      val p = java.nio.file.Paths.get(d, f)
+      s"${java.nio.file.Files.size(p)}|" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    }.mkString("|")
+    val k = (s, d, fp)
     val existing = bucketStaged.get(k)
     if (existing != null) existing
     else {
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(java.nio.file.Paths.get(d).toAbsolutePath.toString
+        .digest((java.nio.file.Paths.get(d).toAbsolutePath.toString + "|" + fp)
           .getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
       val base = java.nio.file.Files
         .createTempDirectory("graft_bucketed").toString

@@ -346,6 +346,51 @@ object SimilarityOps {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** ASYMMETRIC home-vs-probe variant of the per-cell tier (the classic
+    * IVF SEARCH relation, evaluated pairwise): each vector is INDEXED
+    * under its single nearest cell (rank-0 "home") and PROBES its
+    * `nprobe` nearest cells; a pair is a candidate when either member's
+    * home cell is among the other's probed cells. At equal candidate
+    * volume this covers a wider neighborhood than the symmetric
+    * probed∩probed form (candidates scale with nprobe, not nprobe²):
+    * symmetric np=4 ≈ asymmetric np=8 in join rows, but the asymmetric
+    * test needs only ONE side's top-np to reach the other's home.
+    * Measurement harness target (`RecallProbe --sweep`); becomes the
+    * registered above-[[PairScaledKnee]] tier if it wins the sweep. */
+  private[graft] def embedNearPairsPerCellAsym(s: SparkSession, d: String,
+      cellsOverride: Int = 0, nprobe: Int = PairNprobe,
+      quantizers: Int = PairQuantizers): DataFrame = {
+    val cells =
+      if (cellsOverride > 0) cellsOverride
+      else pairCells(embeddings(s, d).count())
+    val e = embVecs(s, d)
+    val asn = (0 until quantizers).map { r =>
+      val cents = learnedCentroids(s, d, r * cells, (r + 1) * cells)
+      val centArr = cents.agg(collect_list(
+        struct(col("c_id"), col("c_emb"), col("c_nr"))).as("cs"))
+      e.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("embedding"), col("nr"),
+          posexplode(graft.functions.VectorFunctions.nearestCellIds(
+            col("embedding"), col("nr"), col("cs"), nprobe)))
+        .withColumnRenamed("pos", "crn")
+        .withColumnRenamed("col", "c_id")
+    }.reduce(_ unionByName _)
+    val home = asn.filter(col("crn") === 0)
+      .select(col("c_id"), col("vec_id").as("vh"),
+        col("embedding").as("eh"), col("nr").as("nh"))
+    val probe = asn.select(col("c_id"), col("vec_id").as("vp"),
+      col("embedding").as("ep"), col("nr").as("np_"))
+    val h = if (embeddings(s, d).count() <= CellBroadcastKnee) broadcast(home) else home
+    h.join(probe, Seq("c_id"))
+      .filter(col("vh") =!= col("vp"))
+      .select(least(col("vh"), col("vp")).as("v1"),
+        greatest(col("vh"), col("vp")).as("v2"),
+        (dot(col("eh"), col("ep")) / (col("nh") * col("np_"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .distinct()
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** The blocked exhaustive form of q34's exact product — O(N²/2)
     * codegen float-dot cosine over one BroadcastNestedLoopJoin scan.
     * No longer registered (the per-cell tier replaced it above the
@@ -589,32 +634,7 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nr").as("c_nr"))
     val asn0 = assignNearest(e, seeds, dot)
-    val S = 72057594037927936L // 2^56
-    val comp = asn0
-      .select(col("c_id"), posexplode(col("embedding")))
-      .select(col("c_id"), col("pos").as("dim"),
-        col("col").cast("double").as("v"))
-    val sp = comp
-      .withColumn("x1", floor(col("v") * S))
-      .withColumn("r1", col("v") * S - col("x1"))
-      .withColumn("x2", floor(col("r1") * S))
-      .withColumn("r2", col("r1") * S - col("x2"))
-      .withColumn("x3", floor(col("r2") * S))
-    val dm = sp.groupBy(col("c_id"), col("dim"))
-      .agg(
-        sum(col("x1").cast("decimal(38,0)")).as("s1"),
-        sum(col("x2").cast("decimal(38,0)")).as("s2"),
-        sum(col("x3").cast("decimal(38,0)")).as("s3"),
-        count(lit(1)).as("cnt"))
-      .select(col("c_id"), col("dim"),
-        ((col("s1").cast("double")
-          + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
-          / S / col("cnt")).as("m"))
-    dm.groupBy(col("c_id"))
-      .agg(array((0 until 64).map(i =>
-        max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
-      .select(col("c_id"), col("c_emb"),
-        sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
+    floorSplitMean(asn0.select(col("c_id"), col("embedding")), "c_id")
   }
 
   private def learnedCentroids(s: SparkSession, d: String,
@@ -931,33 +951,8 @@ object SimilarityOps {
     * floor-split bit-reproducible mean (q44's construction, see its
     * scaladoc), returning (label, c_emb, c_nr). Shared by q103
     * (outlier scoring) and q121 (cross-snapshot drift). */
-  private def labelCentroids(df: DataFrame): DataFrame = {
-    val S = 72057594037927936L // 2^56
-    val sp = df
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos").as("dim"),
-        col("col").cast("double").as("v"))
-      .withColumn("x1", floor(col("v") * S))
-      .withColumn("r1", col("v") * S - col("x1"))
-      .withColumn("x2", floor(col("r1") * S))
-      .withColumn("r2", col("r1") * S - col("x2"))
-      .withColumn("x3", floor(col("r2") * S))
-    val dm = sp.groupBy(col("label"), col("dim"))
-      .agg(
-        sum(col("x1").cast("decimal(38,0)")).as("s1"),
-        sum(col("x2").cast("decimal(38,0)")).as("s2"),
-        sum(col("x3").cast("decimal(38,0)")).as("s3"),
-        count(lit(1)).as("cnt"))
-      .select(col("label"), col("dim"),
-        ((col("s1").cast("double")
-          + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
-          / S / col("cnt")).as("m"))
-    dm.groupBy(col("label"))
-      .agg(array((0 until 64).map(i =>
-        max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
-      .select(col("label"), col("c_emb"),
-        sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
-  }
+  private def labelCentroids(df: DataFrame): DataFrame =
+    floorSplitMean(df, "label")
 
   /** Oracle fragment: the label-keyed 56-bit floor-split mean chain
     * over CTE `base` (label, embedding), prefixed so two snapshots can
@@ -1094,39 +1089,59 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
-  /** One exact Lloyd mean: per-cluster centroid of `asn` (c_id,
-    * embedding) via the 56-bit floor-split integer sum (see q44's
-    * scaladoc for the bit-reproducibility construction) → (c_id, c_emb
-    * DOUBLE[64], c_nr). Factored from [[learnedCentroidsPlan]] so the
-    * multi-round trainer (q109) iterates the identical round. */
-  private def lloydMean(asn: DataFrame): DataFrame = {
+  /** One exact Lloyd mean: per-key centroid of `df` (key, embedding)
+    * via the 56-bit floor-split integer sum (see q44's scaladoc for the
+    * bit-reproducibility construction) → (key, c_emb DOUBLE[64], c_nr).
+    * Shared by [[learnedCentroidsPlan]], the multi-round trainer (q109
+    * via [[lloydMean]]), q103's outlier scoring, and q121's drift.
+    *
+    * Each digit xᵢ (|xᵢ| ≤ ~2^58) is accumulated as TWO long sums —
+    * hi = xᵢ >> 28 (arithmetic shift = floor division, exact for the
+    * signed x1) and lo = xᵢ & (2^28−1) ∈ [0, 2^28) — instead of one
+    * decimal(38,0) sum: long sums stay in whole-stage codegen (a
+    * decimal sum allocates per row; measured the dominant cost of the
+    * explode-aggregate at the 200k-vector corpus), and the exact digit
+    * total is reconstructed per GROUP as the decimal hi·2^28 + lo,
+    * which equals sum(xᵢ) bit-for-bit — the final double mean is
+    * unchanged vs the oracle's hugeint sum. Overflow headroom:
+    * |hi| ≤ 2^30, so ~2^33 ≈ 8.6B members per (key, dim) group before
+    * a long sum could wrap; past that, re-widen to decimal. */
+  private def floorSplitMean(df: DataFrame, key: String): DataFrame = {
     val S = 72057594037927936L // 2^56
-    val comp = asn
-      .select(col("c_id"), posexplode(col("embedding")))
-      .select(col("c_id"), col("pos").as("dim"),
+    val M28 = (1L << 28) - 1
+    def hiLo(x: Column, p: String) =
+      Seq(shiftright(x, 28).as(s"${p}h"), x.bitwiseAND(M28).as(s"${p}l"))
+    val sp = df
+      .select(col(key), posexplode(col("embedding")))
+      .select(col(key), col("pos").as("dim"),
         col("col").cast("double").as("v"))
-    val sp = comp
       .withColumn("x1", floor(col("v") * S))
       .withColumn("r1", col("v") * S - col("x1"))
       .withColumn("x2", floor(col("r1") * S))
       .withColumn("r2", col("r1") * S - col("x2"))
       .withColumn("x3", floor(col("r2") * S))
-    val dm = sp.groupBy(col("c_id"), col("dim"))
-      .agg(
-        sum(col("x1").cast("decimal(38,0)")).as("s1"),
-        sum(col("x2").cast("decimal(38,0)")).as("s2"),
-        sum(col("x3").cast("decimal(38,0)")).as("s3"),
+      .select(Seq(col(key), col("dim")) ++
+        hiLo(col("x1"), "a") ++ hiLo(col("x2"), "b") ++
+        hiLo(col("x3"), "c"): _*)
+    def digit(p: String): Column =
+      sum(col(s"${p}h")).cast("decimal(38,0)") * (M28 + 1) +
+        sum(col(s"${p}l")).cast("decimal(38,0)")
+    val dm = sp.groupBy(col(key), col("dim"))
+      .agg(digit("a").as("s1"), digit("b").as("s2"), digit("c").as("s3"),
         count(lit(1)).as("cnt"))
-      .select(col("c_id"), col("dim"),
+      .select(col(key), col("dim"),
         ((col("s1").cast("double")
           + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
           / S / col("cnt")).as("m"))
-    dm.groupBy(col("c_id"))
+    dm.groupBy(col(key))
       .agg(array((0 until 64).map(i =>
         max(when(col("dim") === i, col("m")))): _*).as("c_emb"))
-      .select(col("c_id"), col("c_emb"),
+      .select(col(key), col("c_emb"),
         sqrt(dotAny(col("c_emb"), col("c_emb"))).as("c_nr"))
   }
+
+  private def lloydMean(asn: DataFrame): DataFrame =
+    floorSplitMean(asn, "c_id")
 
   /** One oracle Lloyd round: assign `base` to `cin` centroids, then the
     * 56-bit floor-split mean → CTEs `<p>asn`, `<p>dm`, `<p>cents`

