@@ -224,22 +224,80 @@ object TextOps {
     * keeps the exact semantics available instead of failing. */
   private[graft] val PairDiskKnee = 1500000000L
 
-  /** Target pair rows per wave (~the sf3 volume, the largest measured
-    * single-job success at ~25 GB peak spill). */
-  private[graft] val PairWaveRows = 900000000L
-  private[graft] def pairWaves(pv: Long): Int =
-    math.max(2, ((pv + PairWaveRows - 1) / PairWaveRows).toInt)
+  /** Scratch bytes one candidate-pair row costs a prefix-scan wave at
+    * peak (shuffle spill of the h-join plus the dedup exchange) —
+    * MEASURED: the sf3 single-job q27 scan (1.1G pair rows) peaked
+    * ~25 GB of spill ≈ 23 B/pair; doubled as the planning margin for
+    * the heavier one-sided shapes (q55's containment join carries the
+    * full index on one side). The plan is only the OPENING bid: every
+    * wave's actual peak scratch is sampled live and logged
+    * (`[wave] … peak_scratch_gb bytes_per_pair`), and a wave that still
+    * overflows retry-splits (see [[stagedPairScan]]) — so the constant
+    * needs to be roughly right, not hand-calibrated per family. */
+  private[graft] val PairSpillBytesPerPair = 48L
 
-  /** Run `wave(i)` for i ∈ [0, waves) as SEQUENTIAL jobs, appending
+  /** Wave count for a staged pair scan, derived from the gate statistic
+    * against LIVE free scratch: enough waves that one wave's predicted
+    * spill (pairRows/waves × [[PairSpillBytesPerPair]]) fits in half
+    * the currently-usable tmp-dir space — half, because the staged
+    * artifact itself and unrelated tenants share the disk. Floor 2 (a
+    * corpus past [[PairDiskKnee]] is by definition too big for one
+    * job). */
+  private[graft] def pairWaves(pv: Long): Int = {
+    val usable = new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace
+    val budget = math.max(usable / 2, 1L)
+    math.max(2L, (pv * PairSpillBytesPerPair + budget - 1) / budget).toInt
+  }
+
+  /** Lowest-level disk telemetry for the wave tier: samples the tmp
+    * filesystem's usable space every second while `body` runs and
+    * returns (result, peak scratch consumed in bytes). */
+  private def withScratchPeak[A](body: => A): (A, Long) = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"))
+    val before = f.getUsableSpace
+    @volatile var minUsable = before
+    @volatile var stop = false
+    val t = new Thread(() => {
+      while (!stop) {
+        minUsable = math.min(minUsable, f.getUsableSpace)
+        Thread.sleep(1000)
+      }
+    }, "graft-scratch-sampler")
+    t.setDaemon(true)
+    t.start()
+    try {
+      val r = body
+      (r, math.max(0L, before - math.min(minUsable, f.getUsableSpace)))
+    } finally { stop = true; t.join(2000) }
+  }
+
+  private def isEnospc(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+      .exists(t => Option(t.getMessage).exists(_.contains("No space left")))
+
+  /** Run the wave partition of a pair scan as SEQUENTIAL jobs, appending
     * each result to a staged parquet artifact (the Z-order/bucketed
     * staging convention: (size, mtime, params) fingerprint marker,
     * cache dir keyed on a hash of the full dataset path, write-to-temp
-    * + atomic rename). Between waves a GC nudge lets the ContextCleaner
-    * reclaim the finished wave's shuffle files — that reclamation is
-    * the entire point of the tier (peak scratch = one wave, not the
-    * sum). */
+    * + atomic rename). `wave(i, w)` must produce the rows whose token
+    * hash ≡ i (mod w); the initial split is `waves` from [[pairWaves]].
+    *
+    * Two scratch-bound mechanisms replace any per-family hand tuning:
+    * (1) between waves a GC nudge retires the finished wave's shuffle
+    * files — synchronously, because the Bench/Verify builders set
+    * spark.cleaner.referenceTracking.blocking.shuffle=true (a fallback
+    * pause covers sessions without it, where the deletes are async) —
+    * so peak scratch is one wave, not the sum; (2) a wave that STILL
+    * overflows the disk (ENOSPC anywhere in the failure chain)
+    * RETRY-SPLITS into the two half-waves h ≡ i (mod 2w) and
+    * h ≡ i+w (mod 2w) — their union is exactly wave (i, w) because the
+    * token hash is non-negative — recursively up to 3 doublings. Every
+    * wave logs its sampled peak scratch and the implied bytes/pair so
+    * the [[PairSpillBytesPerPair]] planning coefficient stays auditable
+    * against live measurements. */
   private[graft] def stagedPairScan(s: SparkSession, d: String, name: String,
-      waves: Int)(wave: Int => DataFrame): DataFrame = {
+      waves: Int, pairRows: Long = 0L)(
+      wave: (Int, Int) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "documents.parquet")
     val fp = s"$name|w=$waves|${Files.size(src)}|" +
@@ -255,24 +313,36 @@ object TextOps {
     if (!fresh) {
       Files.createDirectories(dir)
       val tmp = dir.resolve(s"data.tmp${System.nanoTime}")
-      (0 until waves).foreach { i =>
-        wave(i).write.mode(if (i == 0) "overwrite" else "append")
-          .parquet(tmp.toString)
-        // the ContextCleaner deletes a finished wave's shuffle files
-        // once its dependencies become unreachable — synchronously when
-        // the session sets
-        // spark.cleaner.referenceTracking.blocking.shuffle=true (the
-        // Bench/Verify builders do, so the GC nudge alone bounds scratch
-        // to one wave); the pause remains as the fallback for sessions
-        // without the config, where the deletes are async (measured:
-        // without either, two waves' spill can coexist and re-create the
-        // overflow the tier exists to avoid)
+      var firstWrite = true
+      def settle(): Unit = {
         System.gc()
         if (s.conf.getOption(
             "spark.cleaner.referenceTracking.blocking.shuffle")
             .forall(_ != "true"))
           Thread.sleep(3000)
       }
+      def runWave(i: Int, w: Int, depth: Int): Unit = {
+        val mode = if (firstWrite) "overwrite" else "append"
+        try {
+          val (_, peak) = withScratchPeak {
+            wave(i, w).write.mode(mode).parquet(tmp.toString)
+          }
+          firstWrite = false
+          val perPair =
+            if (pairRows > 0) f"${peak.toDouble * w / pairRows}%.1f" else "?"
+          System.err.println(f"[wave] $name $i/$w depth=$depth " +
+            f"peak_scratch_gb=${peak / 1e9}%.2f bytes_per_pair=$perPair")
+          settle()
+        } catch {
+          case e: Throwable if isEnospc(e) && depth < 3 =>
+            System.err.println(s"[wave] $name $i/$w ENOSPC - " +
+              s"retry-splitting into (${i}, ${2 * w}) and (${i + w}, ${2 * w})")
+            settle()
+            runWave(i, 2 * w, depth + 1)
+            runWave(i + w, 2 * w, depth + 1)
+        }
+      }
+      (0 until waves).foreach(i => runWave(i, waves, 0))
       graft.Fs.rmTree(data)
       Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
       Files.write(marker, fp.getBytes("UTF-8"))
@@ -632,12 +702,19 @@ object TextOps {
     * restores exact pair uniqueness. */
   private[graft] def jaccardStagedPath(s: SparkSession, d: String,
       wavesOverride: Int = 0): DataFrame = {
-    val w = if (wavesOverride > 0) wavesOverride else pairWaves(pairVolume(s, d))
-    stagedPairScan(s, d, "jaccard", w)(i =>
-        jaccardPrefixVerified(s, d, Some((i, w))))
+    val pv = pairVolume(s, d)
+    val w = if (wavesOverride > 0) wavesOverride else pairWaves(pv)
+    stagedPairScan(s, d, "jaccard", w, pv)((i, wi) =>
+        jaccardPrefixVerified(s, d, Some((i, wi))))
       .distinct()
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Test hook: one wave of the verified jaccard relation —
+    * `ContainmentQuantizeSpec` pins the retry-split refinement
+    * invariant ((i, 2w) ∪ (i+w, 2w) = (i, w)) through it. */
+  private[graft] def jaccardPrefixWave(s: SparkSession, d: String,
+      i: Int, w: Int): DataFrame = jaccardPrefixVerified(s, d, Some((i, w)))
 
   /** The verified (d1, d2, jaccard) relation, optionally restricted to
     * the tokens of wave (i, W) — h ≡ i (mod W) on BOTH join sides, so
@@ -1651,18 +1728,20 @@ object TextOps {
       s: SparkSession, d: String): DataFrame =
     containmentPrefixVerified(s, d, None).orderBy(col("d1"), col("d2"))
 
-  /** q55's disk tier — same wave construction as [[jaccardStagedPath]],
-    * at DOUBLE the wave count: the one-sided candidate join runs
-    * prefix(smaller-role) × the FULL ranked index (q27's runs prefix ×
-    * prefix), so its scratch footprint per unit of the shared Σ df²/2
-    * gate statistic is roughly twice q27's — measured at sf10, where 5
-    * q27-sized waves still overflowed the disk for q55. */
+  /** q55's disk tier — same wave construction and the SAME derived wave
+    * count as [[jaccardStagedPath]] (no per-family multiplier: the
+    * one-sided prefix × full-index join spills more per pair than
+    * q27's prefix × prefix, but the planning coefficient's 2× margin
+    * plus synchronous shuffle cleanup covers it, and the ENOSPC
+    * retry-split in [[stagedPairScan]] is the derived escape if a wave
+    * still overflows — r10's hand-measured "10 waves because 5
+    * overflowed" is replaced by measurement at run time). */
   private[graft] def containmentStagedPath(s: SparkSession, d: String,
       wavesOverride: Int = 0): DataFrame = {
-    val w = if (wavesOverride > 0) wavesOverride
-      else 2 * pairWaves(pairVolume(s, d))
-    stagedPairScan(s, d, "containment", w)(i =>
-        containmentPrefixVerified(s, d, Some((i, w))))
+    val pv = pairVolume(s, d)
+    val w = if (wavesOverride > 0) wavesOverride else pairWaves(pv)
+    stagedPairScan(s, d, "containment", w, pv)((i, wi) =>
+        containmentPrefixVerified(s, d, Some((i, wi))))
       .distinct()
       .orderBy(col("d1"), col("d2"))
   }

@@ -74,6 +74,22 @@ class ContainmentQuantizeSpec extends AnyFunSuite {
       rows(graft.operators.TextOps.containmentCountPath(spark, sf001)))
   }
 
+  test("wave retry-split invariant: the two half-waves (i, 2w) and " +
+      "(i+w, 2w) union to exactly the parent wave (i, w)") {
+    // the ENOSPC retry path in stagedPairScan replaces wave (i, w) with
+    // its two mod-2w refinements; pin that the refinement is lossless
+    // and non-overlapping for every parent wave of a 2-wave split
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sf001 = "/root/testdata/sf0.001"
+    (0 until 2).foreach { i =>
+      val parent = rows(TextOps.jaccardPrefixWave(spark, sf001, i, 2))
+      val halves = rows(TextOps.jaccardPrefixWave(spark, sf001, i, 4)) ++
+        rows(TextOps.jaccardPrefixWave(spark, sf001, i + 2, 4))
+      assert(halves == parent, s"wave ($i, 2) != its mod-4 refinement")
+    }
+  }
+
   test("q55 reports size-mismatched pairs that symmetric Jaccard scores " +
       "strictly lower (containment > jaccard whenever |A| != |B|)") {
     val sizes: Map[Long, Int] = TextOps.shingleIndexPlan(spark, sf)
