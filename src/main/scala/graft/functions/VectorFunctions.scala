@@ -291,6 +291,107 @@ case class NearestCellIds(vec: Expression, nr: Expression,
     copy(vec = newChildren(0), nr = newChildren(1), cells = newChildren(2))
 }
 
+/** [[NearestCellIds]] with the centroid table as DRIVER-SIDE STATIC data
+  * (flat row-major matrix) instead of a per-row broadcast array column.
+  *
+  * Why: the column form re-decodes k centroid structs PER ROW
+  * (`arr.getStruct(ci).getArray(1)` + element-type branches) — at the
+  * 200k-vector corpus (k = 1273, 4 quantizers) that struct-walk, not
+  * the arithmetic, dominated q34's assignment stage. Learned centroids
+  * are k rows of per-snapshot index METADATA (≈ 650 KB at k = 1273 —
+  * the same driver-sized class as the broadcast they already rode), so
+  * collecting them once per (session, snapshot, seed range) and baking
+  * them into the expression turns the inner loop into a pure primitive
+  * walk over one cache-friendly double[]. Ships once per stage in the
+  * task binary. Arithmetic, rank order (cosine DESC, c_id ASC via
+  * java.lang.Double.compare) and the skip-on-dim-mismatch guard are
+  * IDENTICAL to [[NearestCellIds]], so results are bit-equal — the
+  * column form remains as the dynamic-centroid fallback and the
+  * equality is exercised by every oracle hash on the per-cell tier. */
+case class NearestCellIdsStatic(vec: Expression, nr: Expression,
+    ids: Array[Long], flat: Array[Double], nrs: Array[Double], nprobe: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nprobe > 0 && ids.length == nrs.length &&
+    (ids.length == 0 || flat.length % ids.length == 0))
+
+  private val dim = if (ids.length == 0) 0 else flat.length / ids.length
+
+  override def children: Seq[Expression] = Seq(vec, nr)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val vecFloat =
+    vec.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (vecOk && nr.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_cell_ids_static requires (array<float|double>, double), " +
+        s"got (${vec.dataType.simpleString}, ${nr.dataType.simpleString})")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    val nrv = nr.eval(input)
+    if (v == null || nrv == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val norm = nrv.asInstanceOf[Double]
+    val k = ids.length
+    if (x.numElements() != dim)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    // hoist the (possibly boxed) vector into a local primitive array so
+    // the k×dim inner loop is plain double arithmetic
+    val xv = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      xv(j) = if (vecFloat) x.getFloat(j).toDouble else x.getDouble(j)
+      j += 1
+    }
+    val m = math.min(nprobe, k)
+    val bc = new Array[Double](m)
+    val bi = new Array[Long](m)
+    var filled = 0
+    var ci = 0
+    while (ci < k) {
+      var s = 0.0
+      var o = ci * dim
+      j = 0
+      while (j < dim) { s += xv(j) * flat(o); o += 1; j += 1 }
+      val cos = s / (norm * nrs(ci))
+      val cid = ids(ci)
+      var p = filled
+      var search = 0
+      var found = false
+      while (search < filled && !found) {
+        val cmp = java.lang.Double.compare(cos, bc(search))
+        if (cmp > 0 || (cmp == 0 && cid < bi(search))) { p = search; found = true }
+        else search += 1
+      }
+      if (p < m) {
+        var q = math.min(filled, m - 1)
+        while (q > p) { bc(q) = bc(q - 1); bi(q) = bi(q - 1); q -= 1 }
+        bc(p) = cos
+        bi(p) = cid
+        if (filled < m) filled += 1
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCellIdsStatic =
+    copy(vec = newChildren(0), nr = newChildren(1))
+}
+
 object VectorFunctions {
   /** `dot(a, b)` over two `array<float>` columns, as a native codegen
     * expression. */
@@ -310,4 +411,12 @@ object VectorFunctions {
       nprobe: Int): Column =
     GraftBridge.column(NearestCellIds(GraftBridge.expression(vec),
       GraftBridge.expression(nr), GraftBridge.expression(cells), nprobe))
+
+  /** Top-`nprobe` nearest-centroid ids against a DRIVER-COLLECTED
+    * centroid table (flat row-major `cents`) — see
+    * [[NearestCellIdsStatic]]. */
+  def nearestCellIdsStatic(vec: Column, nr: Column, ids: Array[Long],
+      cents: Array[Double], nrs: Array[Double], nprobe: Int): Column =
+    GraftBridge.column(NearestCellIdsStatic(GraftBridge.expression(vec),
+      GraftBridge.expression(nr), ids, cents, nrs, nprobe))
 }

@@ -144,6 +144,25 @@ object SimilarityOps {
   private[graft] def pairCells(n: Long): Int =
     math.max(PairCells.toLong, n / PairCellTarget).toInt
 
+  /** Probe width for q34's above-knee tier, scaled with the cell count
+    * so PAIR RECALL holds as k grows with the corpus (round-10 finding:
+    * at FIXED nprobe the probability that a true pair meets in a probed
+    * cell decays as cells shrink — measured 0.947 @ k=128 → 0.804 @
+    * k=382 → 0.585 @ k=1273). The tier probes each vector's
+    * `pairNprobeScaled(k)` nearest cells against the other side's HOME
+    * (rank-1) cell, so candidate volume is LINEAR in nprobe, and
+    * nprobe ∝ √k holds coverage roughly flat: measured on the 200k /
+    * k=1273 corpus (RecallProbe --sweep, exhaustive ground truth):
+    * asym np=16 → 0.767, np=24 → 0.858, np=32 → 0.909; at k=382:
+    * np=12 → 0.890, np=16 → 0.936; at k=128 the asym np=8 relation has
+    * the SAME candidate volume as the previous symmetric probed∩probed
+    * np=4 form (n²·8/k per quantizer). ceil(8·√(k/128)) = 8 @ k=128,
+    * 14 @ k=382, 26 @ k=1273 (expected recall ≈ 0.95 / 0.92 / 0.87).
+    * sqrt and ceil are IEEE-exact in both engines, so the oracle
+    * computes the identical width from its own count. */
+  private[graft] def pairNprobeScaled(k: Int): Int =
+    math.ceil(8.0 * math.sqrt(k / 128.0)).toInt
+
   /** Embedding-cosine near-duplicate pairs over the full table, via
     * banded sign-LSH candidate generation + exact cosine verification:
     * each vector hashes to a 3-bit signature per band (sign of its
@@ -174,22 +193,24 @@ object SimilarityOps {
     * PICKS ITS INDEX BY COST: corpora up to [[PairExactKnee]] vectors
     * run the banded generator (the LSH surface under test, recall
     * spec-pinned, cost immaterial at that size); larger corpora run the
-    * exact codegen-dot product PER IVF CELL
-    * ([[embedNearPairsPerCell]]): every vector joins its nprobe=2
-    * nearest learned cells (q44's centroids as the coarse partitioner —
-    * the shared per-snapshot index artifact), and the blocked product
-    * runs within each cell, so pair volume drops from n²/2 to
-    * Σ_cells m_c²/2 (≈ (2n)²/(2·16 cells) at uniform occupancy — ~8×
-    * less, and the ratio grows with the cell count a bigger corpus
-    * would configure). nprobe=2 bounds the boundary loss: a qualifying
-    * pair is missed only when NEITHER vector's two nearest cells
-    * overlap the other's — measured recall vs the exhaustive product
-    * stays spec-pinned ≥ 0.9 (`SimilaritySpec`), and
-    * [[embedNearPairsAllPairs]] remains the exhaustive ground truth the
-    * pins measure against. Both engines evaluate the identical gate and
-    * the identical cell structure — the oracle's two branches are
-    * count-gated on the same threshold, and its per-cell branch
-    * instantiates q44's learned-centroid CTE chain over the gated base,
+    * exact codegen-dot product PER IVF CELL in the asymmetric
+    * home-vs-probe form ([[embedNearPairsPerCellAsym]]): every vector
+    * is indexed under its nearest learned cell and probes its
+    * [[pairNprobeScaled]] nearest cells per quantizer (q44's
+    * learned-centroid construction over [[pairCells]]-sized disjoint
+    * seed ranges — the shared per-snapshot index artifact), candidates
+    * meet where one side's probe reaches the other's home, and the
+    * exact product runs within each cell — pair volume is
+    * n²·nprobe/k per quantizer, LINEAR in the corpus because k ∝ n,
+    * and nprobe ∝ √k holds recall roughly flat as cells shrink (the
+    * round-10 decay finding; measurements on [[pairNprobeScaled]]).
+    * Recall vs [[embedNearPairsAllPairs]] — the exhaustive ground
+    * truth — is spec-pinned at fixture scales and published per decade
+    * in the bench artifacts. Both engines evaluate the identical gate,
+    * cell structure, and probe width — the oracle's two branches are
+    * count-gated on the same threshold, its per-cell branch
+    * instantiates q44's learned-centroid CTE chain over the gated base
+    * and computes the same ceil(8·√(k/128)) width from its own count —
     * so results stay hash-exact tier for tier.
     */
   val q34EmbedNearPairs: QueryDef = {
@@ -215,23 +236,27 @@ object SimilarityOps {
         |      FROM cand JOIN d a ON a.vec_id = v1 JOIN d a2 ON a2.vec_id = v2),
         |de AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
         |       FROM embeddings WHERE (SELECT n FROM nc) > $PairExactKnee),
+        |npw AS (SELECT CAST(ceil(8 * sqrt((SELECT k FROM pknc) / 128.0))
+        |          AS BIGINT) AS w),
         |${(0 until PairQuantizers).map(r => ivfCtesSqlExpr("de", s"k${r}_",
              s"$r * (SELECT k FROM pknc)", s"${r + 1} * (SELECT k FROM pknc)",
              sqlDotFast)).mkString(",\n")},
         |kasn AS (${(0 until PairQuantizers).map(r =>
-             s"SELECT vec_id, embedding, nr, c_id FROM k${r}_a1 WHERE crn <= $PairNprobe")
+             s"SELECT vec_id, embedding, nr, c_id, crn FROM k${r}_a1 " +
+               s"WHERE crn <= (SELECT w FROM npw)")
              .mkString("\nUNION ALL\n")}),
-        |ce AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2,
-        |         ${sqlDotFast("x.embedding", "y.embedding")} / (x.nr * y.nr) AS cosine
-        |       FROM kasn x JOIN kasn y
-        |         ON x.c_id = y.c_id AND x.vec_id < y.vec_id)
+        |ce AS (SELECT DISTINCT least(h.vec_id, p.vec_id) AS v1,
+        |         greatest(h.vec_id, p.vec_id) AS v2,
+        |         ${sqlDotFast("h.embedding", "p.embedding")} / (h.nr * p.nr) AS cosine
+        |       FROM kasn h JOIN kasn p
+        |         ON h.c_id = p.c_id AND h.crn = 1 AND h.vec_id <> p.vec_id)
         |SELECT v1, v2, cosine FROM c WHERE cosine >= 0.4
         |UNION ALL
         |SELECT v1, v2, cosine FROM ce WHERE cosine >= 0.4
         |ORDER BY v1, v2""") { (s, d) =>
       // the gate: one metadata-cheap parquet count picks the index.
       if (embeddings(s, d).count() > PairExactKnee)
-        embedNearPairsPerCell(s, d)
+        embedNearPairsPerCellAsym(s, d)
       else {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
@@ -269,21 +294,23 @@ object SimilarityOps {
     }
   }
 
-  /** q34's above-knee tier: the exact codegen-dot product PER LEARNED
-    * IVF CELL. Every vector is assigned to its [[PairNprobe]] nearest
-    * learned centroids per quantizer (q44's one-Lloyd-round cells — the
-    * shared session-cached index artifact), candidate pairs meet on the
-    * cell id (an equi-join,
+  /** SYMMETRIC probed∩probed per-cell tier — the round-10 registered
+    * form, kept as the sweep/spec comparison twin of the registered
+    * [[embedNearPairsPerCellAsym]] (candidates here are pairs sharing
+    * ANY probed cell, volume n²·nprobe²/2k per quantizer — the
+    * measured equal-recall-per-volume alternative; see the --sweep
+    * tables in the bench artifacts). Every vector is assigned to its
+    * `nprobe` nearest learned centroids per quantizer (q44's
+    * one-Lloyd-round cells — the shared session-cached index
+    * artifact), candidate pairs meet on the cell id (an equi-join,
     * never a global product), each candidate gets the exact float-dot
     * cosine, and duplicates from pairs sharing both cells collapse
     * AFTER the ≥ 0.4 filter (distinct over the few survivors, not the
     * candidate stream). The assignment side is broadcast below
-    * [[CellBroadcastKnee]] vectors — quantizers·nprobe·n = 16n rows
-    * carrying their embeddings (~90 MB at n=20k, ~300 MB at the sf3
-    * 60k corpus, both measured fine in one 24 GB JVM), which keeps the
-    * whole pair stage map-side; above it the same plan shuffles both
-    * sides on c_id — the per-cell join IS the 100 TB shape (cells
-    * partition the corpus; each cell's product is local).
+    * [[CellBroadcastKnee]] vectors, which keeps the whole pair stage
+    * map-side; above it the same plan shuffles both sides on c_id —
+    * the per-cell join IS the 100 TB shape (cells partition the
+    * corpus; each cell's product is local).
     *
     * Assignment-side scale bound, stated honestly: k ∝ n keeps the
     * per-cell PAIR volume linear, but the coarse assignment itself is
@@ -313,23 +340,20 @@ object SimilarityOps {
     // one assignment per coarse quantizer; c_id ranges are disjoint
     // across quantizers (the seed vec_id IS the cell id), so the
     // unioned assignments join on c_id alone. Top-nprobe is computed
-    // PER ROW against the broadcast centroid array by the
-    // [[graft.functions.NearestCellIds]] expression instead of a
+    // PER ROW against the driver-collected centroid matrix by the
+    // [[graft.functions.NearestCellIdsStatic]] expression instead of a
     // row_number window: the window form shuffles all n·k scored rows —
     // each still carrying its embedding — to sort away all but nprobe
     // of them (measured 60k×382×4 = 92M-row exchange at sf3, the
     // dominant cost of the whole query); the per-row expression is
     // exchange-free and spends the same k dot products in one primitive
-    // loop. Rank order (cosine DESC, c_id ASC) is the oracle window's
-    // exact ORDER BY — sf1 stays hash-exact against the unchanged
-    // window-form oracle SQL.
+    // loop over a flat matrix. Rank order (cosine DESC, c_id ASC) is
+    // the oracle window's exact ORDER BY — results stay hash-exact
+    // against the window-form oracle SQL.
     val asn = (0 until quantizers).map { r =>
-      val cents = learnedCentroids(s, d, r * cells, (r + 1) * cells)
-      val centArr = cents.agg(collect_list(
-        struct(col("c_id"), col("c_emb"), col("c_nr"))).as("cs"))
-      e.crossJoin(broadcast(centArr))
-        .select(explode(graft.functions.VectorFunctions.nearestCellIds(
-            col("embedding"), col("nr"), col("cs"), nprobe)).as("c_id"),
+      val (ids, flat, nrs) = centroidArrays(s, d, r * cells, (r + 1) * cells)
+      e.select(explode(graft.functions.VectorFunctions.nearestCellIdsStatic(
+            col("embedding"), col("nr"), ids, flat, nrs, nprobe)).as("c_id"),
           col("vec_id"), col("embedding"), col("nr"))
     }.reduce(_ unionByName _)
     val x = asn.select(col("c_id"), col("vec_id").as("v1"),
@@ -346,41 +370,62 @@ object SimilarityOps {
       .orderBy(col("v1"), col("v2"))
   }
 
-  /** ASYMMETRIC home-vs-probe variant of the per-cell tier (the classic
-    * IVF SEARCH relation, evaluated pairwise): each vector is INDEXED
-    * under its single nearest cell (rank-0 "home") and PROBES its
-    * `nprobe` nearest cells; a pair is a candidate when either member's
-    * home cell is among the other's probed cells. At equal candidate
-    * volume this covers a wider neighborhood than the symmetric
-    * probed∩probed form (candidates scale with nprobe, not nprobe²):
-    * symmetric np=4 ≈ asymmetric np=8 in join rows, but the asymmetric
-    * test needs only ONE side's top-np to reach the other's home.
-    * Measurement harness target (`RecallProbe --sweep`); becomes the
-    * registered above-[[PairScaledKnee]] tier if it wins the sweep. */
+  /** ASYMMETRIC home-vs-probe form of the per-cell tier — the
+    * REGISTERED above-knee relation (the classic IVF SEARCH shape,
+    * evaluated pairwise): each vector is INDEXED under its single
+    * nearest cell (rank-1 "home") and PROBES its `nprobe` nearest
+    * cells; a pair is a candidate when either member's home cell is
+    * among the other's probed cells. Candidate volume scales LINEARLY
+    * with nprobe (n²·np/k per quantizer — the symmetric probed∩probed
+    * form pays np²/2), which is what makes the √k-scaled probe width
+    * ([[pairNprobeScaled]]) affordable: the default nprobe here is
+    * that scaled width. Every candidate is verified with the exact
+    * codegen cosine, duplicates (both directions, shared cells,
+    * multiple quantizers) collapse in one distinct over the few
+    * survivors, and below [[CellBroadcastKnee]] the n·q-row home side
+    * broadcasts, keeping the whole pair stage map-side. */
   private[graft] def embedNearPairsPerCellAsym(s: SparkSession, d: String,
-      cellsOverride: Int = 0, nprobe: Int = PairNprobe,
+      cellsOverride: Int = 0, nprobeOverride: Int = 0,
       quantizers: Int = PairQuantizers): DataFrame = {
     val cells =
       if (cellsOverride > 0) cellsOverride
       else pairCells(embeddings(s, d).count())
+    val nprobe =
+      if (nprobeOverride > 0) nprobeOverride else pairNprobeScaled(cells)
     val e = embVecs(s, d)
     val asn = (0 until quantizers).map { r =>
-      val cents = learnedCentroids(s, d, r * cells, (r + 1) * cells)
-      val centArr = cents.agg(collect_list(
-        struct(col("c_id"), col("c_emb"), col("c_nr"))).as("cs"))
-      e.crossJoin(broadcast(centArr))
-        .select(col("vec_id"), col("embedding"), col("nr"),
-          posexplode(graft.functions.VectorFunctions.nearestCellIds(
-            col("embedding"), col("nr"), col("cs"), nprobe)))
+      val (ids, flat, nrs) = centroidArrays(s, d, r * cells, (r + 1) * cells)
+      e.select(col("vec_id"), col("embedding"), col("nr"),
+          posexplode(graft.functions.VectorFunctions.nearestCellIdsStatic(
+            col("embedding"), col("nr"), ids, flat, nrs, nprobe)))
         .withColumnRenamed("pos", "crn")
         .withColumnRenamed("col", "c_id")
     }.reduce(_ unionByName _)
-    val home = asn.filter(col("crn") === 0)
+    // Below the knee the home side broadcasts and the whole pair stage
+    // is map-side. Above it, BOTH join sides read ONE materialized
+    // c_id-partitioned copy of the assignment (repartition +
+    // localCheckpoint): the children's partitioning already satisfies
+    // the join, so the n·k-dot assignment and the n·(nprobe+1)·q-row
+    // exchange run once, not once per join side — plan-level exchange
+    // reuse cannot dedupe them here because the static-centroid
+    // expression defeats canonical equality. Within-query
+    // localCheckpoint is the q24/q78 pattern: blocks are
+    // executor-local (recomputed-from-scan on loss at cluster scale —
+    // an accepted trade for halving the dominant stage).
+    val below = embeddings(s, d).count() <= CellBroadcastKnee
+    val src =
+      if (below) asn
+      else asn.repartition(col("c_id")).localCheckpoint()
+    val home = src.filter(col("crn") === 0)
       .select(col("c_id"), col("vec_id").as("vh"),
         col("embedding").as("eh"), col("nr").as("nh"))
-    val probe = asn.select(col("c_id"), col("vec_id").as("vp"),
+    val probe = src.select(col("c_id"), col("vec_id").as("vp"),
       col("embedding").as("ep"), col("nr").as("np_"))
-    val h = if (embeddings(s, d).count() <= CellBroadcastKnee) broadcast(home) else home
+    // sort-merge on the shared c_id partitioning (measured faster here
+    // than a SHUFFLE_HASH build of the home side: 38.4 s vs 46.7 s at
+    // the 200k corpus — the checkpointed blocks feed the merge
+    // sequentially)
+    val h = if (below) broadcast(home) else home
     h.join(probe, Seq("c_id"))
       .filter(col("vh") =!= col("vp"))
       .select(least(col("vh"), col("vp")).as("v1"),
@@ -641,6 +686,44 @@ object SimilarityOps {
       seedLo: Int = 0, seedHi: Int = 16): DataFrame =
     graft.SessionCache.checkpoint(s"ivfCentroids${seedLo}_$seedHi", s, d)(
       learnedCentroidsPlan(s, d, seedLo, seedHi))
+
+  /** The learned centroids of a seed range, DRIVER-COLLECTED once per
+    * (session, snapshot, range) as (ids, flat row-major matrix, norms)
+    * for [[graft.functions.NearestCellIdsStatic]]. k rows of index
+    * metadata (≈ 650 KB at k = 1273) — the same driver-sized class as
+    * the broadcast array the column-form expression rode; the
+    * hierarchical-assignment escape documented on the per-cell tier
+    * applies unchanged once k outgrows this. Keyed on the source file
+    * fingerprint so a regenerated corpus re-collects. */
+  private val centArrCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, String),
+    (Array[Long], Array[Double], Array[Double])]
+
+  private def centroidArrays(s: SparkSession, d: String, seedLo: Int,
+      seedHi: Int): (Array[Long], Array[Double], Array[Double]) = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(d, "embeddings.parquet")
+    val fp = s"${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
+    centArrCache.computeIfAbsent((s, d, seedLo, seedHi, fp), _ => {
+      val rows = learnedCentroids(s, d, seedLo, seedHi)
+        .orderBy(col("c_id")).collect()
+      val k = rows.length
+      val ids = new Array[Long](k)
+      val nrs = new Array[Double](k)
+      val dim = if (k == 0) 0 else rows(0).getSeq[Double](1).length
+      val flat = new Array[Double](k * dim)
+      var i = 0
+      while (i < k) {
+        ids(i) = rows(i).getLong(0)
+        nrs(i) = rows(i).getDouble(2)
+        val e = rows(i).getSeq[Double](1)
+        var j = 0
+        while (j < dim) { flat(i * dim + j) = e(j); j += 1 }
+        i += 1
+      }
+      (ids, flat, nrs)
+    })
+  }
 
   /** IVF ANN with LEARNED centroids: seed with the vectors vec_id 0..15,
     * run one Lloyd iteration (assign every vector to its nearest seed,
