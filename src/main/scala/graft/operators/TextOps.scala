@@ -226,15 +226,18 @@ object TextOps {
 
   /** Scratch bytes one candidate-pair row costs a prefix-scan wave at
     * peak (shuffle spill of the h-join plus the dedup exchange) —
-    * MEASURED: the sf3 single-job q27 scan (1.1G pair rows) peaked
-    * ~25 GB of spill ≈ 23 B/pair; doubled as the planning margin for
-    * the heavier one-sided shapes (q55's containment join carries the
-    * full index on one side). The plan is only the OPENING bid: every
+    * MEASURED by the wave telemetry itself: q27's first sf10 wave
+    * (730M pair rows) sampled 49 GB peak ≈ 67 B/pair (the sf3
+    * single-job scan reads lower, ~23 B/pair, because a wave re-scans
+    * the full ranked index for its token class — fixed cost the
+    * per-wave pair count doesn't see). 80 covers the measurement with
+    * margin for the heavier one-sided shapes (q55 carries the full
+    * index on one join side). The plan is only the OPENING bid: every
     * wave's actual peak scratch is sampled live and logged
     * (`[wave] … peak_scratch_gb bytes_per_pair`), and a wave that still
     * overflows retry-splits (see [[stagedPairScan]]) — so the constant
     * needs to be roughly right, not hand-calibrated per family. */
-  private[graft] val PairSpillBytesPerPair = 48L
+  private[graft] val PairSpillBytesPerPair = 80L
 
   /** Wave count for a staged pair scan, derived from the gate statistic
     * against LIVE free scratch: enough waves that one wave's predicted
@@ -314,12 +317,47 @@ object TextOps {
       Files.createDirectories(dir)
       val tmp = dir.resolve(s"data.tmp${System.nanoTime}")
       var firstWrite = true
+      // Wait for the finished wave's spill to actually LEAVE the disk
+      // before the next wave floods it. System.gc() only ENQUEUES the
+      // dead ShuffleDependency's weak reference — the ContextCleaner
+      // then deletes tens of GB of files on its own thread, which
+      // overlaps the next wave and stacks ~2 waves of spill at peak
+      // (measured: wave telemetry showed the lag eating 94% of the
+      // disk at sf10). So: GC-nudge, then poll usable space until it
+      // recovers to near the wave's start baseline or plateaus
+      // (unrelated tenants move the disk too — ±256 MB counts as
+      // stable), re-nudging GC every ~10 s, capped at 120 s.
+      // the recovery target is the STAGING-START free level, not the
+      // current wave's start: a per-wave baseline gets depressed when
+      // deletions lag into the next wave, which lets settle() return
+      // while tens of GB of older spill are still queued for deletion —
+      // the next wave then starts into a nearly-full disk (observed:
+      // one ENOSPC retry-split fired exactly this way at sf10)
+      val globalBaseline = new java.io.File(sys.props("java.io.tmpdir"))
+        .getUsableSpace
+      // Deleting one wave's spill takes MINUTES at sf10 (~50 GB through
+      // the ContextCleaner's single thread), so the wait must outlast
+      // it: recovery to within 8 GB of the staging-start level ends the
+      // wait immediately; a plateau (deletions finished but the level
+      // didn't fully recover — e.g. another tenant took disk) only
+      // counts after 60 s so a briefly-stalled deletion queue can't
+      // fake it; hard cap 6 min, after which the ENOSPC retry-split is
+      // the (measured, self-healing) escape.
       def settle(): Unit = {
+        val f = new java.io.File(sys.props("java.io.tmpdir"))
         System.gc()
-        if (s.conf.getOption(
-            "spark.cleaner.referenceTracking.blocking.shuffle")
-            .forall(_ != "true"))
-          Thread.sleep(3000)
+        var last = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 5 && waited < 360) {
+          Thread.sleep(2000); waited += 2
+          if (waited % 10 == 0) System.gc()
+          val u = f.getUsableSpace
+          if (u >= globalBaseline - (8L << 30)) stable = 5 // recovered
+          else if (waited >= 60 && math.abs(u - last) < (256L << 20))
+            stable += 1
+          else { stable = 0; last = u }
+        }
       }
       def runWave(i: Int, w: Int, depth: Int): Unit = {
         val mode = if (firstWrite) "overwrite" else "append"
