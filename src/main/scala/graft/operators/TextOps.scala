@@ -224,32 +224,42 @@ object TextOps {
     * keeps the exact semantics available instead of failing. */
   private[graft] val PairDiskKnee = 1500000000L
 
-  /** Scratch bytes one candidate-pair row costs a prefix-scan wave at
-    * peak (shuffle spill of the h-join plus the dedup exchange) —
-    * MEASURED by the wave telemetry itself: q27's first sf10 wave
-    * (730M pair rows) sampled 49 GB peak ≈ 67 B/pair (the sf3
-    * single-job scan reads lower, ~23 B/pair, because a wave re-scans
-    * the full ranked index for its token class — fixed cost the
-    * per-wave pair count doesn't see). 80 covers the measurement with
-    * margin for the heavier one-sided shapes (q55 carries the full
-    * index on one join side). The plan is only the OPENING bid: every
-    * wave's actual peak scratch is sampled live and logged
-    * (`[wave] … peak_scratch_gb bytes_per_pair`), and a wave that still
-    * overflows retry-splits (see [[stagedPairScan]]) — so the constant
-    * needs to be roughly right, not hand-calibrated per family. */
-  private[graft] val PairSpillBytesPerPair = 80L
+  /** Two-component per-wave spill model for the staged pair scans,
+    * FITTED FROM THE TIER'S OWN TELEMETRY (every wave logs its sampled
+    * peak): spill(W) ≈ F + c·pv/W.
+    *
+    *  - F — the wave-count-INDEPENDENT working set: candidate
+    *    verification intermediates and the token-class index join.
+    *    Measured at the sf10 corpus: 8 waves of 456M pairs each peaked
+    *    47.8–56.3 GB — essentially flat — while r10's 5-wave run
+    *    peaked ~49 GB at 730M pairs/wave: the pair-linear term barely
+    *    moves the peak, so F ≈ 50 GB there.
+    *  - c — the pair-linear term, bounded from two measured deaths:
+    *    the single job (all 3.65G pairs) overran ~70 GB, and a 2-wave
+    *    split (1.83G pairs/wave) still overran 72 GB of free scratch —
+    *    so c ≥ (72−50)/1.83e9 ≈ 12 B/pair, the planning value (the
+    *    ENOSPC retry-split recovered the 2-wave attempt by refining to
+    *    mod-4 half-waves, exactly as designed; 12 plans past the
+    *    retry).
+    *
+    * Consequence the first derivation missed: once F dominates, MORE
+    * waves do NOT reduce peak scratch — each extra wave re-pays F and
+    * a reclamation wait — so the derived count is the MINIMUM W whose
+    * predicted peak fits the live headroom, floor 2 (a corpus past
+    * [[PairDiskKnee]] is by definition too big for one job). If even
+    * F exceeds the headroom the disk is simply too small for this
+    * corpus single-node; the ENOSPC retry-split still degrades
+    * gracefully (and on a cluster the knee never fires — aggregate
+    * shuffle disk grows with executors). */
+  private[graft] val PairSpillFixedBytes = 50L << 30
+  private[graft] val PairSpillBytesPerPair = 12L
+  private[graft] val PairScratchMargin = 12L << 30
 
-  /** Wave count for a staged pair scan, derived from the gate statistic
-    * against LIVE free scratch: enough waves that one wave's predicted
-    * spill (pairRows/waves × [[PairSpillBytesPerPair]]) fits in half
-    * the currently-usable tmp-dir space — half, because the staged
-    * artifact itself and unrelated tenants share the disk. Floor 2 (a
-    * corpus past [[PairDiskKnee]] is by definition too big for one
-    * job). */
   private[graft] def pairWaves(pv: Long): Int = {
     val usable = new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace
-    val budget = math.max(usable / 2, 1L)
-    math.max(2L, (pv * PairSpillBytesPerPair + budget - 1) / budget).toInt
+    val headroom = math.max(4L << 30,
+      usable - PairScratchMargin - PairSpillFixedBytes)
+    math.max(2L, (pv * PairSpillBytesPerPair + headroom - 1) / headroom).toInt
   }
 
   /** Lowest-level disk telemetry for the wave tier: samples the tmp
