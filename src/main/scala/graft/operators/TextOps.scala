@@ -313,7 +313,14 @@ object TextOps {
       wave: (Int, Int) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "documents.parquet")
-    val fp = s"$name|w=$waves|${Files.size(src)}|" +
+    // the wave count is NOT part of the fingerprint: the staged
+    // relation is wave-partition-independent (spec-pinned equivalence),
+    // and the count is re-derived from LIVE free disk on every call —
+    // fingerprinting it forced a full restage whenever the derivation
+    // moved (observed: the post-staging read-back re-derived one wave
+    // more, because the artifact itself had shrunk free space, and
+    // restaged 25 minutes of work it had just written)
+    val fp = s"$name|${Files.size(src)}|" +
       s"${Files.getLastModifiedTime(src).toMillis}"
     val pathKey = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${Paths.get(d).toAbsolutePath}|$name".getBytes("UTF-8"))
