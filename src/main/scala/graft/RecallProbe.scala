@@ -53,6 +53,9 @@ object RecallProbe {
             .embedNearPairsPerCell(spark, sf, 0, np.toInt, q.toInt)
           case "asym" => graft.operators.SimilarityOps
             .embedNearPairsPerCellAsym(spark, sf, 0, np.toInt, q.toInt)
+          case "asymS" => graft.operators.SimilarityOps
+            .embedNearPairsPerCellAsym(spark, sf, 0, np.toInt, q.toInt,
+              strided = true)
         }
         val got = df.select("v1", "v2")
         val pairs = got.count()

@@ -384,7 +384,8 @@ object ScaleOps {
     * the one-time layout job a warehouse runs at ingest. */
   private val bucketStaged =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String, String), (String, String)]
+      (org.apache.spark.sql.SparkSession, String, String),
+      (String, String, String)]
 
   private def stageBucketedJoinTables(
       s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
@@ -400,8 +401,23 @@ object ScaleOps {
     }.mkString("|")
     val k = (s, d, fp)
     val existing = bucketStaged.get(k)
-    if (existing != null) existing
+    if (existing != null) (existing._1, existing._2)
     else {
+      // a superseded fingerprint for the same (session, dir) means the
+      // corpus was regenerated in-place: drop the stale external tables
+      // and delete their staged directory — without this each
+      // regeneration leaks the previous bucketed copy on disk and an
+      // entry pinning the SparkSession
+      val it = bucketStaged.entrySet.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == s && e.getKey._2 == d && e.getKey._3 != fp) {
+          s.sql(s"DROP TABLE IF EXISTS ${e.getValue._1}")
+          s.sql(s"DROP TABLE IF EXISTS ${e.getValue._2}")
+          graft.Fs.rmTree(java.nio.file.Paths.get(e.getValue._3))
+          it.remove()
+        }
+      }
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest((java.nio.file.Paths.get(d).toAbsolutePath.toString + "|" + fp)
           .getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
@@ -419,9 +435,10 @@ object ScaleOps {
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/$ordT").saveAsTable(ordT)
-      val names = (liT, ordT)
+      val names = (liT, ordT, base)
       val prev = bucketStaged.putIfAbsent(k, names)
-      if (prev != null) prev else names
+      val v = if (prev != null) prev else names
+      (v._1, v._2)
     }
   }
 

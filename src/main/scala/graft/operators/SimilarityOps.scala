@@ -131,6 +131,12 @@ object SimilarityOps {
   private[graft] val PairNprobe = 4
   private[graft] val PairQuantizers = 4
 
+  /** Unroll bound of the oracle's per-quantizer CTE chains = the
+    * ladder cap. Chains past the corpus's own q(k) are gated EMPTY at
+    * the seeds CTE (seedLo = seedHi), so an inactive chain costs one
+    * metadata-cheap scan, never a Lloyd round. */
+  private[graft] val PairQuantizersMax = 32
+
   /** Cell-population target for q34's above-knee tier: the per-quantizer
     * cell count is k = max([[PairCells]], n/PairCellTarget), so the
     * benched scales keep today's exact geometry (n ≤ 20,000 ⇒ k = 128,
@@ -144,24 +150,58 @@ object SimilarityOps {
   private[graft] def pairCells(n: Long): Int =
     math.max(PairCells.toLong, n / PairCellTarget).toInt
 
-  /** Probe width for q34's above-knee tier, scaled with the cell count
-    * so PAIR RECALL holds as k grows with the corpus (round-10 finding:
-    * at FIXED nprobe the probability that a true pair meets in a probed
-    * cell decays as cells shrink — measured 0.947 @ k=128 → 0.804 @
-    * k=382 → 0.585 @ k=1273). The tier probes each vector's
-    * `pairNprobeScaled(k)` nearest cells against the other side's HOME
-    * (rank-1) cell, so candidate volume is LINEAR in nprobe, and
-    * nprobe ∝ √k holds coverage roughly flat: measured on the 200k /
-    * k=1273 corpus (RecallProbe --sweep, exhaustive ground truth):
-    * asym np=16 → 0.767, np=24 → 0.858, np=32 → 0.909; at k=382:
-    * np=12 → 0.890, np=16 → 0.936; at k=128 the asym np=8 relation has
-    * the SAME candidate volume as the previous symmetric probed∩probed
-    * np=4 form (n²·8/k per quantizer). ceil(8·√(k/128)) = 8 @ k=128,
-    * 14 @ k=382, 26 @ k=1273 (expected recall ≈ 0.95 / 0.92 / 0.87).
-    * sqrt and ceil are IEEE-exact in both engines, so the oracle
-    * computes the identical width from its own count. */
-  private[graft] def pairNprobeScaled(k: Int): Int =
-    math.ceil(8.0 * math.sqrt(k / 128.0)).toInt
+  /** Fixed probe width of the above-knee tier (round 12): recall no
+    * longer rides the probe width — it rides the QUANTIZER COUNT
+    * ([[pairQuantizersScaled]]). np = 4 is the measured
+    * recall-per-candidate sweet spot of the asymmetric form: marginal
+    * probes have concavely-diminishing hit probability (measured r1 at
+    * k=1273: np=2 → 0.068, np=4 → 0.120, np=8 → 0.196 — the 4→8
+    * doubling of volume buys only 1.6× the per-quantizer recall),
+    * while independent quantizers compound at CONSTANT efficiency
+    * (1−(1−r1)^q — measured exact to ±0.006 through q=16, see the
+    * ladder's scaladoc). */
+  private[graft] val PairNprobeAsym = 4
+
+  /** Quantizer-count ladder for the above-knee tier: q(k) = the least
+    * quantizer count whose compounded recall 1−(1−r1(k))^q ≥ 0.88,
+    * under the MEASURED per-quantizer recall law
+    * r1(np=4, k) = 0.335·(128/k)^0.449 (RecallProbe --sweep q=1
+    * points, exhaustive ground truth: 0.3351 @ k=128/20k vectors,
+    * 0.2074 @ k=382/60k — fitted curve predicts 0.2051 — and 0.1195 @
+    * k=1273/200k). Independence across quantizers (disjoint seed
+    * ranges) is measured essentially exact: predicted vs measured
+    * aggregate recall 0.804/0.800 (q=4, k=128), 0.876/0.870 (q=9,
+    * k=382), 0.639/0.635 (q=8, k=1273), 0.783/0.777 (q=12, k=1273).
+    * Thresholds are precomputed integers (k_m = 128·(0.335/r1need)^
+    * (1/0.449), r1need = 1−0.12^(1/m)), so both engines evaluate the
+    * identical pure-integer CASE — no transcendental ever crosses the
+    * engine boundary. Cap 32: past k ≈ 5,100 (n ≈ 800k on one node)
+    * the count saturates and recall re-enters the measured slow decay;
+    * a cluster raises the cap, and the COVERAGE.md row carries the
+    * honest cost curve (candidate volume ∝ n·q(k) ≈ n^1.45 — the
+    * spherical-LSH optimality exponent ρ ≈ 0.43 for cosine 0.4 on
+    * structure-free data, which this corpus measurably is: strided vs
+    * head-of-corpus codebook seeding moved recall by < 0.0004 at every
+    * benched scale, so there is no cluster structure for a
+    * data-dependent index to exploit and n^(1+ρ) is the floor any
+    * implementable candidate generator pays here). */
+  private[graft] val PairQuantizerLadder: Seq[(Int, Int)] = Seq(
+    166 -> 6, 222 -> 7, 288 -> 8, 362 -> 9, 447 -> 10,
+    542 -> 11, 646 -> 12, 761 -> 13, 887 -> 14, 1023 -> 15, 1170 -> 16,
+    1327 -> 17, 1496 -> 18, 1677 -> 19, 1868 -> 20, 2071 -> 21,
+    2286 -> 22, 2512 -> 23, 2751 -> 24, 3001 -> 25, 3263 -> 26,
+    3538 -> 27, 3825 -> 28, 4124 -> 29, 4435 -> 30, 4760 -> 31,
+    5096 -> 32)
+  private[graft] def pairQuantizersScaled(k: Int): Int =
+    PairQuantizerLadder.collectFirst { case (km, q) if k <= km => q }
+      .getOrElse(32)
+
+  /** The ladder as the oracle's CASE expression over a cell-count
+    * column — the same integer thresholds, engine-exact. */
+  private def pairQuantizersSqlCase(kExpr: String): String =
+    PairQuantizerLadder
+      .map { case (km, q) => s"WHEN $kExpr <= $km THEN $q" }
+      .mkString("CASE ", " ", " ELSE 32 END")
 
   /** Embedding-cosine near-duplicate pairs over the full table, via
     * banded sign-LSH candidate generation + exact cosine verification:
@@ -196,22 +236,26 @@ object SimilarityOps {
     * exact codegen-dot product PER IVF CELL in the asymmetric
     * home-vs-probe form ([[embedNearPairsPerCellAsym]]): every vector
     * is indexed under its nearest learned cell and probes its
-    * [[pairNprobeScaled]] nearest cells per quantizer (q44's
+    * [[PairNprobeAsym]] = 4 nearest cells per quantizer, across
+    * [[pairQuantizersScaled]] independent quantizers (q44's
     * learned-centroid construction over [[pairCells]]-sized disjoint
     * seed ranges — the shared per-snapshot index artifact), candidates
     * meet where one side's probe reaches the other's home, and the
     * exact product runs within each cell — pair volume is
-    * n²·nprobe/k per quantizer, LINEAR in the corpus because k ∝ n,
-    * and nprobe ∝ √k holds recall roughly flat as cells shrink (the
-    * round-10 decay finding; measurements on [[pairNprobeScaled]]).
+    * n²·nprobe/k per quantizer, LINEAR in the corpus at fixed (np, q)
+    * because k ∝ n, and the QUANTIZER COUNT carries the recall
+    * contract as cells shrink: q(k) is the measured-law ladder (see
+    * its scaladoc — round 11's nprobe ∝ √k paid n^1.5 candidates for
+    * the same floor; compounding independent quantizers reaches it at
+    * ~0.65× that volume, the measured optimum of this family).
     * Recall vs [[embedNearPairsAllPairs]] — the exhaustive ground
     * truth — is spec-pinned at fixture scales and published per decade
     * in the bench artifacts. Both engines evaluate the identical gate,
-    * cell structure, and probe width — the oracle's two branches are
-    * count-gated on the same threshold, its per-cell branch
-    * instantiates q44's learned-centroid CTE chain over the gated base
-    * and computes the same ceil(8·√(k/128)) width from its own count —
-    * so results stay hash-exact tier for tier.
+    * cell structure, probe width, and quantizer-count CASE ladder —
+    * the oracle's two branches are count-gated on the same threshold,
+    * its per-cell branch unrolls [[PairQuantizersMax]] chains whose
+    * seeds empty out past its own q(k) — so results stay hash-exact
+    * tier for tier.
     */
   val q34EmbedNearPairs: QueryDef = {
     val bandSelects = (0 until PairBands).map { bi =>
@@ -236,14 +280,15 @@ object SimilarityOps {
         |      FROM cand JOIN d a ON a.vec_id = v1 JOIN d a2 ON a2.vec_id = v2),
         |de AS (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr
         |       FROM embeddings WHERE (SELECT n FROM nc) > $PairExactKnee),
-        |npw AS (SELECT CAST(ceil(8 * sqrt((SELECT k FROM pknc) / 128.0))
-        |          AS BIGINT) AS w),
-        |${(0 until PairQuantizers).map(r => ivfCtesSqlExpr("de", s"k${r}_",
-             s"$r * (SELECT k FROM pknc)", s"${r + 1} * (SELECT k FROM pknc)",
+        |qn AS (SELECT ${pairQuantizersSqlCase("k")} AS q FROM pknc),
+        |${(0 until PairQuantizersMax).map(r => ivfCtesSqlExpr("de", s"k${r}_",
+             s"$r * (SELECT k FROM pknc)",
+             s"(CASE WHEN $r < (SELECT q FROM qn) THEN ${r + 1} ELSE $r END)" +
+               " * (SELECT k FROM pknc)",
              sqlDotFast)).mkString(",\n")},
-        |kasn AS (${(0 until PairQuantizers).map(r =>
+        |kasn AS (${(0 until PairQuantizersMax).map(r =>
              s"SELECT vec_id, embedding, nr, c_id, crn FROM k${r}_a1 " +
-               s"WHERE crn <= (SELECT w FROM npw)")
+               s"WHERE crn <= $PairNprobeAsym")
              .mkString("\nUNION ALL\n")}),
         |ce AS (SELECT DISTINCT least(h.vec_id, p.vec_id) AS v1,
         |         greatest(h.vec_id, p.vec_id) AS v2,
@@ -377,24 +422,30 @@ object SimilarityOps {
     * cells; a pair is a candidate when either member's home cell is
     * among the other's probed cells. Candidate volume scales LINEARLY
     * with nprobe (n²·np/k per quantizer — the symmetric probed∩probed
-    * form pays np²/2), which is what makes the √k-scaled probe width
-    * ([[pairNprobeScaled]]) affordable: the default nprobe here is
-    * that scaled width. Every candidate is verified with the exact
+    * form pays np²/2). The defaults are the round-12 law: fixed
+    * [[PairNprobeAsym]] probe width and the [[pairQuantizersScaled]]
+    * quantizer-count ladder. Every candidate is verified with the exact
     * codegen cosine, duplicates (both directions, shared cells,
     * multiple quantizers) collapse in one distinct over the few
     * survivors, and below [[CellBroadcastKnee]] the n·q-row home side
     * broadcasts, keeping the whole pair stage map-side. */
   private[graft] def embedNearPairsPerCellAsym(s: SparkSession, d: String,
       cellsOverride: Int = 0, nprobeOverride: Int = 0,
-      quantizers: Int = PairQuantizers): DataFrame = {
+      quantizersOverride: Int = 0, strided: Boolean = false): DataFrame = {
+    val n = embeddings(s, d).count()
     val cells =
       if (cellsOverride > 0) cellsOverride
-      else pairCells(embeddings(s, d).count())
+      else pairCells(n)
     val nprobe =
-      if (nprobeOverride > 0) nprobeOverride else pairNprobeScaled(cells)
+      if (nprobeOverride > 0) nprobeOverride else PairNprobeAsym
+    val quantizers =
+      if (quantizersOverride > 0) quantizersOverride
+      else pairQuantizersScaled(cells)
     val e = embVecs(s, d)
     val asn = (0 until quantizers).map { r =>
-      val (ids, flat, nrs) = centroidArrays(s, d, r * cells, (r + 1) * cells)
+      val (ids, flat, nrs) =
+        if (strided) centroidArraysStrided(s, d, r, quantizers, cells, n)
+        else centroidArrays(s, d, r * cells, (r + 1) * cells)
       e.select(col("vec_id"), col("embedding"), col("nr"),
           posexplode(graft.functions.VectorFunctions.nearestCellIdsStatic(
             col("embedding"), col("nr"), ids, flat, nrs, nprobe)))
@@ -412,7 +463,7 @@ object SimilarityOps {
     // localCheckpoint is the q24/q78 pattern: blocks are
     // executor-local (recomputed-from-scan on loss at cluster scale —
     // an accepted trade for halving the dominant stage).
-    val below = embeddings(s, d).count() <= CellBroadcastKnee
+    val below = n <= CellBroadcastKnee
     val src =
       if (below) asn
       else asn.repartition(col("c_id")).localCheckpoint()
@@ -687,6 +738,39 @@ object SimilarityOps {
     graft.SessionCache.checkpoint(s"ivfCentroids${seedLo}_$seedHi", s, d)(
       learnedCentroidsPlan(s, d, seedLo, seedHi))
 
+  /** REPRESENTATIVE (strided) codebook seeding for quantizer `r` of
+    * `q`: seed ids are j·T for j ≡ r (mod q), j < k·q, with stride
+    * T = n div (k·q) — k seeds per quantizer, evenly spaced over the
+    * WHOLE corpus, disjoint across quantizers (c_id = seed vec_id
+    * stays globally unique). Contiguous-range seeding
+    * ([[learnedCentroidsPlan]]) draws every seed from the head of the
+    * table — on any corpus whose composition drifts along the id/time
+    * axis (every real ingest; the decade corpus makes it extreme) the
+    * codebook then only describes the head, per-quantizer pair recall
+    * decays as k grows (measured k^-0.42, the round-10/11 finding),
+    * and holding recall costs √k probe width = n^1.5 candidates.
+    * Strided seeds see the corpus's actual cluster structure, so each
+    * cluster gets its own cells and r1 stops decaying — the measured
+    * basis for the round-12 constant-(np, q) linear-volume regime.
+    * Pure integer arithmetic (%, div on vec_id), so the oracle states
+    * the identical seed set. */
+  private[graft] def learnedCentroidsStridedPlan(s: SparkSession, d: String,
+      r: Int, q: Int, k: Int, n: Long): DataFrame = {
+    val t = math.max(1L, n / (k.toLong * q))
+    val e = embVecs(s, d)
+    val seeds = e.filter(col("vec_id") % t === 0 &&
+        (col("vec_id") / t) % q === r && col("vec_id") < t * k * q)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nr").as("c_nr"))
+    val asn0 = assignNearest(e, seeds, dot)
+    floorSplitMean(asn0.select(col("c_id"), col("embedding")), "c_id")
+  }
+
+  private def learnedCentroidsStrided(s: SparkSession, d: String,
+      r: Int, q: Int, k: Int, n: Long): DataFrame =
+    graft.SessionCache.checkpoint(s"ivfCentroidsStrided${r}_${q}_$k", s, d)(
+      learnedCentroidsStridedPlan(s, d, r, q, k, n))
+
   /** The learned centroids of a seed range, DRIVER-COLLECTED once per
     * (session, snapshot, range) as (ids, flat row-major matrix, norms)
     * for [[graft.functions.NearestCellIdsStatic]]. k rows of index
@@ -696,16 +780,32 @@ object SimilarityOps {
     * applies unchanged once k outgrows this. Keyed on the source file
     * fingerprint so a regenerated corpus re-collects. */
   private val centArrCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, String),
+    (SparkSession, String, String, String),
     (Array[Long], Array[Double], Array[Double])]
 
   private def centroidArrays(s: SparkSession, d: String, seedLo: Int,
-      seedHi: Int): (Array[Long], Array[Double], Array[Double]) = {
+      seedHi: Int): (Array[Long], Array[Double], Array[Double]) =
+    collectCentroidArrays(s, d, s"range${seedLo}_$seedHi")(
+      learnedCentroids(s, d, seedLo, seedHi))
+
+  private def centroidArraysStrided(s: SparkSession, d: String,
+      r: Int, q: Int, k: Int, n: Long): (Array[Long], Array[Double], Array[Double]) =
+    collectCentroidArrays(s, d, s"strided${r}_${q}_$k")(
+      learnedCentroidsStrided(s, d, r, q, k, n))
+
+  private def collectCentroidArrays(s: SparkSession, d: String, tag: String)(
+      plan: => DataFrame): (Array[Long], Array[Double], Array[Double]) = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(d, "embeddings.parquet")
     val fp = s"${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
-    centArrCache.computeIfAbsent((s, d, seedLo, seedHi, fp), _ => {
-      val rows = learnedCentroids(s, d, seedLo, seedHi)
+    // evict entries superseded by an in-place corpus regeneration: the
+    // fingerprint keeps them from being SERVED stale, but without
+    // removal each regeneration leaks a k×64 matrix and an entry
+    // pinning the SparkSession for the process lifetime
+    centArrCache.keySet.removeIf(k =>
+      k._1 == s && k._2 == d && k._3 == tag && k._4 != fp)
+    centArrCache.computeIfAbsent((s, d, tag, fp), _ => {
+      val rows = plan
         .orderBy(col("c_id")).collect()
       val k = rows.length
       val ids = new Array[Long](k)
@@ -1188,7 +1288,13 @@ object SimilarityOps {
     * which equals sum(xᵢ) bit-for-bit — the final double mean is
     * unchanged vs the oracle's hugeint sum. Overflow headroom:
     * |hi| ≤ 2^30, so ~2^33 ≈ 8.6B members per (key, dim) group before
-    * a long sum could wrap; past that, re-widen to decimal. */
+    * a long sum could wrap — ENFORCED, not just documented: any group
+    * past [[FloorSplitGroupGuard]] (2^32, half the headroom) fails the
+    * query with an explicit re-widen-to-decimal message instead of
+    * silently serving a wrapped (corrupted) centroid. The guard rides
+    * the already-aggregated cnt, so it costs one comparison per
+    * (key, dim) GROUP — k·64 rows — not per input row. */
+  private[graft] val FloorSplitGroupGuard = 1L << 32
   private def floorSplitMean(df: DataFrame, key: String): DataFrame = {
     val S = 72057594037927936L // 2^56
     val M28 = (1L << 28) - 1
@@ -1213,9 +1319,15 @@ object SimilarityOps {
       .agg(digit("a").as("s1"), digit("b").as("s2"), digit("c").as("s3"),
         count(lit(1)).as("cnt"))
       .select(col(key), col("dim"),
-        ((col("s1").cast("double")
-          + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
-          / S / col("cnt")).as("m"))
+        when(col("cnt") > FloorSplitGroupGuard,
+          raise_error(concat(
+            lit("floorSplitMean: group size "), col("cnt").cast("string"),
+            lit(" exceeds the 2^33 long-digit overflow headroom - " +
+              "re-widen the digit sums to decimal(38,0)"))))
+        .otherwise(
+          (col("s1").cast("double")
+            + (col("s2").cast("double") + col("s3").cast("double") / S) / S)
+            / S / col("cnt")).as("m"))
     dm.groupBy(col(key))
       .agg(array((0 until 64).map(i =>
         max(when(col("dim") === i, col("m")))): _*).as("c_emb"))

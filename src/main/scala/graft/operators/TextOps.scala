@@ -255,11 +255,22 @@ object TextOps {
   private[graft] val PairSpillBytesPerPair = 12L
   private[graft] val PairScratchMargin = 12L << 30
 
-  private[graft] def pairWaves(pv: Long): Int = {
+  /** q55's planning coefficient: the one-sided prefix × full-index join
+    * spills roughly DOUBLE q27's bytes per pair (measured r10: 5
+    * q27-sized waves still overflowed; the hand-tuned fix then was a 2×
+    * wave multiplier). 12 B/pair was fitted from the JACCARD family's
+    * failures, so containment plans with its own 2× coefficient until
+    * its own wave telemetry justifies lowering it — the in-run
+    * recalibration ([[stagedPairScan]]'s post-wave F̂ re-solve) then
+    * corrects residual error from live measurements either way. */
+  private[graft] val ContainmentSpillBytesPerPair = 24L
+
+  private[graft] def pairWaves(pv: Long,
+      bytesPerPair: Long = PairSpillBytesPerPair): Int = {
     val usable = new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace
     val headroom = math.max(4L << 30,
       usable - PairScratchMargin - PairSpillFixedBytes)
-    math.max(2L, (pv * PairSpillBytesPerPair + headroom - 1) / headroom).toInt
+    math.max(2L, (pv * bytesPerPair + headroom - 1) / headroom).toInt
   }
 
   /** Lowest-level disk telemetry for the wave tier: samples the tmp
@@ -295,21 +306,34 @@ object TextOps {
     * + atomic rename). `wave(i, w)` must produce the rows whose token
     * hash ≡ i (mod w); the initial split is `waves` from [[pairWaves]].
     *
-    * Two scratch-bound mechanisms replace any per-family hand tuning:
+    * Three scratch-bound mechanisms replace any per-family hand tuning:
     * (1) between waves a GC nudge retires the finished wave's shuffle
     * files — synchronously, because the Bench/Verify builders set
     * spark.cleaner.referenceTracking.blocking.shuffle=true (a fallback
     * pause covers sessions without it, where the deletes are async) —
-    * so peak scratch is one wave, not the sum; (2) a wave that STILL
-    * overflows the disk (ENOSPC anywhere in the failure chain)
-    * RETRY-SPLITS into the two half-waves h ≡ i (mod 2w) and
-    * h ≡ i+w (mod 2w) — their union is exactly wave (i, w) because the
-    * token hash is non-negative — recursively up to 3 doublings. Every
-    * wave logs its sampled peak scratch and the implied bytes/pair so
-    * the [[PairSpillBytesPerPair]] planning coefficient stays auditable
-    * against live measurements. */
+    * so peak scratch is one wave, not the sum; (2) the spill model is
+    * SELF-CORRECTING: the frozen constants ([[PairSpillFixedBytes]],
+    * the per-family `bytesPerPair`) are only the wave-1 prior — each
+    * completed wave re-solves the fixed component
+    * F̂ = peak − bytesPerPair·pv/w from its own sampled peak, and every
+    * wave is pre-checked against F̂ + bytesPerPair·pv/w vs LIVE free
+    * disk, preemptively splitting into its two mod-2w half-waves when
+    * the prediction no longer fits (a mid-staging W revision that costs
+    * nothing — unlike the ENOSPC path it never pays a failed wave);
+    * (3) a wave that STILL overflows the disk (ENOSPC anywhere in the
+    * failure chain) RETRY-SPLITS into the two half-waves h ≡ i (mod 2w)
+    * and h ≡ i+w (mod 2w) — their union is exactly wave (i, w) because
+    * the token hash is non-negative — recursively up to 3 doublings
+    * (preemptive + reactive combined). Every wave logs its sampled peak
+    * scratch, the implied bytes/pair, and the re-solved F̂ so the
+    * planning constants stay auditable against live measurements.
+    * `usableSpace` is injectable so a spec can fake a shrinking disk
+    * and pin the preemptive revision without filling a real one. */
   private[graft] def stagedPairScan(s: SparkSession, d: String, name: String,
-      waves: Int, pairRows: Long = 0L)(
+      waves: Int, pairRows: Long = 0L,
+      bytesPerPair: Long = PairSpillBytesPerPair,
+      usableSpace: () => Long = () =>
+        new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace)(
       wave: (Int, Int) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "documents.parquet")
@@ -343,7 +367,7 @@ object TextOps {
       // disk at sf10). So: GC-nudge, then poll usable space until it
       // recovers to near the wave's start baseline or plateaus
       // (unrelated tenants move the disk too — ±256 MB counts as
-      // stable), re-nudging GC every ~10 s, capped at 120 s.
+      // stable), re-nudging GC every ~10 s, capped at 6 min.
       // the recovery target is the STAGING-START free level, not the
       // current wave's start: a per-wave baseline gets depressed when
       // deletions lag into the next wave, which lets settle() return
@@ -352,17 +376,32 @@ object TextOps {
       // one ENOSPC retry-split fired exactly this way at sf10)
       val globalBaseline = new java.io.File(sys.props("java.io.tmpdir"))
         .getUsableSpace
+      // the staged artifact itself accumulates on the same tmp
+      // filesystem, so the recovery target must credit the bytes
+      // appended so far — without this, once the artifact exceeds the
+      // 8 GB tolerance the fast-recovery branch can never trigger and
+      // every remaining wave pays the >=60 s plateau path
+      def artifactBytes(p: java.nio.file.Path): Long =
+        if (!Files.exists(p)) 0L
+        else {
+          val st = Files.walk(p)
+          try st.filter(Files.isRegularFile(_))
+            .mapToLong(Files.size(_)).sum()
+          finally st.close()
+        }
       // Deleting one wave's spill takes MINUTES at sf10 (~50 GB through
       // the ContextCleaner's single thread), so the wait must outlast
-      // it: recovery to within 8 GB of the staging-start level ends the
-      // wait immediately; a plateau (deletions finished but the level
-      // didn't fully recover — e.g. another tenant took disk) only
-      // counts after 60 s so a briefly-stalled deletion queue can't
-      // fake it; hard cap 6 min, after which the ENOSPC retry-split is
-      // the (measured, self-healing) escape.
+      // it: recovery to within 8 GB of the (artifact-adjusted)
+      // staging-start level ends the wait immediately; a plateau
+      // (deletions finished but the level didn't fully recover — e.g.
+      // another tenant took disk) only counts after 60 s so a
+      // briefly-stalled deletion queue can't fake it; hard cap 6 min,
+      // after which the ENOSPC retry-split is the (measured,
+      // self-healing) escape.
       def settle(): Unit = {
         val f = new java.io.File(sys.props("java.io.tmpdir"))
         System.gc()
+        val target = globalBaseline - artifactBytes(tmp) - (8L << 30)
         var last = -1L
         var stable = 0
         var waited = 0
@@ -370,23 +409,43 @@ object TextOps {
           Thread.sleep(2000); waited += 2
           if (waited % 10 == 0) System.gc()
           val u = f.getUsableSpace
-          if (u >= globalBaseline - (8L << 30)) stable = 5 // recovered
+          if (u >= target) stable = 5 // recovered
           else if (waited >= 60 && math.abs(u - last) < (256L << 20))
             stable += 1
           else { stable = 0; last = u }
         }
       }
+      // F̂ starts at the frozen prior and is re-solved from every
+      // completed wave's sampled peak (floor 1 GB: a transiently
+      // generous disk must not talk the model into predicting that a
+      // wave is nearly free)
+      var fHat = PairSpillFixedBytes
+      def predictedPeak(w: Int): Long =
+        fHat + (if (pairRows > 0) pairRows * bytesPerPair / w else 0L)
       def runWave(i: Int, w: Int, depth: Int): Unit = {
+        if (depth < 3 && pairRows > 0 &&
+            predictedPeak(w) > usableSpace() - PairScratchMargin) {
+          System.err.println(
+            f"[wave] $name $i/$w predicted ${predictedPeak(w) / 1e9}%.1f GB " +
+              f"vs usable ${usableSpace() / 1e9}%.1f GB - preemptive split " +
+              s"into (${i}, ${2 * w}) and (${i + w}, ${2 * w})")
+          runWave(i, 2 * w, depth + 1)
+          runWave(i + w, 2 * w, depth + 1)
+          return
+        }
         val mode = if (firstWrite) "overwrite" else "append"
         try {
           val (_, peak) = withScratchPeak {
             wave(i, w).write.mode(mode).parquet(tmp.toString)
           }
           firstWrite = false
+          if (pairRows > 0)
+            fHat = math.max(1L << 30, peak - pairRows * bytesPerPair / w)
           val perPair =
             if (pairRows > 0) f"${peak.toDouble * w / pairRows}%.1f" else "?"
           System.err.println(f"[wave] $name $i/$w depth=$depth " +
-            f"peak_scratch_gb=${peak / 1e9}%.2f bytes_per_pair=$perPair")
+            f"peak_scratch_gb=${peak / 1e9}%.2f bytes_per_pair=$perPair " +
+            f"f_hat_gb=${fHat / 1e9}%.2f")
           settle()
         } catch {
           case e: Throwable if isEnospc(e) && depth < 3 =>
@@ -1783,19 +1842,25 @@ object TextOps {
       s: SparkSession, d: String): DataFrame =
     containmentPrefixVerified(s, d, None).orderBy(col("d1"), col("d2"))
 
-  /** q55's disk tier — same wave construction and the SAME derived wave
-    * count as [[jaccardStagedPath]] (no per-family multiplier: the
-    * one-sided prefix × full-index join spills more per pair than
-    * q27's prefix × prefix, but the planning coefficient's 2× margin
-    * plus synchronous shuffle cleanup covers it, and the ENOSPC
-    * retry-split in [[stagedPairScan]] is the derived escape if a wave
-    * still overflows — r10's hand-measured "10 waves because 5
-    * overflowed" is replaced by measurement at run time). */
+  /** q55's disk tier — same wave construction as [[jaccardStagedPath]]
+    * but planned with its OWN spill coefficient
+    * ([[ContainmentSpillBytesPerPair]], ~2× q27's): the one-sided
+    * prefix × full-index join was measured at roughly double the
+    * scratch per unit of the shared gate statistic (r10: 5 q27-sized
+    * waves still overflowed), and 12 B/pair was fitted from the jaccard
+    * family's failures only — planning q55 with it would systematically
+    * under-split and lean on the ENOSPC retry, which only fires after
+    * running shared scratch to full and discards the failed wave's
+    * work. The in-run F̂ recalibration then trims residual error from
+    * this family's own telemetry. */
   private[graft] def containmentStagedPath(s: SparkSession, d: String,
       wavesOverride: Int = 0): DataFrame = {
     val pv = pairVolume(s, d)
-    val w = if (wavesOverride > 0) wavesOverride else pairWaves(pv)
-    stagedPairScan(s, d, "containment", w, pv)((i, wi) =>
+    val w =
+      if (wavesOverride > 0) wavesOverride
+      else pairWaves(pv, ContainmentSpillBytesPerPair)
+    stagedPairScan(s, d, "containment", w, pv,
+        bytesPerPair = ContainmentSpillBytesPerPair)((i, wi) =>
         containmentPrefixVerified(s, d, Some((i, wi))))
       .distinct()
       .orderBy(col("d1"), col("d2"))

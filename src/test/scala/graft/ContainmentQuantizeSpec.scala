@@ -90,6 +90,34 @@ class ContainmentQuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("wave spill model self-corrects mid-staging: a too-small disk " +
+      "preemptively splits wave 1 (no ENOSPC), the wave-1 telemetry " +
+      "re-solves F-hat, and later waves stop splitting") {
+    // forced-small-disk via the injectable usableSpace: with the frozen
+    // F prior (50 GB) and 62.5 GB "free", predicted(w=2) = 50.75 GB
+    // exceeds usable - margin = 50.5 GB, so wave (0, 2) must split
+    // preemptively into (0, 4) + (2, 4); the fixture's measured peak
+    // then re-solves F-hat down to the 1 GB floor, so wave (1, 2) fits
+    // and runs UNSPLIT — the mid-staging W revision, with zero failed
+    // (ENOSPC) waves. The staged result must still equal the plain
+    // count-path relation (the revision is lossless).
+    val sf001 = "/root/testdata/sf0.001"
+    val calls = scala.collection.mutable.Buffer[(Int, Int)]()
+    val staged = TextOps.stagedPairScan(spark, sf001,
+        s"spec_preempt_${System.nanoTime}", waves = 2,
+        pairRows = 1L << 27, bytesPerPair = 12L,
+        usableSpace = () => 125L << 29) { (i, w) =>
+      calls += ((i, w))
+      TextOps.jaccardPrefixWave(spark, sf001, i, w)
+    }
+    assert(calls.toList == List((0, 4), (2, 4), (1, 2)),
+      s"expected preemptive split of wave 0 only, got $calls")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(staged) ==
+      rows(graft.operators.TextOps.jaccardCountPath(spark, sf001)))
+  }
+
   test("q55 reports size-mismatched pairs that symmetric Jaccard scores " +
       "strictly lower (containment > jaccard whenever |A| != |B|)") {
     val sizes: Map[Long, Int] = TextOps.shingleIndexPlan(spark, sf)

@@ -59,15 +59,21 @@ class SimilaritySpec extends AnyFunSuite {
       "k = 191 > the 128 floor): subset + recall floor holds as the " +
       "cell count grows with the corpus") {
     // 15× sf0.1 = 30,000 vectors — past the k = max(128, n/157) floor,
-    // so this pins the k ∝ n regime with the √k-SCALED probe width
-    // (nprobe = ceil(8·√(k/128)) = 10 at k = 191): round 10's fixed
-    // nprobe=4 measured 0.904 here and DECAYED with k (0.804 @ 60k,
-    // 0.585 @ 200k); the scaled asym tier measures 0.938 here and
-    // 0.87 at the 200k probe, so the floor pins the no-decay contract
-    // at 0.85 — a regression back toward fixed-width probing fails it
+    // so this pins the k ∝ n regime with the QUANTIZER-COUNT ladder
+    // (q = 7 at k = 191, fixed nprobe 4): round 10's fixed (np=4, q=4)
+    // measured 0.904 here and DECAYED with k (0.804 @ 60k, 0.585 @
+    // 200k); round 11 held the floor by √k-scaled probe width at n^1.5
+    // candidate volume; the round-12 ladder compounds INDEPENDENT
+    // quantizers instead (measured 1−(1−r1)^q to ±0.006), reaching the
+    // same floor at ~0.65× the volume. The 0.85 floor pins the
+    // no-decay contract — a regression back to a fixed quantizer count
+    // (or a broken ladder) fails it
     val dir = TestEmbeddingFixtures.scaled(spark, "/root/testdata/sf0.1", 15)
     assert(graft.operators.SimilarityOps.pairCells(30000) == 191)
-    assert(graft.operators.SimilarityOps.pairNprobeScaled(191) == 10)
+    assert(graft.operators.SimilarityOps.pairQuantizersScaled(191) == 7)
+    assert(graft.operators.SimilarityOps.pairQuantizersScaled(128) == 6)
+    assert(graft.operators.SimilarityOps.pairQuantizersScaled(1273) == 17)
+    assert(graft.operators.SimilarityOps.pairQuantizersScaled(6000) == 32)
     def keyed(rows: Array[org.apache.spark.sql.Row]): Map[(Long, Long), Double] =
       rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val perCell = keyed(
