@@ -291,6 +291,242 @@ case class NearestCellIds(vec: Expression, nr: Expression,
     copy(vec = newChildren(0), nr = newChildren(1), cells = newChildren(2))
 }
 
+/** ALL quantizers' coarse assignments in ONE pass: the centroid
+  * matrix holds every quantizer's cells concatenated (disjoint c_id
+  * ranges — `ranges(r)` is the first row index of quantizer r,
+  * `ranges(q)` the total), and one eval emits, for each quantizer, its
+  * top-`nprobe` cells as `struct<crn: int, c_id: bigint>` in rank
+  * order (cosine DESC, c_id ASC), concatenated. The per-range loop is
+  * byte-for-byte [[NearestCellIdsStatic]]'s, so the output is
+  * BIT-EQUAL to q independent per-range evaluations
+  * (`CoarseAssignSpec`) — what changes is the plan: one scan, one
+  * explode, and one task binary instead of q of each (q grew from 4
+  * to the [[graft.operators.SimilarityOps.pairQuantizersScaled]]
+  * ladder in round 12, so the per-quantizer job overhead became the
+  * assignment stage's dominant cost). */
+case class NearestCellIdsMultiQ(vec: Expression, nr: Expression,
+    ids: Array[Long], flat: Array[Double], nrs: Array[Double],
+    ranges: Array[Int], nprobe: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nprobe > 0 && ranges.length >= 2 && ranges.head == 0 &&
+    ranges.last == ids.length && ids.length == nrs.length &&
+    (ids.length == 0 || flat.length % ids.length == 0))
+
+  private val dim = if (ids.length == 0) 0 else flat.length / ids.length
+
+  override def children: Seq[Expression] = Seq(vec, nr)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("crn",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val vecFloat =
+    vec.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (vecOk && nr.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_cell_ids_multiq requires (array<float|double>, double), " +
+        s"got (${vec.dataType.simpleString}, ${nr.dataType.simpleString})")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    val nrv = nr.eval(input)
+    if (v == null || nrv == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val norm = nrv.asInstanceOf[Double]
+    if (x.numElements() != dim)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val xv = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      xv(j) = if (vecFloat) x.getFloat(j).toDouble else x.getDouble(j)
+      j += 1
+    }
+    val q = ranges.length - 1
+    val out = new java.util.ArrayList[Any](q * nprobe)
+    var r = 0
+    while (r < q) {
+      val lo = ranges(r)
+      val hi = ranges(r + 1)
+      val m = math.min(nprobe, hi - lo)
+      val bc = new Array[Double](math.max(m, 0))
+      val bi = new Array[Long](math.max(m, 0))
+      var filled = 0
+      var ci = lo
+      while (ci < hi) {
+        var s = 0.0
+        var o = ci * dim
+        j = 0
+        while (j < dim) { s += xv(j) * flat(o); o += 1; j += 1 }
+        val cos = s / (norm * nrs(ci))
+        val cid = ids(ci)
+        var p = filled
+        var search = 0
+        var found = false
+        while (search < filled && !found) {
+          val cmp = java.lang.Double.compare(cos, bc(search))
+          if (cmp > 0 || (cmp == 0 && cid < bi(search))) { p = search; found = true }
+          else search += 1
+        }
+        if (p < m) {
+          var qq = math.min(filled, m - 1)
+          while (qq > p) { bc(qq) = bc(qq - 1); bi(qq) = bi(qq - 1); qq -= 1 }
+          bc(p) = cos
+          bi(p) = cid
+          if (filled < m) filled += 1
+        }
+        ci += 1
+      }
+      var i = 0
+      while (i < filled) {
+        out.add(org.apache.spark.sql.catalyst.InternalRow(i, bi(i)))
+        i += 1
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCellIdsMultiQ =
+    copy(vec = newChildren(0), nr = newChildren(1))
+}
+
+/** [[NearestCellIds]] variant for the two-level (hierarchical)
+  * assignment's per-GROUP scan: returns the top-`nprobe` cells of the
+  * given (sub)array as `array<struct<ncos: double, c_id: bigint>>`
+  * with ncos = −cosine, so the NATURAL ascending struct order equals
+  * the rank order (cosine DESC, c_id ASC) — several groups' outputs
+  * then merge into a global top-nprobe with plain
+  * `array_sort(flatten(collect_list(...)))`, no comparator lambda and
+  * no per-candidate row explosion. Scoring loop, fold order, and tie
+  * handling are byte-for-byte [[NearestCellIds]]'s, so a merge over
+  * groups that PARTITION the cell set reproduces the flat expression's
+  * ranking exactly whenever the routing level covered the true top
+  * cells (match-rate-pinned by `CoarseAssignSpec` on the 30k fixture). */
+case class NearestCellsTop(vec: Expression, nr: Expression,
+    cells: Expression, nprobe: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nprobe > 0)
+
+  override def children: Seq[Expression] = Seq(vec, nr, cells)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ncos", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isFloatArr(t: DataType): Boolean =
+    t match { case ArrayType(FloatType, _) => true; case _ => false }
+
+  private lazy val vecFloat = isFloatArr(vec.dataType)
+  private lazy val centFloat = cells.dataType match {
+    case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+      isFloatArr(st.fields(1).dataType)
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cellsOk = cells.dataType match {
+      case ArrayType(st: org.apache.spark.sql.types.StructType, _)
+          if st.fields.length == 3 =>
+        st.fields(0).dataType == org.apache.spark.sql.types.LongType &&
+          (st.fields(1).dataType match {
+            case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+            case _ => false
+          }) && st.fields(2).dataType == DoubleType
+      case _ => false
+    }
+    if (vecOk && nr.dataType == DoubleType && cellsOk)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_cells_top requires (array<float|double>, double, " +
+        "array<struct<bigint, array<float|double>, double>>), got " +
+        s"(${vec.dataType.simpleString}, ${nr.dataType.simpleString}, " +
+        s"${cells.dataType.simpleString})")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    val nrv = nr.eval(input)
+    val cs = cells.eval(input)
+    if (v == null || nrv == null || cs == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val norm = nrv.asInstanceOf[Double]
+    val arr = cs.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val dim = x.numElements()
+    val m = math.min(nprobe, k)
+    val bc = new Array[Double](m)
+    val bi = new Array[Long](m)
+    var filled = 0
+    var ci = 0
+    while (ci < k) {
+      val row = arr.getStruct(ci, 3)
+      val cEmb = row.getArray(1)
+      if (cEmb.numElements() == dim) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) {
+          val xv = if (vecFloat) x.getFloat(j).toDouble else x.getDouble(j)
+          val cv = if (centFloat) cEmb.getFloat(j).toDouble else cEmb.getDouble(j)
+          s += xv * cv
+          j += 1
+        }
+        val cos = s / (norm * row.getDouble(2))
+        val cid = row.getLong(0)
+        var p = filled
+        var search = 0
+        var found = false
+        while (search < filled && !found) {
+          val cmp = java.lang.Double.compare(cos, bc(search))
+          if (cmp > 0 || (cmp == 0 && cid < bi(search))) { p = search; found = true }
+          else search += 1
+        }
+        if (p < m) {
+          var q = math.min(filled, m - 1)
+          while (q > p) { bc(q) = bc(q - 1); bi(q) = bi(q - 1); q -= 1 }
+          bc(p) = cos
+          bi(p) = cid
+          if (filled < m) filled += 1
+        }
+      }
+      ci += 1
+    }
+    val out = new Array[Any](filled)
+    var i = 0
+    while (i < filled) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(-bc(i), bi(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCellsTop =
+    copy(vec = newChildren(0), nr = newChildren(1), cells = newChildren(2))
+}
+
 /** [[NearestCellIds]] with the centroid table as DRIVER-SIDE STATIC data
   * (flat row-major matrix) instead of a per-row broadcast array column.
   *
@@ -419,4 +655,19 @@ object VectorFunctions {
       cents: Array[Double], nrs: Array[Double], nprobe: Int): Column =
     GraftBridge.column(NearestCellIdsStatic(GraftBridge.expression(vec),
       GraftBridge.expression(nr), ids, cents, nrs, nprobe))
+
+  /** Top-`nprobe` (−cosine, c_id) pairs within one centroid GROUP, for
+    * hierarchical cross-group merging — see [[NearestCellsTop]]. */
+  def nearestCellsTop(vec: Column, nr: Column, cells: Column,
+      nprobe: Int): Column =
+    GraftBridge.column(NearestCellsTop(GraftBridge.expression(vec),
+      GraftBridge.expression(nr), GraftBridge.expression(cells), nprobe))
+
+  /** Every quantizer's top-`nprobe` (crn, c_id) in one pass over the
+    * concatenated centroid matrix — see [[NearestCellIdsMultiQ]]. */
+  def nearestCellIdsMultiQ(vec: Column, nr: Column, ids: Array[Long],
+      cents: Array[Double], nrs: Array[Double], ranges: Array[Int],
+      nprobe: Int): Column =
+    GraftBridge.column(NearestCellIdsMultiQ(GraftBridge.expression(vec),
+      GraftBridge.expression(nr), ids, cents, nrs, ranges, nprobe))
 }
