@@ -186,5 +186,9 @@ object Bench {
       s""""wall":${fmt2(wallSecs)},"queries":$compactQ,"failed":$failedArr,""" +
       s""""diag":$compactDiag,"sf":"$sfDir","full":"target/bench.json"}""")
     System.out.flush()
+    // Long suites have been observed to linger after spark.stop() on a
+    // non-daemon thread; everything is flushed and the session stopped,
+    // so force the exit rather than stall the harness's process wait.
+    System.exit(0)
   }
 }

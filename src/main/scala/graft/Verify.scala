@@ -58,5 +58,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // See Bench: long runs can linger on a non-daemon thread after
+    // spark.stop(); all output is on disk, so exit deterministically.
+    System.exit(0)
   }
 }

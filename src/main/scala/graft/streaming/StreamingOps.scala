@@ -626,8 +626,11 @@ object StreamingOps {
     val feedRows = graft.sources.Tables.events(s, d).count()
     val width = math.max(4L, math.min(
       s.sparkContext.defaultParallelism.toLong, feedRows / 500000L)).toInt
-    runToMemory(alerts.toDF(), out, OutputMode.Append,
-      statePartitions = width).df
+    // alert OUTPUT is feed-sized (~1 alert/event at the bench feeds:
+    // 9.9M rows at sf10), so drain distributed like q67 — the memory
+    // sink hauled the whole alert set through the driver twice
+    // (measured 51 s at sf10; the state pass itself is seconds).
+    runToParquet(alerts.toDF(), out, statePartitions = width)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_alerts"),
         (max(col("k")) * 50.0).as("max_crossed"))
