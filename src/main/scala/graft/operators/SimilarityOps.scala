@@ -1847,8 +1847,10 @@ object SimilarityOps {
     * pipeline keeps per snapshot; both engines derive them here from
     * the same table so the oracle stays self-contained).
     */
-  val q123IndexMaintenance: QueryDef = sql(
-    "q123_index_maintenance",
+  /** Shared by q123 (batch) and q126 (streaming ingest): the audit is a
+    * pure additive rollup of per-vector assignments, so one closed form
+    * verifies both — micro-batch boundaries cannot change it. */
+  private val indexAuditOracle: String =
     s"""WITH d AS (SELECT vec_id, embedding,
       |        sqrt(${sqlDotFast("embedding", "embedding")}) AS nr
       |      FROM embeddings),
@@ -1875,7 +1877,10 @@ object SimilarityOps {
       |    AS base_cos_micro,
       |  CAST(floor(CAST(ds AS DOUBLE) / greatest(1, n_delta)) AS BIGINT)
       |    AS delta_cos_micro
-      |FROM g ORDER BY c_id""") { (s, d) =>
+      |FROM g ORDER BY c_id"""
+
+  val q123IndexMaintenance: QueryDef = sql(
+    "q123_index_maintenance", indexAuditOracle) { (s, d) =>
     val e = embVecs(s, d)
     val cents = learnedCentroids(s, d, 0, 16)
     // single-nearest assignment carrying the cosine itself (assignNearest
@@ -1911,9 +1916,113 @@ object SimilarityOps {
       .orderBy(col("c_id"))
   }
 
+  /** File-stream staging for [[q126StreamAnnIngest]]: the embeddings
+    * table written once per snapshot as 4 vec_id-ranged files, so the
+    * file source (`maxFilesPerTrigger=1`) replays the corpus as 4
+    * ordered micro-batches. (size, mtime)-fingerprinted against the
+    * source parquet — an in-place corpus regeneration re-stages and the
+    * superseded tree is removed first (the ScaleOps eviction rule). */
+  private def stageEmbeddingsStream(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(d, "embeddings.parquet")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_emb_stream",
+      Paths.get(d).getFileName.toString)
+    val fp = dir.resolve("_fingerprint")
+    val want =
+      s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
+    val have =
+      if (Files.exists(fp)) new String(Files.readAllBytes(fp), "UTF-8")
+      else ""
+    if (have != want) {
+      graft.Fs.rmTree(dir)
+      Files.createDirectories(dir)
+      graft.sources.Tables.embeddings(s, d)
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(dir.resolve("data").toString)
+      Files.write(fp, want.getBytes("UTF-8"))
+    }
+    dir.resolve("data").toString
+  }
+
+  /** STREAMING ANN ingest — q123's index-maintenance audit as a real
+    * Structured Streaming maintenance loop: embedding vectors arrive as
+    * a bounded file-stream replay (4 micro-batches), each batch assigns
+    * its vectors to the EXISTING learned cells map-side against the
+    * broadcast centroid table and appends one |cells|-sized row of
+    * ADDITIVE partials (base/delta counts, micro-quantized cosine sums)
+    * to a parquet maintenance log — the q78 admissions-log pattern; the
+    * audit is the log's rollup. Because every partial is an integer sum,
+    * the drained result is a closed-form function of the corpus,
+    * independent of micro-batch boundaries — [[indexAuditOracle]], the
+    * same oracle q123 hashes against, verifies it bit-exactly.
+    *
+    * 100 TB posture: the stream side is STATELESS (no watermark state at
+    * all — partial aggregation inside each batch, the log in object
+    * storage); per-batch work is one scan of the batch against a
+    * broadcast; and the rollup reads |cells| × batches rows, not the
+    * corpus. This is the shape of continuous index maintenance at
+    * ingest: the retrain trigger (growth_micro / delta_cos_micro drift)
+    * updates with every arriving batch for the cost of that batch alone.
+    */
+  val q126StreamAnnIngest: QueryDef = sql(
+    "q126_stream_ann_ingest", indexAuditOracle) { (s, d) =>
+    val dataDir = stageEmbeddingsStream(s, d)
+    val cents = learnedCentroids(s, d, 0, 16)
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_ingest_log").toString
+    val sch = s.read.parquet(dataDir).schema
+    val stream = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("nr", nrm(col("embedding")))
+          .crossJoin(broadcast(cents))
+          .withColumn("c_cos", dotAny(col("embedding"), col("c_emb")) /
+            (col("nr") * col("c_nr")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("c_id"), col("c_cos")),
+            struct(col("c_cos"), (-col("c_id")).as("neg"))).as("best"))
+          .select(col("vec_id"), col("best.c_id").as("c_id"),
+            col("best.c_cos").as("cos"))
+          .withColumn("is_delta",
+            when(col("vec_id") % 13 === 5, 1).otherwise(0))
+          .withColumn("cos_micro",
+            floor(col("cos") * 1000000 + 0.5).cast("long"))
+          .groupBy(col("c_id"))
+          .agg(
+            sum(when(col("is_delta") === 0, 1L).otherwise(0L)).as("n_base"),
+            sum(when(col("is_delta") === 1, 1L).otherwise(0L)).as("n_delta"),
+            sum(when(col("is_delta") === 0, col("cos_micro")).otherwise(0L))
+              .as("bs"),
+            sum(when(col("is_delta") === 1, col("cos_micro")).otherwise(0L))
+              .as("ds"))
+          .write.mode("append").parquet(logDir)
+        (): Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.streaming.StreamingOps.recordDrain("q126_stream_ann_ingest",
+      q.recentProgress.length, 0L, 0L)
+    s.read.parquet(logDir)
+      .groupBy(col("c_id"))
+      .agg(sum(col("n_base")).as("n_base"), sum(col("n_delta")).as("n_delta"),
+        sum(col("bs")).as("bs"), sum(col("ds")).as("ds"))
+      .select(col("c_id"), col("n_base"), col("n_delta"),
+        floor((lit(1000000) * col("n_delta")).cast("double")
+          / greatest(lit(1L), col("n_base"))).cast("long").as("growth_micro"),
+        floor(col("bs").cast("double") / greatest(lit(1L), col("n_base")))
+          .cast("long").as("base_cos_micro"),
+        floor(col("ds").cast("double") / greatest(lit(1L), col("n_delta")))
+          .cast("long").as("delta_cos_micro"))
+      .orderBy(col("c_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf,
       q56QuantizeInt8, q72KnnClassify, q102SemanticDedup, q103EmbedOutliers,
       q109KmeansTrain, q113HybridRrf, q121CentroidDrift,
-      q123IndexMaintenance)
+      q123IndexMaintenance, q126StreamAnnIngest)
 }

@@ -1977,7 +1977,13 @@ object TextOps {
     * window, which beats reusing the wide exchange), and the only
     * corpus-row shuffle is the window's blocked one.
     */
-  private[graft] def packSequencesPlan(
+  /** The blocked exclusive-prefix-sum core shared by the packing family:
+    * (source, doc_id, n_tok, off) where `off` is each document's global
+    * token offset in its source's doc_id order. See the scaladoc above
+    * for why the blocked two-level form is bit-identical to the naive
+    * per-source window at any block size (`PackingSpec`).
+    */
+  private[graft] def packOffsets(
       s: SparkSession, d: String, blockDocs: Long): DataFrame = {
     val wLoc = Window.partitionBy(col("source"), col("blk"))
       .orderBy(col("doc_id"))
@@ -1997,6 +2003,12 @@ object TextOps {
       .select(col("source"), col("blk"), col("blk_off"))
     local.join(broadcast(blkOff), Seq("source", "blk"))
       .withColumn("off", col("blk_off") + col("loc_off"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("off"))
+  }
+
+  private[graft] def packSequencesPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame =
+    packOffsets(s, d, blockDocs)
       // off/256.0 is a power-of-two division — exact in doubles, so the
       // floor is bit-identical in both engines
       .withColumn("seq_id", floor(col("off") / 256.0).cast("int"))
@@ -2006,7 +2018,6 @@ object TextOps {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("source"), col("seq_id"))
-  }
 
   /** The naive single-window-per-source form — NOT registered; it is the
     * equivalence oracle `PackingSpec` checks [[packSequencesPlan]]
@@ -2041,6 +2052,88 @@ object TextOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
     packSequencesPlan(s, d, PackBlockDocs)
+  }
+
+  /** GPU-shape-aware packing layout — q58's bins taken the rest of the
+    * way to what a training dataloader actually consumes: every document
+    * is SPLIT at the 256-token sequence boundaries into attention-mask
+    * segments, one row per (sequence, segment) with the segment's start
+    * offset and length INSIDE its sequence, its position index
+    * (`seg_id`, the per-sequence attention-mask segment id), and a
+    * continuation flag for the tail of a document that straddled the
+    * previous boundary. Invariants (spec-pinned in `PackingSpec`):
+    * token conservation (Σ tok_len = Σ n_tok), every non-final sequence
+    * of a source filled to exactly 256, segments within a sequence
+    * contiguous and disjoint.
+    *
+    * Scale shape: offsets reuse [[packOffsets]]'s blocked two-level
+    * prefix sum (no per-source corpus sort); the boundary split is a
+    * per-row `sequence()`+`explode` whose fan-out is 1 + ⌊n_tok/256⌋ —
+    * bounded by document length, independent of corpus size; and the
+    * only new exchange is the `seg_id` window's shuffle on
+    * (source, seq_id) — millions of tiny partitions, the well-
+    * distributed case. Nothing here is driver-sized.
+    */
+  val q125PackSegments: QueryDef = sql(
+    "q125_pack_segments",
+    """WITH n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |sp AS (SELECT source, doc_id, n_tok, off,
+      |        CAST(floor(off / 256.0) AS INT) AS first_seq,
+      |        CAST(floor((off + n_tok - 1) / 256.0) AS INT) AS last_seq
+      |      FROM o),
+      |seg AS (SELECT source, doc_id, n_tok, off,
+      |        CAST(unnest(generate_series(first_seq, last_seq)) AS INT) AS seq_id
+      |      FROM sp),
+      |x AS (SELECT source, doc_id, seq_id,
+      |        greatest(off, seq_id*256) - seq_id*256 AS tok_start,
+      |        least(off + n_tok, (seq_id+1)*256) - greatest(off, seq_id*256) AS tok_len,
+      |        CASE WHEN off < seq_id*256 THEN 1 ELSE 0 END AS is_continuation
+      |      FROM seg)
+      |SELECT source, seq_id,
+      |  CAST(row_number() OVER (PARTITION BY source, seq_id
+      |    ORDER BY tok_start) - 1 AS INT) AS seg_id,
+      |  doc_id, CAST(tok_start AS BIGINT) AS tok_start,
+      |  CAST(tok_len AS BIGINT) AS tok_len, is_continuation
+      |FROM x ORDER BY source, seq_id, seg_id""") { (s, d) =>
+    packSegmentsPlan(s, d, PackBlockDocs)
+  }
+
+  /** See [[q125PackSegments]]; split out so `PackingSpec` can drive it
+    * at several block sizes. */
+  private[graft] def packSegmentsPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+    val spans = packOffsets(s, d, blockDocs)
+      .withColumn("first_seq", floor(col("off") / 256.0).cast("int"))
+      // off + n_tok - 1 stays exact in doubles below 2^53 (corpus tokens)
+      .withColumn("last_seq",
+        floor((col("off") + col("n_tok") - 1) / 256.0).cast("int"))
+    val segs = spans
+      .select(col("source"), col("doc_id"), col("n_tok"), col("off"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .withColumn("seq_base", col("seq_id").cast("long") * 256L)
+      .withColumn("tok_start",
+        greatest(col("off"), col("seq_base")) - col("seq_base"))
+      .withColumn("tok_len",
+        least(col("off") + col("n_tok"), col("seq_base") + 256L) -
+          greatest(col("off"), col("seq_base")))
+      .withColumn("is_continuation",
+        when(col("off") < col("seq_base"), 1).otherwise(0))
+    // tok_start is unique within a sequence (segments partition the
+    // token interval), so the rank is total and deterministic
+    val w = Window.partitionBy(col("source"), col("seq_id"))
+      .orderBy(col("tok_start"))
+    segs
+      .withColumn("seg_id", (row_number().over(w) - 1).cast("int"))
+      .select(col("source"), col("seq_id"), col("seg_id"), col("doc_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        col("tok_len").cast("long").as("tok_len"),
+        col("is_continuation"))
+      .orderBy(col("source"), col("seq_id"), col("seg_id"))
   }
 
   /** Vocabulary coverage audit (tokenizer-training prep): top-50 corpus
@@ -2820,7 +2913,8 @@ object TextOps {
     q74DedupApply, q76IncrementalDedup, q50TrainSplit,
     q51TfIdf, q52Repetition, q53StratifiedSample, q85GroupedTopK,
     q54Decontaminate,
-    q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences, q59VocabCoverage,
+    q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences,
+    q125PackSegments, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
     q77BpeMerges, q79BpeEncode, q80EpochMixture, q93Boilerplate, q94Bm25,
     q98KhopReach, q101DupSpans, q115NoveltyCurve)

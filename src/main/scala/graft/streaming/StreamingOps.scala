@@ -228,6 +228,13 @@ object StreamingOps {
   private val drainLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long)]
 
+  /** For streaming drains driven outside this module (q126's ANN-ingest
+    * loop in SimilarityOps): surface their batch/state telemetry through
+    * the same per-query diag channel. */
+  private[graft] def recordDrain(name: String, batches: Int,
+      maxState: Long, finalState: Long): Unit =
+    drainLog.add((name, batches, maxState, finalState))
+
   def pollDrainStats(): Seq[(String, Int, Long, Long)] = {
     val out = Seq.newBuilder[(String, Int, Long, Long)]
     var e = drainLog.poll()

@@ -59,4 +59,52 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q125 segment layout: token conservation, exact 256 fill on every " +
+      "non-final sequence, contiguous disjoint segments, and block-size " +
+      "independence") {
+    import org.apache.spark.sql.functions._
+    val segs = SparkEntry.queries("q125_pack_segments")(spark, sf).collect()
+    assert(segs.nonEmpty)
+    // (source, seq_id, seg_id, doc_id, tok_start, tok_len, is_continuation)
+    val totalSegTokens = segs.map(_.getLong(5)).sum
+    val totalDocTokens = TextOps
+      .packSequencesNaive(spark, sf)
+      .agg(sum(col("seq_tokens"))).collect()(0).getLong(0)
+    assert(totalSegTokens == totalDocTokens, "token conservation")
+    segs.groupBy(r => (r.getString(0), r.getInt(1))).foreach {
+      case ((srcKey, seq), rs) =>
+        val bySeg = rs.sortBy(_.getInt(2)).toSeq
+        // contiguity: each segment starts where the previous ended
+        var cursor = 0L
+        bySeg.foreach { r =>
+          assert(r.getLong(4) == cursor,
+            s"gap/overlap at ($srcKey, $seq, seg ${r.getInt(2)})")
+          assert(r.getLong(5) >= 1, "empty segment")
+          cursor += r.getLong(5)
+        }
+        assert(cursor <= 256L, s"sequence ($srcKey, $seq) overfilled")
+        // a continuation tail is exactly a segment that starts at 0 for
+        // a document whose earlier tokens live in a previous sequence
+        bySeg.zipWithIndex.foreach { case (r, i) =>
+          if (r.getInt(6) == 1)
+            assert(i == 0 && r.getLong(4) == 0L,
+              "continuation segments lead their sequence at offset 0")
+        }
+    }
+    // every non-final sequence of a source is filled to exactly 256
+    segs.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val fills = rs.groupBy(_.getInt(1)).view
+        .mapValues(_.map(_.getLong(5)).sum).toSeq.sortBy(_._1)
+      fills.dropRight(1).foreach { case (seq, fill) =>
+        assert(fill == 256L, s"non-final sequence $seq filled to $fill")
+      }
+    }
+    // blocked offsets are bit-identical at degenerate block sizes here too
+    val reg = segs.map(_.toSeq).toSeq
+    for (b <- Seq(1L, 7L, 1000000L)) {
+      val alt = TextOps.packSegmentsPlan(spark, sf, b).collect().map(_.toSeq).toSeq
+      assert(alt == reg, s"segment layout diverges at blockDocs=$b")
+    }
+  }
 }

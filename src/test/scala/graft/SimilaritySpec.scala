@@ -89,4 +89,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85,
       f"scaled-k per-cell recall $recall%.3f below the 0.85 floor")
   }
+
+  test("q126 streaming ANN ingest replays the corpus as multiple " +
+      "micro-batches and its drained audit equals q123's batch form " +
+      "row-for-row (batch-boundary independence)") {
+    val sf = "/root/testdata/sf0.001"
+    graft.streaming.StreamingOps.pollDrainStats() // clear prior entries
+    val streamed = SparkEntry.queries("q126_stream_ann_ingest")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q123_index_maintenance")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streamed rollup diverges from the batch audit")
+    val drains = graft.streaming.StreamingOps.pollDrainStats()
+      .filter(_._1 == "q126_stream_ann_ingest")
+    assert(drains.nonEmpty, "q126 did not record its drain telemetry")
+    // 4 staged files + the no-data finalization batch the engine may add
+    assert(drains.head._2 >= 4,
+      s"expected >= 4 micro-batches, saw ${drains.head._2}")
+  }
 }
