@@ -172,6 +172,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "block totals lost their map-side partial aggregation")
   }
 
+  test("q125 segment layout keeps q58's blocked offsets (no per-source " +
+      "corpus window) and its seg_id window partitions on the " +
+      "fine-grained (source, seq_id) key") {
+    val plan = finalPlan(SparkEntry.queries("q125_pack_segments")(spark, sf))
+    assert("windowspecdefinition\\(source#\\d+, blk#\\d+L?, doc_id".r
+        .findFirstIn(plan).isDefined,
+      s"blocked (source, blk, doc_id) offset window missing\n$plan")
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r
+        .findFirstIn(plan).isEmpty,
+      s"per-source corpus window is back\n$plan")
+    // the seg_id rank runs per (source, seq_id) — millions of tiny
+    // partitions at scale, never a per-source serialization
+    assert("windowspecdefinition\\(source#\\d+, seq_id#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"(source, seq_id) segment window missing\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "block offsets must join back as a broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-wide sort-merge join in the segment plan")
+    // the boundary split must be the bounded-fanout generator
+    assert(plan.toLowerCase.contains("generate"),
+      s"sequence()+explode boundary split missing\n$plan")
+  }
+
   test("q64 LM scoring probes the corpus with a broadcast cost table — " +
       "no corpus-side sort-merge join") {
     val plan = finalPlan(SparkEntry.queries("q64_unigram_logprob")(spark, sf))
