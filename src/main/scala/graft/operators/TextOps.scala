@@ -1112,6 +1112,15 @@ object TextOps {
     * cost was the string-laden distinct, not candidate growth.)
     */
   private[graft] val FuzzyBroadcastKnee = 1000000L
+  /** Byte budget for broadcasting the (custkey, name) relation — the
+    * row-count knee alone under-admits: a 64 MB dimension is cheap
+    * against re-sorting a ~100M-row candidate stream twice. 24 B/row
+    * covers the key + offset/struct overhead on top of the name bytes. */
+  private[graft] val FuzzyBroadcastBytes = 64L << 20
+  /** Below this many customers the verified-pair set is small enough
+    * that re-running the upstream for the sort's sampling pass is
+    * cheaper than a materialization. */
+  private[graft] val FuzzyMatKnee = 500000L
   val q48FuzzyMatch: QueryDef = sql(
     "q48_fuzzy_match",
     """WITH c AS (SELECT c_custkey, c_name FROM customer),
@@ -1128,6 +1137,15 @@ object TextOps {
       |SELECT k1, k2, CAST(levenshtein(n1, n2) AS INT) AS dist
       |FROM cand WHERE levenshtein(n1, n2) <= 1
       |ORDER BY k1, k2""") { (s, d) =>
+    fuzzyMatchPlan(s, d, FuzzyBroadcastKnee)
+  }
+
+  /** See [[q48FuzzyMatch]]; the knee is a parameter so the spec can
+    * force the above-knee (shuffled name-attach) regime on a small
+    * fixture and pin its equality with the broadcast regime. */
+  private[graft] def fuzzyMatchPlan(s: SparkSession, d: String,
+      broadcastKnee: Long,
+      broadcastBytes: Long = FuzzyBroadcastBytes): DataFrame = {
     val name = col("c_name")
     val variants = concat(
       array(name),
@@ -1161,16 +1179,44 @@ object TextOps {
       .select(col("k1"), col("k2"))
     val n1 = cust.select(col("c_custkey").as("k1"), name.as("n1"))
     val n2 = cust.select(col("c_custkey").as("k2"), name.as("n2"))
-    val withNames =
-      if (customer(s, d).count() <= FuzzyBroadcastKnee)
+    // the knee is a BYTES budget on the broadcast name relation, not a
+    // row count: at sf10 1.5M names total ~37 MB — map-side probes are
+    // far cheaper than sorting the ~98M-row candidate stream twice for
+    // shuffled attach (FuzzyProbe: candidates 97.75M, only 2% duplicate,
+    // levenshtein kills 73% — so verify MUST run before the distinct in
+    // either regime, and the broadcast regime verifies map-side)
+    val (custRows, nameBytes) = {
+      val r = cust.agg(count(lit(1)), sum(length(name)).cast("long")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val verified =
+      if (custRows <= broadcastKnee ||
+          nameBytes + 24L * custRows <= broadcastBytes)
         cand.join(broadcast(n1), "k1").join(broadcast(n2), "k2")
-      else cand.join(n1, "k1").join(n2, "k2")
-    withNames
-      .select(col("k1"), col("k2"),
-        levenshtein(col("n1"), col("n2")).cast("int").as("dist"))
-      .filter(col("dist") <= 1)
-      .distinct()
-      .orderBy(col("k1"), col("k2"))
+          .select(col("k1"), col("k2"),
+            levenshtein(col("n1"), col("n2")).cast("int").as("dist"))
+          .filter(col("dist") <= 1)
+          .distinct()
+      else
+        // entity table genuinely beyond a broadcast: shuffled name
+        // attach, still verify-before-distinct (the distinct then
+        // shuffles the 27% of candidates that verify, never the raw
+        // stream)
+        cand.join(n1, "k1").join(n2, "k2")
+          .select(col("k1"), col("k2"),
+            levenshtein(col("n1"), col("n2")).cast("int").as("dist"))
+          .filter(col("dist") <= 1)
+          .distinct()
+    // the presentation sort is global, and RangePartitioning's bound-
+    // sampling pass re-executes an uncached upstream — here the whole
+    // candidate join + verify (measured: it DOUBLED the sf10 wall, 42 s
+    // of work benching at ~80 s). Materialize the verified pairs once
+    // (executor-local, result-sized — 26M narrow rows at sf10) so the
+    // sort samples and shuffles the materialization instead.
+    val mat =
+      if (custRows <= FuzzyMatKnee) verified
+      else verified.localCheckpoint()
+    mat.orderBy(col("k1"), col("k2"))
   }
 
   /** The q49/q63 oracle CTE chain: verified pairs → undirected edges →
