@@ -520,6 +520,11 @@ object SimilarityOps {
         (dot(col("eh"), col("ep")) / (col("nh") * col("np_"))).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .distinct()
+      // q48's materialize-before-sort trick was A/B'd here and REVERTED:
+      // this plan's sort sampling already reuses the distinct's shuffle
+      // (21.7 s with a localCheckpoint vs 16.5 s without at sf10) — the
+      // re-execution pathology needs an expensive MAP-side pipeline
+      // under the final exchange, which the broadcast-free SMJ lacks
       .orderBy(col("v1"), col("v2"))
   }
 
