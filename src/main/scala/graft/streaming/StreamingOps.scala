@@ -492,13 +492,18 @@ object StreamingOps {
     val out = s"stream_session_${runSeq.incrementAndGet()}"
     // session OUTPUT is feed-sized, so the drain writes distributed
     // parquet instead of a driver memory sink (11.7 s -> 6.5 s at sf1).
-    // The state WIDTH stays at the narrow default: measured 6.5 s at 4
-    // partitions vs 7.6 s at 28 for the same 955k state rows - per-task
-    // state-store overhead beats parallelism at this state size.
+    // The state WIDTH scales with the feed like q73's (sf1's 955k state
+    // rows measured best at 4 partitions — per-task state-store
+    // overhead beats parallelism there — but sf10's 9.5M rows in one
+    // big micro-batch serialize through those 4 threads; ~1M state rows
+    // per partition is the re-measured crossover, floor 4, cap cores).
+    val feedRows = graft.sources.Tables.events(s, d).count()
+    val width = math.max(4L, math.min(
+      s.sparkContext.defaultParallelism.toLong, feedRows / 1000000L)).toInt
     val drained = runToParquet(
       sessionCounts(eventStream(s, stageEventsWithSentinels(s, d),
         oneFilePerBatch = true)),
-      out)
+      out, statePartitions = width)
     drained
       .filter(col("user_id") >= 0) // sentinel sessions carry user_id -1
       .select(col("user_id"),
