@@ -989,12 +989,15 @@ object StreamingOps {
       expr("c_uid = p_uid AND pts >= cts AND pts <= cts + interval 1 hour"),
       "leftOuter")
     val out = s"stream_ojoin_${runSeq.incrementAndGet()}"
-    val drained = runToMemory(
+    // outer-join OUTPUT is click-sized (~2M rows at sf10 — every
+    // unmatched click emits), so drain distributed like q67/q73 rather
+    // than hauling it through the driver memory sink twice
+    val drained = runToParquet(
       joined.select(col("c_uid").as("user_id"), col("click_id"),
         col("purchase_id"),
         (unix_micros(col("pts").cast("timestamp")) - unix_micros(col("cts").cast("timestamp"))).as("lag_us")),
-      out, OutputMode.Append)
-    drained.df.filter(col("user_id") >= 0)
+      out)
+    drained.filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
