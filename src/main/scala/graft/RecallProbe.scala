@@ -46,7 +46,8 @@ object RecallProbe {
       val tn = truth.count()
       println(s"$sf exhaustive pairs: $tn")
       args(2).split(",").foreach { c =>
-        val Array(shape, np, q) = c.split(":")
+        val parts = c.split(":")
+        val (shape, np, q) = (parts(0), parts(1), parts(2))
         val t0 = System.nanoTime()
         val df = shape match {
           case "sym" => graft.operators.SimilarityOps
@@ -56,6 +57,13 @@ object RecallProbe {
           case "asymS" => graft.operators.SimilarityOps
             .embedNearPairsPerCellAsym(spark, sf, 0, np.toInt, q.toInt,
               strided = true)
+          // forced two-level escape tier; optional 4th field = super-probe
+          // width override (hier:np:q:w) — the round-13 instrument for
+          // measuring r1 THROUGH the routing
+          case "hier" => graft.operators.SimilarityOps
+            .embedNearPairsPerCellAsym(spark, sf, 0, np.toInt, q.toInt,
+              hierOverride = true,
+              hierWOverride = if (parts.length > 3) parts(3).toInt else 0)
         }
         val got = df.select("v1", "v2")
         val pairs = got.count()

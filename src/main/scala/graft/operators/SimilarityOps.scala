@@ -28,6 +28,7 @@ import graft.sources.Tables._
   * would follow the same shape with learned centroids as bucket keys.
   */
 object SimilarityOps {
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** left-fold double dot product. The composable higher-order form
     * (`aggregate(zip_with(...))`) computes the same fold but is
@@ -255,7 +256,14 @@ object SimilarityOps {
     * the oracle's two branches are count-gated on the same threshold,
     * its per-cell branch unrolls [[PairQuantizersMax]] chains whose
     * seeds empty out past its own q(k) — so results stay hash-exact
-    * tier for tier.
+    * tier for tier THROUGH THE FLAT AND FUSED TIERS, i.e. at every
+    * driver-reachable scale (q(k)·k ≤ [[FusedCollectKnee]], ~430k
+    * vectors single-node). Past the knee the engine switches to the
+    * two-level (hierarchical) escape tier, which is APPROXIMATE — its
+    * routing is recall-floor-pinned (≥ 0.85, `CoarseAssignSpec`
+    * forced-hier) but NOT hash-exact against this oracle's window
+    * form; the switch logs a loud warning naming the changed contract
+    * rather than silently degrading a hash-verified query.
     */
   val q34EmbedNearPairs: QueryDef = {
     val bandSelects = (0 until PairBands).map { bi =>
@@ -432,20 +440,39 @@ object SimilarityOps {
   private[graft] def embedNearPairsPerCellAsym(s: SparkSession, d: String,
       cellsOverride: Int = 0, nprobeOverride: Int = 0,
       quantizersOverride: Int = 0, strided: Boolean = false,
-      flatOverride: Boolean = false, hierOverride: Boolean = false): DataFrame = {
+      flatOverride: Boolean = false, hierOverride: Boolean = false,
+      hierWOverride: Int = 0): DataFrame = {
     val n = embeddings(s, d).count()
     val cells =
       if (cellsOverride > 0) cellsOverride
       else pairCells(n)
     val nprobe =
       if (nprobeOverride > 0) nprobeOverride else PairNprobeAsym
-    val quantizers =
+    val quantizersFlat =
       if (quantizersOverride > 0) quantizersOverride
       else pairQuantizersScaled(cells)
     val e = embVecs(s, d)
     val scaled = !strided && !flatOverride && cells > PairCells
     val fused = scaled && !hierOverride &&
-      quantizers.toLong * cells <= FusedCollectKnee
+      quantizersFlat.toLong * cells <= FusedCollectKnee
+    val hier = scaled && !fused
+    // the hier tier compounds through the measured routing retention —
+    // its own ladder, ~5% more quantizers (see pairQuantizersHier)
+    val quantizers =
+      if (quantizersOverride > 0) quantizersOverride
+      else if (hier) pairQuantizersHier(cells)
+      else quantizersFlat
+    // the tier switch is a SEMANTICS change for a hash-verified query:
+    // the two-level routing is approximate (recall-floor-pinned, not
+    // hash-exact vs the SQL oracle's window form), so crossing the
+    // knee is logged loudly rather than silent
+    if (hier && !hierOverride) logger.warn(
+      s"q34 per-cell tier: q(k)·k = ${quantizersFlat.toLong * cells} > " +
+        s"FusedCollectKnee=$FusedCollectKnee — switching to the two-level " +
+        s"(hierarchical) escape tier (q=$quantizers, w=g/2). This tier is " +
+        "APPROXIMATE: end recall is contract-pinned >= 0.85 " +
+        "(CoarseAssignSpec), but results are no longer hash-exact vs the " +
+        "flat/fused oracle form.")
     val asn =
       if (fused) {
         // past the oracle-verified k = 128 scale: ONE fused pass scores
@@ -467,7 +494,8 @@ object SimilarityOps {
           // form — nothing k-sized centralizes (see hierCellAssign's
           // scaladoc for the measured exactness trade on
           // structure-free data)
-          hierCellAssign(s, d, r * cells, (r + 1) * cells, nprobe)
+          hierCellAssign(s, d, r * cells, (r + 1) * cells, nprobe,
+            hierWOverride)
         else {
           val (ids, flat, nrs) =
             if (strided) centroidArraysStrided(s, d, r, quantizers, cells, n)
@@ -501,6 +529,7 @@ object SimilarityOps {
       else graft.SessionCache.checkpoint(
         s"pairAsn${cells}_${quantizers}_$nprobe" +
           (if (strided) "S" else "") + (if (hierOverride) "H" else "") +
+          (if (hierWOverride > 0) s"w$hierWOverride" else "") +
           (if (flatOverride) "F" else ""), s, d)(
         asn.repartition(col("c_id")))
     val home = src.filter(col("crn") === 0)
@@ -892,27 +921,68 @@ object SimilarityOps {
   // not a driver collect). NOTHING k-sized ever centralizes.
   //
   // Exactness, stated from measurement rather than hope: routing is
-  // APPROXIMATE on structure-free data. On the 30k fixture (k = 191,
-  // g = 14) a w = g/4 probe does NOT cover every vector's true
-  // nearest cells — cell memberships (hence Lloyd means) visibly
-  // diverge from the flat computation, and at the 200k corpus the
-  // end-to-end registered recall drops 0.885 → 0.840. That is the
+  // APPROXIMATE on structure-free data — a w < g probe does NOT cover
+  // every vector's true nearest cells (cell memberships, hence Lloyd
+  // means, visibly diverge from the flat computation). That is the
   // routing-level mirror of the r1(k) decay the quantizer ladder
   // compensates (same geometry: a cosine-0.4 neighborhood straddles
   // ever more Voronoi boundaries, whether of cells or of
   // super-cells), and it is why this form is the ESCAPE TIER, not the
-  // default: covering would need w ≈ g on this corpus, surrendering
-  // the flop savings — on clustered real corpora routing prunes
-  // properly (the same corpora where the ladder's q stays flat). The
-  // spec pins the machinery's invariants (valid ids, rank bounds,
-  // measured match-rate floor vs flat); the fused tier carries the
-  // bit-equality contract at every driver-reachable scale.
+  // default: exact covering would need w = g on this corpus,
+  // surrendering the flop savings — on clustered real corpora routing
+  // prunes properly (the same corpora where the ladder's q stays
+  // flat). Round 13 closes the recall contract on this tier: the
+  // per-quantizer RETENTION through w = g/2 routing is measured
+  // (0.952/0.957 at k = 382/1273 — see [[hierSuperProbe]]) and the
+  // tier compounds its OWN quantizer ladder [[pairQuantizersHier]]
+  // fitted on r1·retention, so end recall holds the same ≥ 0.85 floor
+  // as the fused tier: 0.884 measured at the 30k fixture (fused:
+  // 0.897), spec-pinned forced-hier by `CoarseAssignSpec`; 200k
+  // forced-hier re-swept in RECALL_SWEEP_r13.json. The spec also pins
+  // the machinery's invariants (valid ids, rank bounds, subset
+  // exactness of every emitted pair); the fused tier alone carries
+  // the bit-equality contract, at every driver-reachable scale.
 
-  /** Routing width: how many super groups each vector scans — g/4
-    * (floor 4) trades ~4× fewer dots for the measured match-rate
-    * floor `CoarseAssignSpec` pins; raise toward g to push exactness
-    * at the flop savings' expense. */
-  private[graft] def hierSuperProbe(g: Int): Int = math.max(4, (g + 3) / 4)
+  /** Routing width: how many super groups each vector scans — g/2
+    * (floor 4). Round 13 measurement (RecallProbe --sweep, q = 1
+    * forced-hier vs flat, exhaustive truth): per-quantizer recall
+    * RETENTION through the routing is a function of w/g alone, stable
+    * across k — r1_hier/r1_flat = 0.894/0.899 at w = g/4 (k = 382 /
+    * 1273) and 0.952/0.957 at w = g/2; w = g reproduces the flat
+    * computation bit-exactly (sanity-pinned). g/2 halves the scan
+    * flops vs flat while keeping retention ≥ [[HierRetention]], which
+    * the hier quantizer ladder ([[pairQuantizersHier]]) compensates
+    * with ~5% more quantizers — cheaper end-to-end than g/4's ~11%
+    * extra quantizers, because candidate volume (the dominant cost at
+    * scale) is linear in the quantizer count while scan flops are not
+    * the bottleneck. */
+  private[graft] def hierSuperProbe(g: Int): Int = math.max(4, (g + 1) / 2)
+
+  /** Measured per-quantizer recall retention of g/2-width two-level
+    * routing vs the flat scan (see [[hierSuperProbe]]): 0.952 at
+    * k = 382, 0.957 at k = 1273; 0.95 is the conservative floor the
+    * hier ladder compensates for. */
+  private[graft] val HierRetention = 0.95
+
+  /** Quantizer-count ladder of the HIER escape tier: same compounding
+    * contract as [[pairQuantizersScaled]] (least q with
+    * 1−(1−r1)^q ≥ 0.88) but with the per-quantizer recall measured
+    * THROUGH the two-level routing: r1_hier(k) = [[HierRetention]] ·
+    * 0.335·(128/k)^0.449. Costs ~5% more quantizers than the flat
+    * ladder (q = 7/10/18 at k = 191/382/1273 vs 7/9/17 flat) — the
+    * price of never centralizing a k-sized matrix. No oracle mirrors
+    * this tier (it engages only past [[FusedCollectKnee]], beyond any
+    * driver-reachable scale — see the q34 scaladoc's tier scoping), so
+    * the count is computed directly rather than as a pre-folded integer
+    * CASE; it is still a pure deterministic function of k. Cap 48:
+    * the 0.88 contract holds through k ≈ 5,100 (the flat ladder's own
+    * saturation point, n ≈ 800k on one node) and on to k ≈ 11,000;
+    * past that a cluster raises the cap, same posture as the flat
+    * ladder's documented boundary. */
+  private[graft] def pairQuantizersHier(k: Int): Int = {
+    val r1 = HierRetention * 0.335 * math.pow(128.0 / k, 0.449)
+    math.min(48, math.ceil(math.log(0.12) / math.log(1.0 - r1)).toInt)
+  }
 
   /** One Lloyd round over the POINTS to learn the super level: sampled
     * points seed it, each point assigns to its nearest seed, supers are
@@ -995,7 +1065,7 @@ object SimilarityOps {
     * super seeds instead of scoring all k — same exact 56-bit
     * floor-split mean over the (bit-equal, spec-pinned) assignment. */
   private[graft] def learnedCentroidsHierPlan(s: SparkSession, d: String,
-      seedLo: Int, seedHi: Int): DataFrame = {
+      seedLo: Int, seedHi: Int, wOverride: Int = 0): DataFrame = {
     val k = seedHi - seedLo
     val e = embVecs(s, d)
     val seeds = e.filter(col("vec_id") >= seedLo && col("vec_id") < seedHi)
@@ -1005,27 +1075,31 @@ object SimilarityOps {
       seedLo.toLong, k)
     val g = sup._1.length
     val asn1 = hierAssign(e, hierGroups(seeds, sup), sup, 1,
-      hierSuperProbe(g))
+      if (wOverride > 0) wOverride else hierSuperProbe(g))
     floorSplitMean(asn1.select(col("c_id"), col("embedding")), "c_id")
   }
 
   private def learnedCentroidsHier(s: SparkSession, d: String,
-      seedLo: Int, seedHi: Int): DataFrame =
-    graft.SessionCache.checkpoint(s"ivfCentroidsHier${seedLo}_$seedHi", s, d)(
-      learnedCentroidsHierPlan(s, d, seedLo, seedHi))
+      seedLo: Int, seedHi: Int, wOverride: Int = 0): DataFrame =
+    graft.SessionCache.checkpoint(
+      s"ivfCentroidsHier${seedLo}_$seedHi" +
+        (if (wOverride > 0) s"_w$wOverride" else ""), s, d)(
+      learnedCentroidsHierPlan(s, d, seedLo, seedHi, wOverride))
 
   /** The full two-level assignment of the corpus against one
     * quantizer's learned cells: supers sampled FROM the learned
     * centroids (√k-row collect), cells grouped under them
     * (distributed), vectors routed and scanned per group. */
   private[graft] def hierCellAssign(s: SparkSession, d: String,
-      seedLo: Int, seedHi: Int, np: Int): DataFrame = {
-    val cents = learnedCentroidsHier(s, d, seedLo, seedHi)
-    val sup = hierLearnedSupers(s, d, s"hiercent${seedLo}_$seedHi", cents,
+      seedLo: Int, seedHi: Int, np: Int, wOverride: Int = 0): DataFrame = {
+    val cents = learnedCentroidsHier(s, d, seedLo, seedHi, wOverride)
+    val sup = hierLearnedSupers(s, d,
+      s"hiercent${seedLo}_$seedHi" +
+        (if (wOverride > 0) s"_w$wOverride" else ""), cents,
       seedLo.toLong, seedHi - seedLo)
     val g = sup._1.length
     hierAssign(embVecs(s, d), hierGroups(cents, sup), sup, np,
-      hierSuperProbe(g))
+      if (wOverride > 0) wOverride else hierSuperProbe(g))
   }
 
   /** The learned centroids of a seed range, DRIVER-COLLECTED once per
@@ -1930,11 +2004,21 @@ object SimilarityOps {
   private def stageEmbeddingsStream(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(d, "embeddings.parquet")
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_emb_stream",
-      Paths.get(d).getFileName.toString)
-    val fp = dir.resolve("_fingerprint")
     val want =
       s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
+    // keyed by MD5 of the ABSOLUTE path (the ScaleOps staging scheme) —
+    // basename-only keying collides two corpora named alike (.../a/sf1
+    // vs .../b/sf1): at best perpetual re-staging, at worst one JVM's
+    // rmTree deletes files another run's active file-stream is reading.
+    // The fingerprint stays a file check (not part of the key) so an
+    // in-place regeneration restages in the SAME dir instead of
+    // leaking the superseded tree
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.toAbsolutePath.toString.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_emb_stream",
+      s"${Paths.get(d).getFileName.toString}_$h")
+    val fp = dir.resolve("_fingerprint")
     val have =
       if (Files.exists(fp)) new String(Files.readAllBytes(fp), "UTF-8")
       else ""
@@ -1980,7 +2064,7 @@ object SimilarityOps {
       .option("maxFilesPerTrigger", "1").parquet(dataDir)
     val q = stream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
           .withColumn("nr", nrm(col("embedding")))
           .crossJoin(broadcast(cents))
@@ -2003,7 +2087,13 @@ object SimilarityOps {
               .as("bs"),
             sum(when(col("is_delta") === 1, col("cos_micro")).otherwise(0L))
               .as("ds"))
-          .write.mode("append").parquet(logDir)
+          // batchId-keyed subdirectory + overwrite = IDEMPOTENT per
+          // batch: foreachBatch is at-least-once, and a replayed
+          // micro-batch appended twice would silently corrupt the
+          // additive rollup; overwriting its own partition is a no-op
+          // on replay (and the batch= layout reads back as one
+          // partitioned log)
+          .write.mode("overwrite").parquet(s"$logDir/batch=$batchId")
         (): Unit
       }
       .start()

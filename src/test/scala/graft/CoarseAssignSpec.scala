@@ -61,6 +61,28 @@ class CoarseAssignSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("hierarchical tier at full routing width (w >= g) reproduces " +
+      "the flat computation row for row — the approximation is the " +
+      "width, nothing else") {
+    // at k = 191 the hier ladder and the flat ladder agree (q = 7), so
+    // with every super group scanned the two-level argmax, the Lloyd
+    // means, and hence the emitted pairs must be IDENTICAL to the
+    // flat-forced twin; this pins that the g/2 default's recall loss
+    // comes from routing width alone (the quantity HierRetention
+    // measures), not from a defect in the two-level machinery
+    val dir = fixture
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wide = rows(SimilarityOps.embedNearPairsPerCellAsym(spark, dir,
+      hierOverride = true, hierWOverride = 30000))
+    val flat = rows(
+      SimilarityOps.embedNearPairsPerCellAsym(spark, dir, flatOverride = true))
+    assert(wide == flat,
+      s"wide-hier=${wide.size} rows, flat=${flat.size} rows; first diffs: " +
+        s"${wide.diff(flat).take(3)} / ${flat.diff(wide).take(3)}")
+    assert(wide.nonEmpty)
+  }
+
   test("hierarchical escape tier: well-formed assignment, subset " +
       "exactness of its pairs, and end recall above the measured floor") {
     val dir = fixture
@@ -77,8 +99,11 @@ class CoarseAssignSpec extends AnyFunSuite {
     }
     // the tier's CONTRACT is end recall, not assignment identity: its
     // routing is measurably approximate on structure-free data (the
-    // scaladoc's numbers), but every emitted pair is exact-verified, so
-    // what must hold is subset-of-truth plus a recall floor
+    // scaladoc's numbers), but every emitted pair is exact-verified,
+    // and the hier quantizer ladder (fitted on r1 x the measured g/2
+    // routing retention) compounds end recall back over the SAME 0.85
+    // floor the fused tier pins — 0.884 measured here in round 13
+    // (g/4 + flat ladder gave 0.869, below the floor)
     def keyed(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val hier = keyed(SimilarityOps
@@ -91,7 +116,7 @@ class CoarseAssignSpec extends AnyFunSuite {
     val recall = hier.size.toDouble / exact.size
     info(f"hier escape-tier recall at 30k: ${hier.size}/${exact.size} = " +
       f"$recall%.3f (fused/flat tier: 0.897)")
-    assert(recall >= 0.75,
-      f"hier escape-tier recall $recall%.3f below the measured floor")
+    assert(recall >= 0.85,
+      f"hier escape-tier recall $recall%.3f below the 0.85 contract floor")
   }
 }
