@@ -1186,7 +1186,9 @@ object TextOps {
     // levenshtein kills 73% — so verify MUST run before the distinct in
     // either regime, and the broadcast regime verifies map-side)
     val (custRows, nameBytes) = {
-      val r = cust.agg(count(lit(1)), sum(length(name)).cast("long")).first()
+      // coalesce: sum() is NULL on an empty table and getLong would NPE
+      val r = cust.agg(count(lit(1)),
+        coalesce(sum(length(name)), lit(0L)).cast("long")).first()
       (r.getLong(0), r.getLong(1))
     }
     val verified =

@@ -265,6 +265,22 @@ object StreamingOps {
     * batch side of the same session keeps its own width. */
   private val StreamStatePartitions = 4
 
+  /** Feed-scaled state width for the stateful drains whose state (or
+    * single-micro-batch pass) is FEED-sized: one state-store instance
+    * per shuffle partition costs fixed open/commit/snapshot overhead,
+    * so small state wants few partitions (floor 4 — the measured
+    * bench-scale optimum), while a feed-sized pass serializes through
+    * too-few threads (q73's 4×2.5M rows = 57.6 s at sf10). Width =
+    * feedRows / rowsPerPartition, floored at 4, capped at the
+    * session's cores — and on a real cluster `defaultParallelism` IS
+    * the scale-out: 100× the feed with 100× the executors keeps
+    * rows-per-partition (hence per-task state-store size) constant.
+    * `rowsPerPartition` is the per-query measured crossover (~1M for
+    * q67's session rows, ~500k for q73's automaton pass). */
+  private[graft] def feedScaledStateWidth(feedRows: Long,
+      rowsPerPartition: Long, cores: Int): Int =
+    math.max(4L, math.min(cores.toLong, feedRows / rowsPerPartition)).toInt
+
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append,
       statePartitions: Int = StreamStatePartitions): DrainResult = {
@@ -498,8 +514,8 @@ object StreamingOps {
     // big micro-batch serialize through those 4 threads; ~1M state rows
     // per partition is the re-measured crossover, floor 4, cap cores).
     val feedRows = graft.sources.Tables.events(s, d).count()
-    val width = math.max(4L, math.min(
-      s.sparkContext.defaultParallelism.toLong, feedRows / 1000000L)).toInt
+    val width = feedScaledStateWidth(feedRows, 1000000L,
+      s.sparkContext.defaultParallelism)
     val drained = runToParquet(
       sessionCounts(eventStream(s, stageEventsWithSentinels(s, d),
         oneFilePerBatch = true)),
@@ -636,8 +652,8 @@ object StreamingOps {
     // Emission per user is a closed-form function of its final total
     // (see thresholdAlertsCents), so partitioning never changes results.
     val feedRows = graft.sources.Tables.events(s, d).count()
-    val width = math.max(4L, math.min(
-      s.sparkContext.defaultParallelism.toLong, feedRows / 500000L)).toInt
+    val width = feedScaledStateWidth(feedRows, 500000L,
+      s.sparkContext.defaultParallelism)
     // alert OUTPUT is feed-sized (~1 alert/event at the bench feeds:
     // 9.9M rows at sf10), so drain distributed like q67 — the memory
     // sink hauled the whole alert set through the driver twice

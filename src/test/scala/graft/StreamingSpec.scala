@@ -248,4 +248,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(drained.maxStateRows <= nTypes,
       s"state ${drained.maxStateRows} rows exceeds key count $nTypes")
   }
+
+  test("feed-scaled state width: floor 4 at bench feeds, widens " +
+      "linearly with the feed, caps at the session's cores (the " +
+      "scale-out knob — see COVERAGE.md §2.H state posture)") {
+    import StreamingOps.feedScaledStateWidth
+    // bench-scale feeds sit on the measured floor (per-task state-store
+    // open/commit overhead beats parallelism below the crossover)
+    assert(feedScaledStateWidth(100000L, 1000000L, 32) == 4)
+    assert(feedScaledStateWidth(955000L, 1000000L, 32) == 4)
+    // a synthetic 10x feed (sf10's 10M events) widens to 10 partitions
+    // at q67's 1M-rows/partition crossover, 20 at q73's 500k
+    assert(feedScaledStateWidth(10000000L, 1000000L, 32) == 10)
+    assert(feedScaledStateWidth(10000000L, 500000L, 32) == 20)
+    // 100x the feed on the same box saturates the cores; on a cluster
+    // defaultParallelism grows with the executors and the cap lifts,
+    // holding rows-per-partition (per-task state size) constant
+    assert(feedScaledStateWidth(100000000L, 1000000L, 32) == 32)
+    assert(feedScaledStateWidth(100000000L, 1000000L, 1000) == 100)
+    assert(feedScaledStateWidth(1000000000L, 1000000L, 1000) == 1000)
+  }
 }
