@@ -34,3 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // checkpoint blocks in one JVM).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+
+// Evidence hygiene: a full `sbt test` starts from an empty
+// target/test-reports so the XML set always tallies exactly the suites
+// of the tree under test — a deleted suite's stale (possibly failing)
+// report otherwise lingers and mis-tallies the run. `testOnly` keeps
+// its incremental per-suite reports.
+Test / test := (Test / test)
+  .dependsOn(Def.task { IO.delete(target.value / "test-reports") })
+  .value
