@@ -107,4 +107,31 @@ class PackingSpec extends AnyFunSuite {
       assert(alt == reg, s"segment layout diverges at blockDocs=$b")
     }
   }
+
+  test("q127 incremental packing equals the full repack restricted to " +
+      "the appended docs — row for row, including the boundary " +
+      "sequence's composed seg_ids — at several block sizes") {
+    import org.apache.spark.sql.functions._
+    val cutoff = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max(col("doc_id"))).collect()(0).getLong(0) * 9L / 10L
+    val full = SparkEntry.queries("q125_pack_segments")(spark, sf)
+      .filter(col("doc_id") > cutoff)
+      .collect().map(_.toSeq).toSeq
+    assert(full.nonEmpty, "degenerate fixture: no appended docs")
+    val inc = SparkEntry.queries("q127_pack_incremental")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full,
+      s"incremental (${inc.size} rows) diverges from full-repack " +
+        s"restriction (${full.size} rows)")
+    // the composed-rank path is actually exercised: some delta segment
+    // continues a base sequence (seg_id > 0 in its boundary sequence)
+    assert(inc.exists(r => r(2).asInstanceOf[Int] > 0),
+      "fixture never lands a delta doc mid-sequence — boundary " +
+        "composition untested")
+    for (b <- Seq(1L, 7L, 1000000L)) {
+      val alt = TextOps.packIncrementalPlan(spark, sf, b)
+        .collect().map(_.toSeq).toSeq
+      assert(alt == inc, s"incremental layout diverges at blockDocs=$b")
+    }
+  }
 }

@@ -196,6 +196,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sequence()+explode boundary split missing\n$plan")
   }
 
+  test("q127 incremental packing: blocked offsets on BOTH the base-state " +
+      "and delta branches, state joins back as broadcasts, and the " +
+      "seg_id window stays on the fine-grained (source, seq_id) key") {
+    val plan = finalPlan(SparkEntry.queries("q127_pack_incremental")(spark, sf))
+    assert("windowspecdefinition\\(source#\\d+, blk#\\d+L?, doc_id".r
+        .findFirstIn(plan).isDefined,
+      s"blocked (source, blk, doc_id) offset window missing\n$plan")
+    // the per-source corpus window must not re-form on either branch
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r
+        .findFirstIn(plan).isEmpty,
+      s"per-source corpus window is back\n$plan")
+    assert("windowspecdefinition\\(source#\\d+, seq_id#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"(source, seq_id) segment window missing\n$plan")
+    // block offsets AND the per-source (T, C) state both come back as
+    // broadcasts — the delta must never shuffle against base-sized data
+    assert(plan.contains("BroadcastHashJoin"),
+      "broadcast joins missing (block offsets / base state)")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-wide sort-merge join in the incremental plan")
+    assert(plan.toLowerCase.contains("generate"),
+      s"sequence()+explode boundary split missing\n$plan")
+  }
+
   test("q64 LM scoring probes the corpus with a broadcast cost table — " +
       "no corpus-side sort-merge join") {
     val plan = finalPlan(SparkEntry.queries("q64_unigram_logprob")(spark, sf))
