@@ -242,15 +242,35 @@ object TextOps {
     *    mod-4 half-waves, exactly as designed; 12 plans past the
     *    retry).
     *
-    * Consequence the first derivation missed: once F dominates, MORE
-    * waves do NOT reduce peak scratch — each extra wave re-pays F and
-    * a reclamation wait — so the derived count is the MINIMUM W whose
-    * predicted peak fits the live headroom, floor 2 (a corpus past
-    * [[PairDiskKnee]] is by definition too big for one job). If even
-    * F exceeds the headroom the disk is simply too small for this
-    * corpus single-node; the ENOSPC retry-split still degrades
-    * gracefully (and on a cluster the knee never fires — aggregate
-    * shuffle disk grows with executors). */
+    * The disk bound gives the MINIMUM W whose predicted peak fits the
+    * live headroom, floor 2 (a corpus past [[PairDiskKnee]] is by
+    * definition too big for one job). If even F exceeds the headroom
+    * the disk is simply too small for this corpus single-node; the
+    * ENOSPC retry-split still degrades gracefully (and on a cluster
+    * the knee never fires — aggregate shuffle disk grows with
+    * executors).
+    *
+    * ROUND-13 CORRECTION — the wave count is no longer the disk-bound
+    * minimum. Round 12 reasoned "once F dominates, more waves don't
+    * reduce peak, so minimize the count"; a same-session, same-HEAD
+    * forced-wave A/B at sf10 falsified BOTH halves for containment:
+    * walls 1727.8 / 1403.9 / 980.8 / 716.0 / 728.0 s at
+    * w = 7/10/14/20/28 (identical 25,600 output rows), peaks FALLING
+    * 45 → 30 → 19 → 12 GB — the "fixed" F the telemetry re-solves is
+    * itself superlinear in wave size (per-wave wall tracks (pv/w)²
+    * until the per-wave working set fits execution memory, then goes
+    * flat), so minimizing the count maximized the spill penalty. The
+    * same A/B on jaccard measured the OPPOSITE: 1405 s at w = 4 (r12)
+    * vs 2120.9 s at w = 13 — its per-wave fixed cost is ~143 s (vs
+    * containment's ~16 s; fitting wall(w) = a·w + c/w to the measured
+    * points puts jaccard's optimum at w ≈ 5, right where the old
+    * objective landed, and containment's at w ≈ 22). Hence
+    * [[pairWaves]] now takes a PER-FAMILY throughput target
+    * ([[JaccardWaveTargetBytes]], [[ContainmentWaveTargetBytes]] —
+    * planner-bytes per wave calibrated so pv·bpp/target lands each
+    * family at its measured optimum at sf10) and returns
+    * max(disk-bound W, min([[PairWaveCountCap]], throughput W)): the
+    * disk constraint is a hard BOUND, no longer the objective. */
   private[graft] val PairSpillFixedBytes = 50L << 30
   private[graft] val PairSpillBytesPerPair = 12L
   private[graft] val PairScratchMargin = 12L << 30
@@ -265,12 +285,29 @@ object TextOps {
     * corrects residual error from live measurements either way. */
   private[graft] val ContainmentSpillBytesPerPair = 24L
 
+  /** Per-family throughput targets (planner-bytes pv·bpp per wave) and
+    * the wave-count cap — the round-13 calibration (see the objective
+    * scaladoc above): at the sf10 A/B, containment's pv·bpp ≈ 120 GB
+    * and its measured optimum w ≈ 20-22 give ~6 GB/wave; jaccard's
+    * ≈ 60 GB at optimum w ≈ 4-5 give ~12 GB/wave (its per-wave fixed
+    * cost is ~9× containment's). The cap guards the per-wave fixed
+    * costs when pv grows 100×: past it the disk bound (and, on a
+    * cluster, the never-firing knee) governs. */
+  private[graft] val JaccardWaveTargetBytes = 12L << 30
+  private[graft] val ContainmentWaveTargetBytes = 6L << 30
+  private[graft] val PairWaveCountCap = 64L
+
   private[graft] def pairWaves(pv: Long,
-      bytesPerPair: Long = PairSpillBytesPerPair): Int = {
-    val usable = new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace
+      bytesPerPair: Long = PairSpillBytesPerPair,
+      waveTargetBytes: Long = JaccardWaveTargetBytes,
+      usableSpace: () => Long = () =>
+        new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace): Int = {
     val headroom = math.max(4L << 30,
-      usable - PairScratchMargin - PairSpillFixedBytes)
-    math.max(2L, (pv * bytesPerPair + headroom - 1) / headroom).toInt
+      usableSpace() - PairScratchMargin - PairSpillFixedBytes)
+    val wDisk = math.max(2L, (pv * bytesPerPair + headroom - 1) / headroom)
+    val wWall =
+      (pv * bytesPerPair + waveTargetBytes - 1) / waveTargetBytes
+    math.max(wDisk, math.min(PairWaveCountCap, wWall)).toInt
   }
 
   /** Lowest-level disk telemetry for the wave tier: samples the tmp
@@ -1906,7 +1943,8 @@ object TextOps {
     val pv = pairVolume(s, d)
     val w =
       if (wavesOverride > 0) wavesOverride
-      else pairWaves(pv, ContainmentSpillBytesPerPair)
+      else pairWaves(pv, ContainmentSpillBytesPerPair,
+        ContainmentWaveTargetBytes)
     stagedPairScan(s, d, "containment", w, pv,
         bytesPerPair = ContainmentSpillBytesPerPair)((i, wi) =>
         containmentPrefixVerified(s, d, Some((i, wi))))

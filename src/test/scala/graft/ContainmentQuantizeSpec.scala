@@ -118,6 +118,38 @@ class ContainmentQuantizeSpec extends AnyFunSuite {
       rows(graft.operators.TextOps.jaccardCountPath(spark, sf001)))
   }
 
+  test("wave-count objective: per-family throughput target picks the " +
+      "measured optimum, disk stays a hard bound, cap guards the fixed " +
+      "costs") {
+    // the round-13 sf10 A/B numbers, as arithmetic: containment's
+    // pv*bpp ~ 120 GB at 6 GB/wave -> w = 20 when disk allows;
+    // jaccard's ~ 60 GB at 12 GB/wave -> w = 5. Disk-bound minimum
+    // still wins when scratch is tight; the cap bounds a 100x pv.
+    val gb = 1L << 30
+    val pvC = 5L * gb // 5e9 pairs; * 24 B/pair = 120 GB planner volume
+    val roomy = () => 200L * gb // headroom 138 GB -> wDisk = 2
+    assert(TextOps.pairWaves(pvC, TextOps.ContainmentSpillBytesPerPair,
+      TextOps.ContainmentWaveTargetBytes, roomy) == 20)
+    assert(TextOps.pairWaves(pvC, TextOps.PairSpillBytesPerPair,
+      TextOps.JaccardWaveTargetBytes, roomy) == 5)
+    // tight disk: headroom = max(4GB floor, ...) = 4 GB -> the
+    // disk-bound minimum ceil(120/4) = 30 EXCEEDS the throughput 20
+    // and must win (hard bound, not objective)
+    val tight = () => 63L * gb
+    assert(TextOps.pairWaves(pvC, TextOps.ContainmentSpillBytesPerPair,
+      TextOps.ContainmentWaveTargetBytes, tight) == 30)
+    // 100x the pair volume: throughput W would be 2000, the cap holds
+    // it at 64 (disk-bound minimum 87 still overrides the cap - the
+    // bound is never relaxed)
+    assert(TextOps.pairWaves(100L * pvC,
+      TextOps.ContainmentSpillBytesPerPair,
+      TextOps.ContainmentWaveTargetBytes, roomy) == 87)
+    assert(TextOps.pairWaves(32L * pvC,
+      TextOps.ContainmentSpillBytesPerPair,
+      TextOps.ContainmentWaveTargetBytes,
+      () => 4000L * gb) == 64)
+  }
+
   test("q55 reports size-mismatched pairs that symmetric Jaccard scores " +
       "strictly lower (containment > jaccard whenever |A| != |B|)") {
     val sizes: Map[Long, Int] = TextOps.shingleIndexPlan(spark, sf)
