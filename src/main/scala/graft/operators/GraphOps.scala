@@ -107,9 +107,12 @@ object GraphOps {
       val ns = pin(nodes(e))
       val n = ns.count()
       if (!edgesDistinct) e.unpersist()
+      // same automatic escape as the quantized twin: past the node knee
+      // the per-iteration broadcasts fall back to AQE-chosen joins
+      val bcast = broadcastRanks && n <= PageRankBroadcastNodeKnee
       var ranks = ns.withColumn("rank", lit(1.0 / n))
       for (i <- 1 to iters) {
-        ranks = pageRankStep(eDeg, ns, ranks, damping, n, broadcastRanks)
+        ranks = pageRankStep(eDeg, ns, ranks, damping, n, bcast)
         // checkpoint every 3rd iteration and the last, keeping the number
         // of eager materialization jobs low. A mid-run pin within 2
         // iterations of the end is skipped because the final pin covers
@@ -231,6 +234,16 @@ object GraphOps {
     * leaving six orders of headroom; a corpus with more than ~1e12 nodes
     * would raise S (and the state width) together.
     */
+  /** Node count above which the per-iteration rank/contrib broadcasts
+    * stop being the right plan: a broadcast hash relation costs ~50 B
+    * per (long, long) row, so 20M nodes ≈ 1 GB built on the driver and
+    * re-shipped EVERY iteration — past that the iteration must fall
+    * back to AQE-chosen shuffled joins (node-hash-partitioned on both
+    * sides, the standard distributed PageRank shape). 1.5M nodes at
+    * sf10 measures 4.1×/decade with broadcasts pinned; the knee is the
+    * automatic escape the 100× story needs, not a bench-scale tune. */
+  private[graft] val PageRankBroadcastNodeKnee = 20000000L
+
   private[graft] def pageRankQuantized(edges: DataFrame, iters: Int = 4,
       scale: Long = 1000000000000L,
       broadcastRanks: Boolean = true): DataFrame = {
@@ -239,10 +252,11 @@ object GraphOps {
     val eDeg = e.join(outDeg, "src").localCheckpoint()
     val ns = nodes(e).localCheckpoint()
     val n = ns.count()
+    val bcast = broadcastRanks && n <= PageRankBroadcastNodeKnee
     val teleportQ = (scale - scale * 85L / 100L) / n // 0.15·S div n, exact
     var ranks = ns.withColumn("rq", lit(scale / n))
     for (i <- 1 to iters) {
-      ranks = pageRankQuantizedStep(eDeg, ns, ranks, teleportQ, broadcastRanks)
+      ranks = pageRankQuantizedStep(eDeg, ns, ranks, teleportQ, bcast)
       // same cadence as the float loop: a mid-run pin within 2
       // iterations of the final pin is pure waste (superseded at once)
       if (i == iters || (i % 3 == 0 && iters - i >= 3))

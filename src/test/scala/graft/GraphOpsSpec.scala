@@ -180,4 +180,24 @@ class GraphOpsSpec extends AnyFunSuite {
     val ns = GraphOps.nodes(edges).collect().map(_.getString(0)).sorted
     assert(ns.toSeq == Seq("a", "b", "c"))
   }
+
+  test("quantized PageRank is join-strategy independent: the past-knee " +
+      "shuffled-join fallback walks the identical BIGINT trajectory as " +
+      "the broadcast path") {
+    // the automatic PageRankBroadcastNodeKnee switches plans, never
+    // results: integer sums are associative and exact under any
+    // partitioning, so the knee firing at 100x node counts cannot move
+    // a hash-verified answer — pinned here by forcing the fallback on
+    // the same edges
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L,
+        2L -> 4L, 4L -> 3L)
+      .toDF("src", "dst")
+    def ranks(bcast: Boolean) =
+      GraphOps.pageRankQuantized(edges, iters = 4, broadcastRanks = bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ranks(true) == ranks(false))
+    assert(GraphOps.PageRankBroadcastNodeKnee > 1000000L,
+      "knee must sit above every bench-scale node count (plans there " +
+        "are pinned broadcast by PlanAuditSpec)")
+  }
 }
