@@ -29,16 +29,13 @@ object WaveProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import java.nio.file.{Files, Paths}
-    // the staged artifact is keyed by MD5(abs dir | family name) — the
-    // same derivation stagedPairScan uses; clearing it forces a full
-    // restage so each A/B leg pays the whole staging cost
-    def clearStaged(): Unit = {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${Paths.get(d).toAbsolutePath}|$family".getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString
-      graft.Fs.rmTree(
-        Paths.get(sys.props("java.io.tmpdir"), "graft_pairscan", key))
-    }
+    // clearing the staged artifact forces a full restage so each A/B
+    // leg pays the whole staging cost; the location is resolved through
+    // TextOps.stagedArtifactDir — the same code stagedPairScan uses —
+    // so a key-scheme change there can never leave this probe deleting
+    // a stale path and measuring warm restages
+    def clearStaged(): Unit =
+      graft.Fs.rmTree(graft.operators.TextOps.stagedArtifactDir(d, family))
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
     def gcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans

@@ -78,6 +78,15 @@ object GraphOps {
     * dies with an executor — fine on local mode; on a real cluster pass
     * `checkpointDir=Some(hdfsPath)` to use reliable `checkpoint()`
     * (identical results, pinned by `GraphOpsSpec`).
+    *
+    * FLOAT CAVEAT at the node knee: past [[PageRankBroadcastNodeKnee]]
+    * this float form falls back to AQE-chosen shuffled joins, and
+    * double-precision sums are not associative — the plan switch may
+    * perturb low-order rank bits (unlike [[pageRankQuantized]], whose
+    * BIGINT trajectory is spec-pinned identical across join
+    * strategies). Hash-verified callers must use `pageRankQuantized`;
+    * this form is for rankings/demos where ulp-level drift is
+    * immaterial.
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
       broadcastRanks: Boolean = true,

@@ -981,7 +981,20 @@ object SimilarityOps {
     * ladder's documented boundary. */
   private[graft] def pairQuantizersHier(k: Int): Int = {
     val r1 = HierRetention * 0.335 * math.pow(128.0 / k, 0.449)
-    math.min(48, math.ceil(math.log(0.12) / math.log(1.0 - r1)).toInt)
+    val wanted = math.ceil(math.log(0.12) / math.log(1.0 - r1)).toInt
+    if (wanted > 48) {
+      // past k ≈ 11,000 the cap binds and the 0.88 compounding contract
+      // silently degrades unless named — same loud-contract-change
+      // posture as the fused→hier knee crossing
+      val achievable = 1.0 - math.pow(1.0 - r1, 48)
+      logger.warn(
+        f"q34 hier quantizer ladder: the 0.88 recall contract needs " +
+          f"q=$wanted quantizers at k=$k but the single-node cap is 48 — " +
+          f"compounded recall degrades to ~$achievable%.3f. A cluster " +
+          "deployment should raise the cap (same boundary as the flat " +
+          "ladder's documented k ≈ 5,100 saturation).")
+    }
+    math.min(48, wanted)
   }
 
   /** One Lloyd round over the POINTS to learn the super level: sampled

@@ -366,6 +366,21 @@ object TextOps {
     * planning constants stay auditable against live measurements.
     * `usableSpace` is injectable so a spec can fake a shrinking disk
     * and pin the preemptive revision without filling a real one. */
+  /** The ONE derivation of the staged-pair artifact's on-disk location
+    * for (dir, family): MD5(abs dir | family), first 8 hex bytes, under
+    * tmpdir/graft_pairscan. Both [[stagedPairScan]] (create/reuse) and
+    * `WaveProbe.clearStaged` (delete, to force a cold restage per A/B
+    * leg) resolve through here, so a key-scheme change can never
+    * silently desynchronize the probe from the engine — a stale probe
+    * key would make every leg after the first measure a warm restage,
+    * corrupting the exact evidence the tool exists to gather. */
+  private[graft] def stagedArtifactDir(d: String, name: String): java.nio.file.Path = {
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${java.nio.file.Paths.get(d).toAbsolutePath}|$name".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_pairscan", pathKey)
+  }
+
   private[graft] def stagedPairScan(s: SparkSession, d: String, name: String,
       waves: Int, pairRows: Long = 0L,
       bytesPerPair: Long = PairSpillBytesPerPair,
@@ -383,10 +398,7 @@ object TextOps {
     // restaged 25 minutes of work it had just written)
     val fp = s"$name|${Files.size(src)}|" +
       s"${Files.getLastModifiedTime(src).toMillis}"
-    val pathKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${Paths.get(d).toAbsolutePath}|$name".getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_pairscan", pathKey)
+    val dir = stagedArtifactDir(d, name)
     val marker = dir.resolve("_staged")
     val data = dir.resolve("data")
     val fresh = Files.exists(marker) &&

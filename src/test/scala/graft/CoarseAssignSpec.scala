@@ -119,4 +119,21 @@ class CoarseAssignSpec extends AnyFunSuite {
     assert(recall >= 0.85,
       f"hier escape-tier recall $recall%.3f below the 0.85 contract floor")
   }
+
+  test("hier quantizer ladder: monotone, contract-sized below the cap, capped at 48 past k~11k") {
+    // below the cap the ladder satisfies its own compounding contract
+    // 1-(1-r1)^q >= 0.88 with the minimal q
+    for (k <- Seq(128, 191, 382, 1273, 5100, 10000)) {
+      val q = SimilarityOps.pairQuantizersHier(k)
+      val r1 = SimilarityOps.HierRetention * 0.335 * math.pow(128.0 / k, 0.449)
+      assert(q < 48, s"cap unexpectedly binding at k=$k")
+      assert(1.0 - math.pow(1.0 - r1, q) >= 0.88, s"contract unmet at k=$k (q=$q)")
+      assert(q == 1 || 1.0 - math.pow(1.0 - r1, q - 1) < 0.88,
+        s"q=$q not minimal at k=$k")
+    }
+    // past ~11k the single-node cap binds (and pairQuantizersHier logs
+    // the achievable compounded recall — a named, not silent, degradation)
+    assert(SimilarityOps.pairQuantizersHier(12000) == 48)
+    assert(SimilarityOps.pairQuantizersHier(50000) == 48)
+  }
 }
