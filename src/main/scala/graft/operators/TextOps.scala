@@ -286,25 +286,67 @@ object TextOps {
   private[graft] val ContainmentSpillBytesPerPair = 24L
 
   /** Per-family throughput targets (planner-bytes pv·bpp per wave) and
-    * the wave-count cap — the round-13 calibration (see the objective
-    * scaladoc above): at the sf10 A/B, containment's pv·bpp ≈ 120 GB
-    * and its measured optimum w ≈ 20-22 give ~6 GB/wave; jaccard's
-    * ≈ 60 GB at optimum w ≈ 4-5 give ~12 GB/wave (its per-wave fixed
-    * cost is ~9× containment's). The cap guards the per-wave fixed
-    * costs when pv grows 100×: past it the disk bound (and, on a
-    * cluster, the never-firing knee) governs. */
+    * the wave-count cap — calibrated round 13, CORRECTED round 14: the
+    * sf10 corpus's live planner volume is pv ≈ 3.7e9 pairs, so
+    * containment's pv·bpp = 3.7e9·24 ≈ 88.8 GB (the r13 comment's
+    * "≈ 120 GB" mis-multiplied) — landing the measured optimum
+    * w ≈ 20-22 needs ~4 GiB/wave, not 6 (at 6 GiB the planner chose
+    * w = 14, a leg the A/B measured at 980.8 s vs 716.0 at w = 20; the
+    * r13-committed planner only hit ~21 waves by accident, via the
+    * stale 50 GiB frozen prior inflating wDisk). Jaccard's
+    * pv·bpp ≈ 44.4 GB at optimum w ≈ 4-5 gives ~12 GiB/wave (its
+    * per-wave fixed cost is ~9× containment's). The cap guards the
+    * per-wave fixed costs when pv grows 100×: past it the disk bound
+    * (and, on a cluster, the never-firing knee) governs. */
   private[graft] val JaccardWaveTargetBytes = 12L << 30
-  private[graft] val ContainmentWaveTargetBytes = 6L << 30
+  private[graft] val ContainmentWaveTargetBytes = 4L << 30
   private[graft] val PairWaveCountCap = 64L
+
+  /** Wave-1 spill prior for CONTAINMENT, as a function of the planned
+    * wave's planner bytes (pv·bpp/w). The r13 forced-wave A/B plus the
+    * r14 registered-path telemetry give six (wave-bytes, peak) points
+    * at sf10 — F = peak − wave bytes sits at 1.6–3× the wave's planner
+    * bytes (w=7: F 30–38 on 12.7 GB waves; w=20: F 6.9–8.1 on 4.4;
+    * w=168: F 2.26 on 0.53), i.e. F SHRINKS superlinearly with the
+    * wave, which the frozen 50 GiB prior (fitted in the old
+    * minimal-wave-count regime, and still correct for jaccard, whose
+    * measured F is wave-size-insensitive at 25–45 GB) cannot express.
+    * Keeping that frozen prior for containment made the wave-1
+    * preemptive check fire spuriously on a half-full disk: the r14
+    * registered q55 staging at 62 GB usable predicted 57.9 GB for a
+    * 4.2 GB-wave plan and split wave 1 down to w=168 before the first
+    * completed wave re-solved F̂ to 2.27 GB. 3.5× covers every measured
+    * containment point with margin — including wave 0 of the r14
+    * post-fix staging run, which is JVM-COLD (pays the whole pipeline's
+    * JIT and page-cache warmup) and measured F = 13.5 GB on a 4.2 GB
+    * wave where steady-state waves of the same run sat at 4–10 GB; the
+    * 3 GiB floor covers the tiny-wave tail (w=168's measured F̂ of
+    * 2.27 GB sits just above 2 GiB), and the 50 GiB cap restores the
+    * conservative frozen prior for absurdly small w. */
+  private[graft] def containmentFixedPrior(waveBytes: Long): Long =
+    math.max(3L << 30,
+      math.min(PairSpillFixedBytes, 7L * waveBytes / 2))
 
   private[graft] def pairWaves(pv: Long,
       bytesPerPair: Long = PairSpillBytesPerPair,
       waveTargetBytes: Long = JaccardWaveTargetBytes,
       usableSpace: () => Long = () =>
-        new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace): Int = {
-    val headroom = math.max(4L << 30,
-      usableSpace() - PairScratchMargin - PairSpillFixedBytes)
-    val wDisk = math.max(2L, (pv * bytesPerPair + headroom - 1) / headroom)
+        new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace,
+      scaledPrior: Boolean = false): Int = {
+    val wDisk =
+      if (scaledPrior) {
+        // per-wave footprint = wave bytes + F(wave) ≈ 4.5·pv·bpp/w under
+        // the containment prior model, so the disk bound solves
+        // 4.5·pv·bpp/w ≤ usable − margin directly (the frozen-prior
+        // subtraction below would charge every wave 50 GiB of fixed
+        // spill this family never exhibits, inflating wDisk ~3×)
+        val room = math.max(4L << 30, usableSpace() - PairScratchMargin)
+        math.max(2L, (9L * pv * bytesPerPair / 2 + room - 1) / room)
+      } else {
+        val headroom = math.max(4L << 30,
+          usableSpace() - PairScratchMargin - PairSpillFixedBytes)
+        math.max(2L, (pv * bytesPerPair + headroom - 1) / headroom)
+      }
     val wWall =
       (pv * bytesPerPair + waveTargetBytes - 1) / waveTargetBytes
     math.max(wDisk, math.min(PairWaveCountCap, wWall)).toInt
@@ -385,7 +427,8 @@ object TextOps {
       waves: Int, pairRows: Long = 0L,
       bytesPerPair: Long = PairSpillBytesPerPair,
       usableSpace: () => Long = () =>
-        new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace)(
+        new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace,
+      spillFixedPrior: Long = PairSpillFixedBytes)(
       wave: (Int, Int) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(d, "documents.parquet")
@@ -464,11 +507,12 @@ object TextOps {
           else { stable = 0; last = u }
         }
       }
-      // F̂ starts at the frozen prior and is re-solved from every
-      // completed wave's sampled peak (floor 1 GB: a transiently
-      // generous disk must not talk the model into predicting that a
-      // wave is nearly free)
-      var fHat = PairSpillFixedBytes
+      // F̂ starts at the caller's prior (frozen 50 GiB for jaccard,
+      // wave-size-scaled for containment — see [[containmentFixedPrior]])
+      // and is re-solved from every completed wave's sampled peak
+      // (floor 1 GB: a transiently generous disk must not talk the
+      // model into predicting that a wave is nearly free)
+      var fHat = spillFixedPrior
       def predictedPeak(w: Int): Long =
         fHat + (if (pairRows > 0) pairRows * bytesPerPair / w else 0L)
       def runWave(i: Int, w: Int, depth: Int): Unit = {
@@ -1956,10 +2000,12 @@ object TextOps {
     val w =
       if (wavesOverride > 0) wavesOverride
       else pairWaves(pv, ContainmentSpillBytesPerPair,
-        ContainmentWaveTargetBytes)
+        ContainmentWaveTargetBytes, scaledPrior = true)
     stagedPairScan(s, d, "containment", w, pv,
-        bytesPerPair = ContainmentSpillBytesPerPair)((i, wi) =>
-        containmentPrefixVerified(s, d, Some((i, wi))))
+        bytesPerPair = ContainmentSpillBytesPerPair,
+        spillFixedPrior =
+          containmentFixedPrior(pv * ContainmentSpillBytesPerPair / w))(
+        (i, wi) => containmentPrefixVerified(s, d, Some((i, wi))))
       .distinct()
       .orderBy(col("d1"), col("d2"))
   }
