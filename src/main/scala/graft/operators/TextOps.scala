@@ -3100,6 +3100,104 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Substring-level dedup APPLY — the removal step q101 only reports
+    * on (the suffix-array dedup of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", realized on 8-token
+    * windows): every window whose hash occurs in ≥ 2 distinct documents
+    * is a duplicated span; ONE canonical occurrence per hash survives
+    * (keep-first: lexicographic min of (doc_id, first position in that
+    * doc) — deterministic, so both engines agree), every other
+    * occurrence's 8 token positions are removed, and each document is
+    * reconstructed from its surviving tokens. Exact-duplicate documents
+    * collapse to an empty string (every position covered by
+    * non-canonical windows); documents with no duplicated windows
+    * round-trip verbatim (spec-pinned).
+    *
+    * Plan shape: one Generate pass emits (doc, pos, window-hash) — the
+    * per-(h, doc) collapse carries min pos AND the full position list,
+    * so the dup/canonical computation runs as two window functions over
+    * the collapsed rows (count + min(struct) over h: one shuffle,
+    * no groupBy+join-back, which would re-evaluate the whole Generate
+    * subtree — q101's rationale) and the removal explode re-expands
+    * positions only for the ≥2-doc hashes. Removal positions are
+    * 16-byte (doc, t) pairs; the anti-join and the per-doc
+    * reconstruction cluster on doc_id, so the whole apply is three
+    * compact-key exchanges over O(corpus tokens) rows — no text ever
+    * shuffles except the final per-doc rebuild. At 100 TB the one
+    * watch-item is a boilerplate window shared by millions of docs:
+    * its h-partition is a single sort-based (spillable) window group,
+    * the same exposure q101 carries by design. */
+  val q128SubstringDedupApply: QueryDef = sql(
+    "q128_substring_dedup_apply",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |win AS (SELECT doc_id, i - 1 AS pos,
+      |          CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+      |        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM w)),
+      |hd AS (SELECT h FROM (SELECT h, doc_id FROM win GROUP BY 1, 2)
+      |       GROUP BY h HAVING count(*) > 1),
+      |c1 AS (SELECT win.h, min(doc_id) AS cdoc FROM win JOIN hd ON win.h = hd.h
+      |       GROUP BY 1),
+      |c2 AS (SELECT w2.h, any_value(c1.cdoc) AS cdoc, min(w2.pos) AS cpos
+      |       FROM win w2 JOIN c1 ON w2.h = c1.h AND w2.doc_id = c1.cdoc
+      |       GROUP BY 1),
+      |rmpos AS (SELECT DISTINCT w3.doc_id, w3.pos + u.o AS t
+      |          FROM win w3 JOIN c2 ON w3.h = c2.h, unnest(range(0, 8)) AS u(o)
+      |          WHERE NOT (w3.doc_id = c2.cdoc AND w3.pos = c2.cpos)),
+      |tk AS (SELECT doc_id, i - 1 AS t, w[i] AS tok
+      |       FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w)),
+      |keep AS (SELECT tk.doc_id, tk.t, tk.tok FROM tk
+      |         LEFT JOIN rmpos ON tk.doc_id = rmpos.doc_id AND tk.t = rmpos.t
+      |         WHERE rmpos.doc_id IS NULL),
+      |sz AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM w)
+      |SELECT sz.doc_id,
+      |  coalesce(array_to_string(list(keep.tok ORDER BY keep.t)
+      |    FILTER (WHERE keep.tok IS NOT NULL), ' '), '') AS clean_text,
+      |  CAST(count(keep.t) AS BIGINT) AS n_kept,
+      |  CAST(any_value(sz.n) - count(keep.t) AS BIGINT) AS n_removed
+      |FROM sz LEFT JOIN keep ON sz.doc_id = keep.doc_id
+      |GROUP BY sz.doc_id ORDER BY sz.doc_id""") { (s, d) =>
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val win = docs.filter(size(col("w")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', slice(w, i + 1, 8)))")))
+      .select(col("doc_id"), col("pos"), tokHash(col("col")).as("h"))
+    // collapse to (h, doc): min pos feeds the keep-first canonical, the
+    // position list re-expands ONLY for duplicated hashes
+    val byDoc = win.groupBy(col("h"), col("doc_id"))
+      .agg(min(col("pos")).as("minpos"), collect_list(col("pos")).as("poss"))
+    val overH = Window.partitionBy(col("h"))
+    val rm = byDoc
+      .withColumn("nd", count(lit(1)).over(overH))
+      .withColumn("canon",
+        min(struct(col("doc_id").as("cd"), col("minpos").as("cp"))).over(overH))
+      .filter(col("nd") >= 2)
+      .select(col("doc_id"), col("canon"), explode(col("poss")).as("pos"))
+      .filter(!(col("doc_id") === col("canon.cd") &&
+        col("pos") === col("canon.cp")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(7))).as("t"))
+      .distinct()
+    val tk = docs
+      .select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "t", "tok")
+    val kept = tk.join(rm, Seq("doc_id", "t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(t, tok))), x -> x.tok)"))
+          .as("clean_text"),
+        count(lit(1)).cast("long").as("n_kept"))
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** First-occurrence novelty curve — the corpus-saturation diagnostic
     * of incremental ingest (how much of each new batch's content is
     * genuinely new?): per ingest bucket of 100 documents (doc_id order
@@ -3188,5 +3286,5 @@ object TextOps {
     q125PackSegments, q127PackIncremental, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
     q77BpeMerges, q79BpeEncode, q80EpochMixture, q93Boilerplate, q94Bm25,
-    q98KhopReach, q101DupSpans, q115NoveltyCurve)
+    q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve)
 }
