@@ -33,6 +33,12 @@ object DataGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset (e.g. "embeddings")
+    // for single-family probes — a 250x embeddings corpus for the ANN
+    // escape-tier run shouldn't pay a 250x lineitem replication.
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,6 +55,7 @@ object DataGen {
     /** single parquet FILE per table (driver layout; 32 MB row groups so
       * the one file still splits into parallel scan tasks). */
     def writeSingle(df: DataFrame, name: String): Unit = {
+      if (!wanted(name)) return
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val tmp = Files.createTempDirectory("graft_gen").toString
       df.repartition(1).write.mode("overwrite")

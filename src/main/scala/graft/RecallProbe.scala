@@ -19,6 +19,46 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // natural-engagement audit: `RecallProbe --natural <sfDir> [sampleMod]`
+    // runs the REGISTERED q34 relation with NO overrides — the knee alone
+    // decides the tier — and records wall, tier choice, candidate volume
+    // (rows into the cosine gate, from the same session-cached assignment
+    // the query read), emitted pairs, and end recall against a SAMPLED
+    // exact ground truth: all cosine ≥ 0.4 pairs touching
+    // {vec_id % sampleMod == 0}. The round-14 instrument for the one
+    // extrapolated ANN claim: the hier escape tier engaging ON ITS OWN
+    // past FusedCollectKnee (~450k vectors) and holding the 0.85 floor.
+    if (args.headOption.contains("--natural")) {
+      val sf = args(1)
+      val mod = if (args.length > 2) args(2).toInt else 25
+      val t0 = System.nanoTime()
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_natural").toString
+      SparkEntry.queries("q34_embed_near_pairs")(spark, sf)
+        .select("v1", "v2").write.mode("overwrite").parquet(outDir)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val got = spark.read.parquet(outDir)
+      val pairs = got.count()
+      val (vol, pa) = graft.operators.SimilarityOps
+        .pairCandidateVolume(spark, sf)
+      println(f"$sf registered q34: tier=${pa.tier} cells=${pa.cells} " +
+        f"q=${pa.quantizers} np=${pa.nprobe} pairs=$pairs " +
+        f"candidateVolume=$vol wall=$wall%.1fs")
+      val tt0 = System.nanoTime()
+      val truthDir = java.nio.file.Files
+        .createTempDirectory("graft_naturaltruth").toString
+      graft.operators.SimilarityOps
+        .embedNearPairsSampledTruth(spark, sf, mod)
+        .write.mode("overwrite").parquet(truthDir)
+      val truth = spark.read.parquet(truthDir)
+      val tn = truth.count()
+      val hits = got.join(truth, Seq("v1", "v2"), "left_semi").count()
+      println(f"sampled truth (mod=$mod): pairs=$tn hits=$hits " +
+        f"recall=${hits.toDouble / tn}%.4f " +
+        f"truthTime=${(System.nanoTime() - tt0) / 1e9}%.1fs")
+      spark.stop()
+      return
+    }
     // scaled-k sweep: `RecallProbe --sweep <sfDir> sym:np:q,asym:np:q,…`
     // measures the per-cell tier's recall and cost at the corpus's OWN
     // k = pairCells(n) across (shape, nprobe, quantizers) combos — the

@@ -134,4 +134,63 @@ class PackingSpec extends AnyFunSuite {
       assert(alt == inc, s"incremental layout diverges at blockDocs=$b")
     }
   }
+
+  test("grouped incremental state: interleaved multi-tenant appends are " +
+      "isolated per source, and a source born inside the delta starts " +
+      "at offset zero") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def words(n: Int, tag: String): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // base (ids 1..8): sources a and b interleaved in doc_id order, each
+    // with 100-token docs so both cross a 256-token sequence boundary
+    // (their boundary C is nonzero). delta (ids 91..100): appends from
+    // a, b, AND a brand-new source c INTERLEAVED in doc_id — the
+    // multi-tenant ingest shape. doc_id 100 is source a in BOTH
+    // corpora, so the cutoff max(doc_id)*9/10 = 90 is identical.
+    val base = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"),
+      (5L, "a"), (6L, "b"), (7L, "a"), (8L, "b"))
+      .map { case (id, s) => (s, id, words(100, s)) }
+    val deltaAll = Seq(
+      (91L, "a", 50), (92L, "b", 300), (93L, "c", 40), (94L, "a", 200),
+      (95L, "b", 10), (96L, "c", 260), (97L, "a", 30), (98L, "b", 20),
+      (99L, "c", 5), (100L, "a", 70))
+      .map { case (id, s, n) => (s, id, words(n, s)) }
+    def fixture(rows: Seq[(String, Long, String)]): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_grouped_pack").toString
+      rows.toDF("source", "doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val full = fixture(base ++ deltaAll)
+    val aOnly = fixture(base ++ deltaAll.filter(_._1 == "a"))
+    for (b <- Seq(3L, 1000000L)) {
+      val incFull = TextOps.packIncrementalPlan(spark, full, b)
+        .collect().map(_.toSeq).toSeq
+      // 1. incremental == full repack restricted to the delta, on the
+      //    interleaved corpus
+      val repack = TextOps.packSegmentsPlan(spark, full, b)
+        .filter(col("doc_id") > 90L).collect().map(_.toSeq).toSeq
+      assert(incFull == repack,
+        s"interleaved incremental diverges from repack at blockDocs=$b")
+      // 2. ISOLATION: source a's segments are identical whether or not
+      //    b's and c's appends are interleaved with its own — one (T, C)
+      //    pair per source is the ONLY cross-snapshot state, so other
+      //    tenants' ingest cannot perturb it
+      val aFromFull = incFull.filter(_.head == "a")
+      val aFromAOnly = TextOps.packIncrementalPlan(spark, aOnly, b)
+        .collect().map(_.toSeq).toSeq.filter(_.head == "a")
+      assert(aFromFull.nonEmpty && aFromFull == aFromAOnly,
+        s"source a's layout shifted under interleaved appends (block=$b)")
+      // 3. source c exists only in the delta: its packing starts at the
+      //    origin (left-join coalesce path), not at some other source's
+      //    base total
+      val cFirst = incFull.filter(_.head == "c")
+        .minBy(r => (r(1).asInstanceOf[Int], r(2).asInstanceOf[Int]))
+      assert(cFirst(1) == 0 && cFirst(2) == 0 && cFirst(4) == 0L,
+        s"delta-born source c does not start at offset zero: $cFirst")
+    }
+  }
 }
