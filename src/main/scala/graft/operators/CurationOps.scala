@@ -746,9 +746,152 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** QUALITY-GATE OPERATING CURVE — the threshold-selection sweep a
+    * pipeline runs before committing to a quality cutoff: for every
+    * (source, τ) over a fixed micro-quantized threshold grid, the
+    * keep-rate and token yield of gating at τ. Downstream this is the
+    * curve the token-budget allocator (q119's waterfilling) intersects
+    * to pick the per-source operating point that hits a training-mix
+    * budget; computing it from ONE corpus scan is what makes threshold
+    * tuning iterable at 100 TB.
+    *
+    * The score is q30's quality formula (length / stopword / alpha
+    * mix), micro-quantized through the same round(·,6)·1e6 integer
+    * recipe the hash-verified family uses, so `score_micro ≥ τ` is a
+    * pure integer compare in both engines. Scale shape: the grid NEVER
+    * fans out the corpus — one scan computes 2·|grid| conditional
+    * partial aggregates per source (map-side combine does the heavy
+    * lifting), and the explode to (source, τ) rows happens on the
+    * |sources|-row aggregate, not the documents. The oracle states the
+    * same relation the readable way (corpus × grid cross join); the
+    * engine's conditional-agg form is the 100 TB plan.
+    */
+  val q130GateOperatingCurve: QueryDef = {
+    val taus = (10 to 18).map(_ * 50000L)
+    sql(
+      "q130_gate_operating_curve",
+      s"""WITH x AS (SELECT source,
+        |    len(string_split(trim(text), ' ')) AS n_tokens,
+        |    len(list_filter(string_split(trim(text), ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+        |  FROM documents),
+        |sc AS (SELECT source, n_tokens,
+        |    CAST(floor(round(0.4 * least(1.0, n_tokens / 20.0)
+        |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |      + 0.3 * least(1.0, (CAST(n_alpha AS DOUBLE) / n_tokens) / 8.0), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS score_micro
+        |  FROM x),
+        |g AS (SELECT CAST(unnest([${taus.mkString(", ")}]) AS BIGINT) AS tau),
+        |c AS (SELECT source, tau,
+        |    count(*) AS total_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN score_micro >= tau THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS kept_docs,
+        |    CAST(sum(CASE WHEN score_micro >= tau THEN n_tokens ELSE 0 END)
+        |      AS BIGINT) AS kept_tokens
+        |  FROM sc CROSS JOIN g GROUP BY source, tau)
+        |SELECT source, tau, total_docs, total_tokens, kept_docs, kept_tokens,
+        |  CAST(floor(1000000 * CAST(kept_docs AS DOUBLE) / total_docs)
+        |    AS BIGINT) AS keep_rate_micro,
+        |  CAST(floor(1000000 * CAST(kept_tokens AS DOUBLE) / total_tokens)
+        |    AS BIGINT) AS token_yield_micro
+        |FROM c ORDER BY source, tau""") { (s, d) =>
+      val stopSet = Seq("the", "a", "of", "and", "to")
+      val tk = toks(col("text"))
+      val scored = documents(s, d)
+        .select(col("source"),
+          size(tk).as("n_tokens"),
+          size(filter(tk, t => t.isInCollection(stopSet))).as("n_stop"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"))
+        .select(col("source"), col("n_tokens"),
+          floor(round(
+            lit(0.4) * least(lit(1.0), col("n_tokens") / 20.0) +
+              lit(0.3) * (lit(1.0) -
+                col("n_stop").cast("double") / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0),
+                (col("n_alpha").cast("double") / col("n_tokens")) / 8.0), 6)
+            * 1000000 + 0.5).cast("long").as("score_micro"))
+      val aggCols =
+        Seq(count(lit(1)).as("total_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens")) ++
+          taus.flatMap(t => Seq(
+            sum(when(col("score_micro") >= t, 1L).otherwise(0L))
+              .as(s"kd_$t"),
+            sum(when(col("score_micro") >= t, col("n_tokens").cast("long"))
+              .otherwise(0L)).as(s"kt_$t")))
+      scored.groupBy(col("source")).agg(aggCols.head, aggCols.tail: _*)
+        .select(col("source"), col("total_docs"), col("total_tokens"),
+          explode(array(taus.map(t => struct(lit(t).as("tau"),
+            col(s"kd_$t").as("kept_docs"),
+            col(s"kt_$t").as("kept_tokens"))): _*)).as("g"))
+        .select(col("source"), col("g.tau").as("tau"),
+          col("total_docs"), col("total_tokens"),
+          col("g.kept_docs").as("kept_docs"),
+          col("g.kept_tokens").as("kept_tokens"),
+          floor(lit(1000000) * col("g.kept_docs").cast("double")
+            / col("total_docs")).cast("long").as("keep_rate_micro"),
+          floor(lit(1000000) * col("g.kept_tokens").cast("double")
+            / col("total_tokens")).cast("long").as("token_yield_micro"))
+        .orderBy(col("source"), col("tau"))
+    }
+  }
+
+  /** CORPUS SATURATION AUDIT — the Good-Turing scaling signal per
+    * source: token mass N, vocabulary size V, singleton/doubleton type
+    * counts N1/N2, and the Good-Turing unseen-probability-mass estimate
+    * P0 ≈ N1/N (micro-quantized). A source whose N1/N stays high is
+    * still yielding new content per crawled token — worth more crawl
+    * budget; one approaching zero is exhausted and further ingest only
+    * re-buys the same distribution. This is the per-source number a
+    * data-scaling decision ("crawl more of X or stop") actually reads.
+    *
+    * Scale shape: one corpus explode into a (source, token) hash
+    * aggregate — the q59/q77 vocabulary-count shape, map-side combine
+    * absorbing the token fan-out — then a vocabulary-sized second
+    * aggregate builds the frequency-of-frequencies. Nothing after the
+    * first aggregation is corpus-sized, and no windows anywhere. */
+  val q131SaturationAudit: QueryDef = sql(
+    "q131_saturation_audit",
+    """WITH t AS (SELECT source,
+      |        unnest(string_split(trim(text), ' ')) AS tok
+      |      FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |f AS (SELECT source,
+      |        CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        count(*) AS n_types,
+      |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_singletons,
+      |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_doubletons
+      |      FROM c GROUP BY source)
+      |SELECT source, n_tokens, n_types, n_singletons, n_doubletons,
+      |  CAST(floor(1000000 * CAST(n_singletons AS DOUBLE) / n_tokens)
+      |    AS BIGINT) AS unseen_mass_micro,
+      |  CAST(floor(1000000 * CAST(n_singletons AS DOUBLE) / n_types)
+      |    AS BIGINT) AS singleton_type_frac_micro
+      |FROM f ORDER BY source""") { (s, d) =>
+    documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_singletons"), col("n_doubletons"),
+        floor(lit(1000000) * col("n_singletons").cast("double")
+          / col("n_tokens")).cast("long").as("unseen_mass_micro"),
+        floor(lit(1000000) * col("n_singletons").cast("double")
+          / col("n_types")).cast("long").as("singleton_type_frac_micro"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q105SnapshotDiff, q106DataProfile, q107ImportanceWeights, q108PiiScan,
       q111NfcNormalize, q112WeightedSample, q114TemperatureMix,
       q116DatasetCard, q119TokenBudget, q120LengthQuantiles,
-      q124AdaptiveQualityGate)
+      q124AdaptiveQualityGate, q130GateOperatingCurve, q131SaturationAudit)
 }

@@ -2824,6 +2824,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY AUDIT — the per-language health check run
+    * after training a tokenizer and before committing a corpus to it:
+    * for each language, document count, raw whitespace-token mass,
+    * encoded-symbol mass under the trained BPE merges (q77's trainer,
+    * q79's encoder — the same 3-round merge table, reused), merged-
+    * symbol count, and the compression ratio micro-quantized. A
+    * language whose compression lags the corpus mean is being
+    * under-served by the learned merges (its pairs never won a merge
+    * round) and will train at inflated sequence lengths — the signal
+    * that drives per-language vocabulary budgets in multilingual
+    * tokenizer work.
+    *
+    * Scale shape: everything corpus-sized is the q79 encode itself
+    * (explicit-width exchange, per-round pinned rewrites); this audit
+    * adds one doc_id equi-join against the (doc_id, lang) projection
+    * and a |langs|-row aggregate. */
+  val q132TokenizerFertility: QueryDef = sql(
+    "q132_tokenizer_fertility",
+    bpeCtes +
+      """,
+        |r3 AS (SELECT doc_id, i, sym,
+        |         lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+        |         lag(sym) OVER (PARTITION BY doc_id ORDER BY i) AS prv
+        |       FROM p3),
+        |q3 AS (SELECT doc_id, i,
+        |         CASE WHEN sym = t.a AND nxt = t.b THEN t.a || ' ' || t.b
+        |              ELSE sym END AS sym
+        |       FROM r3 CROSS JOIN t3 t
+        |       WHERE NOT coalesce(prv = t.a AND sym = t.b, FALSE)),
+        |e AS (SELECT doc_id, count(*) AS n_enc,
+        |        count(*) FILTER (WHERE contains(sym, ' ')) AS n_merged
+        |      FROM q3 GROUP BY 1),
+        |n AS (SELECT doc_id, len(t) AS n_raw FROM w)
+        |SELECT d2.lang, count(*) AS n_docs,
+        |  CAST(sum(n.n_raw) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(e.n_enc) AS BIGINT) AS enc_tokens,
+        |  CAST(sum(e.n_merged) AS BIGINT) AS merged_tokens,
+        |  CAST(floor(1000000 * CAST(sum(e.n_enc) AS DOUBLE)
+        |    / sum(n.n_raw)) AS BIGINT) AS compression_micro
+        |FROM n JOIN e USING (doc_id) JOIN documents d2 USING (doc_id)
+        |GROUP BY d2.lang ORDER BY d2.lang""".stripMargin) { (s, d) =>
+    val (_, seqs) = bpeTrain(s, d, applyLast = true)
+    val perDoc = seqs.select(col("doc_id"), col("n_raw"),
+      size(col("t")).cast("long").as("n_enc"),
+      expr("size(filter(t, x -> contains(x, ' ')))").cast("long")
+        .as("n_merged"))
+    perDoc
+      .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_raw")).as("raw_tokens"),
+        sum(col("n_enc")).as("enc_tokens"),
+        sum(col("n_merged")).as("merged_tokens"))
+      .select(col("lang"), col("n_docs"), col("raw_tokens"),
+        col("enc_tokens"), col("merged_tokens"),
+        floor(lit(1000000) * col("enc_tokens").cast("double")
+          / col("raw_tokens")).cast("long").as("compression_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** Epoch-upsampling data mixture — the mixing stage that follows
     * dedup/quality/split in a training-data pipeline: given target
     * token-share percentages per language, repeat each language's
@@ -3285,6 +3345,7 @@ object TextOps {
     q55Containment, q84BloomDecontaminate, q57ChunkOverlap, q58PackSequences,
     q125PackSegments, q127PackIncremental, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
-    q77BpeMerges, q79BpeEncode, q80EpochMixture, q93Boilerplate, q94Bm25,
+    q77BpeMerges, q79BpeEncode, q132TokenizerFertility, q80EpochMixture,
+    q93Boilerplate, q94Bm25,
     q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve)
 }

@@ -665,6 +665,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window must consume pre-aggregated (source, ppm) counts:\n$plan")
   }
 
+  test("q130 operating curve: the threshold grid explodes the " +
+      "|sources|-row aggregate, never the corpus, and the scan is " +
+      "pruned to (source, text)") {
+    val plan = formatted(
+      SparkEntry.queries("q130_gate_operating_curve")(spark, sf))
+    // Generate (the grid explode) must sit ABOVE every HashAggregate:
+    // plan text prints parents first, so its first mention precedes the
+    // aggregation's if and only if the fan-out happens post-agg
+    val gen = plan.indexOf("Generate")
+    val agg = plan.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      s"grid explode must consume the aggregate, not the corpus:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("source") && readSchema.contains("text") &&
+      !readSchema.contains("doc_id") && !readSchema.contains("lang"),
+      s"scan reads more than (source, text): $readSchema")
+  }
+
   test("q122 bucketed join: sort-merge with NO exchange below the " +
       "join — bucketing replaces the per-query shuffle") {
     val plan = finalPlan(
