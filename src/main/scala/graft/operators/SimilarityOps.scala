@@ -2357,8 +2357,14 @@ object SimilarityOps {
     * 100 TB posture: per ingest the stream pays one delta-sized scan
     * against a broadcast centroid table; this query pays
     * Σ_cells delta(c)·pop(c) on the artifact's own c_id partitioning —
-    * nothing corpus-sized recomputes, and the cell count scales with
-    * the corpus exactly as the q44 index it shares. */
+    * nothing corpus-sized recomputes. The Σ term is QUADRATIC in
+    * per-cell population, and the shared snapshot index here is q44's
+    * FIXED 16-cell demo geometry, so the sf1→sf10 wall ratio is ~10×
+    * (0.67 → 6.63 s, measured — the join term dominating once cells
+    * hold 10⁴+ members). Holding it linear at scale means k ∝ n — the
+    * [[pairCells]] contract q34/q102 already implement; the math here
+    * is unchanged under any k, the demo keeps 16 so its oracle stays
+    * q123/q126's. */
   val q129StreamIndexPairs: QueryDef = sql(
     "q129_stream_index_pairs",
     s"""WITH d AS (SELECT vec_id, embedding,
