@@ -2207,6 +2207,92 @@ object TextOps {
     packSequencesPlan(s, d, PackBlockDocs)
   }
 
+  /** TRAINING-SHARD MANIFEST — the last hop before training data hits
+    * object storage: q58's packed 256-token sequences are assigned to
+    * fixed-token-budget shards (16,384 tokens ≈ 64 sequences per shard,
+    * split at sequence boundaries in global (source, seq_id) order) and
+    * each shard gets a manifest row: sequence/token counts, how many
+    * sources it spans, and its first/last (source, seq_id) — what a
+    * dataloader needs to address shards without opening them.
+    *
+    * Scale shape: the global token prefix is [[packOffsetsFrom]]'s
+    * blocked two-level sum reused ACROSS sources — bins are keyed
+    * src_idx·2⁴⁰ + seq_id (src_idx from the |sources|-row broadcast
+    * dimension), so one pseudo-source's blocked prefix ranks the whole
+    * corpus with NO corpus-wide window (the oracle states the literal
+    * global window; `ShardManifestSpec` pins the blocked form equal at
+    * several block sizes). Shard assignment is then a map-side
+    * power-of-two division of the exclusive prefix (exact in doubles),
+    * and the manifest is one |shards|-row aggregate. */
+  val q133ShardManifest: QueryDef = sql(
+    "q133_shard_manifest",
+    """WITH n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |b AS (SELECT source, doc_id, n_tok,
+      |        CAST(floor(off / 256.0) AS INT) AS seq_id FROM o),
+      |bins AS (SELECT source, seq_id,
+      |        CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+      |      FROM b GROUP BY 1, 2),
+      |r AS (SELECT source, seq_id, seq_tokens,
+      |        COALESCE(sum(seq_tokens) OVER (ORDER BY source, seq_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS tok_off
+      |      FROM bins),
+      |sh AS (SELECT source, seq_id, seq_tokens, tok_off,
+      |        tok_off // 16384 AS shard_id FROM r)
+      |SELECT shard_id, count(*) AS n_seqs,
+      |  CAST(sum(seq_tokens) AS BIGINT) AS shard_tokens,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  arg_min(source, tok_off) AS first_source,
+      |  CAST(arg_min(seq_id, tok_off) AS INT) AS first_seq,
+      |  arg_max(source, tok_off) AS last_source,
+      |  CAST(arg_max(seq_id, tok_off) AS INT) AS last_seq
+      |FROM sh GROUP BY shard_id ORDER BY shard_id""") { (s, d) =>
+    shardManifestPlan(s, d, PackBlockDocs)
+  }
+
+  /** See [[q133ShardManifest]]; split out so `ShardManifestSpec` can pin
+    * block-size independence and the manifest invariants. */
+  private[graft] def shardManifestPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+    val bins = packSequencesPlan(s, d, blockDocs)
+      .select(col("source"), col("seq_id"), col("seq_tokens"))
+    // |sources|-row dimension: alphabetical index, broadcast both ways
+    val srcIdx = bins.select(col("source")).distinct()
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+    val keyed = bins.join(broadcast(srcIdx), "source")
+      .select(lit("_g").as("source"),
+        (col("src_idx") * (1L << 40) + col("seq_id")).as("doc_id"),
+        col("seq_tokens").as("n_tok"))
+    // off = exclusive GLOBAL token prefix in (source, seq_id) order —
+    // the composite key orders identically to the pair (seq_id < 2^40)
+    val ranked = packOffsetsFrom(keyed, blockDocs)
+      .withColumn("src_idx", shiftright(col("doc_id"), 40))
+      .withColumn("seq_id",
+        col("doc_id").bitwiseAND(lit((1L << 40) - 1)).cast("int"))
+      // off / 2^14 is an exponent shift — exact in doubles at any off
+      .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
+    ranked
+      .join(broadcast(srcIdx.select(col("source").as("src"), col("src_idx"))),
+        "src_idx")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tok")).as("shard_tokens"),
+        countDistinct(col("src")).as("n_sources"),
+        min_by(struct(col("src"), col("seq_id")), col("off")).as("f"),
+        max_by(struct(col("src"), col("seq_id")), col("off")).as("l"))
+      .select(col("shard_id"), col("n_seqs"), col("shard_tokens"),
+        col("n_sources"),
+        col("f.src").as("first_source"), col("f.seq_id").as("first_seq"),
+        col("l.src").as("last_source"), col("l.seq_id").as("last_seq"))
+      .orderBy(col("shard_id"))
+  }
+
   /** GPU-shape-aware packing layout — q58's bins taken the rest of the
     * way to what a training dataloader actually consumes: every document
     * is SPLIT at the 256-token sequence boundaries into attention-mask
@@ -3347,5 +3433,6 @@ object TextOps {
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
     q77BpeMerges, q79BpeEncode, q132TokenizerFertility, q80EpochMixture,
     q93Boilerplate, q94Bm25,
-    q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve)
+    q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve,
+    q133ShardManifest)
 }
