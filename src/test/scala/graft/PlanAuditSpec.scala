@@ -684,6 +684,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads more than (source, text): $readSchema")
   }
 
+  test("q128 substring dedup: ONE h-exchange feeds both window passes " +
+      "(no groupBy+join-back), removal joins broadcast, no sort-merge") {
+    val plan = finalPlan(
+      SparkEntry.queries("q128_substring_dedup_apply")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning\\(h#".r.findAllIn(plan).size == 1,
+      s"dup-flag and canonical must share one h-exchange:\n$plan")
+    assert("windowspecdefinition\\(h#".r.findAllIn(plan).size == 2,
+      s"expected exactly the two h-partitioned windows:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"removal path fell to SMJ:\n$plan")
+  }
+
+  test("q129 streamed-index pairs: the pair join reads the staged " +
+      "assignment artifact, no broadcast-nested-loop anywhere") {
+    val plan = finalPlan(
+      SparkEntry.queries("q129_stream_index_pairs")(spark, sf))
+    assert(plan.contains("graft_emb_asn"),
+      s"join must consume the streamed artifact, not re-assign:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join must stay an equi-join on c_id:\n$plan")
+  }
+
+  test("q133 shard layout: no corpus-wide window — every global " +
+      "row_number consumes the |sources| aggregate, prefix windows " +
+      "ride the blocked partitioning") {
+    val plan = finalPlan(
+      SparkEntry.queries("q133_shard_manifest")(spark, "/root/testdata/sf0.01"))
+    val rn = plan.split("Window \\[row_number").drop(1)
+    assert(rn.nonEmpty && rn.forall(_.contains("HashAggregate")),
+      s"a row_number window runs over non-aggregated (corpus) input:\n$plan")
+    assert(plan.contains("windowspecdefinition(blk#"),
+      s"the token prefix must use the blocked two-level form:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("q122 bucketed join: sort-merge with NO exchange below the " +
       "join — bucketing replaces the per-query shuffle") {
     val plan = finalPlan(
