@@ -1360,17 +1360,33 @@ object TextOps {
       val nodes = pairs.select(col("d1").as("doc_id"))
         .union(pairs.select(col("d2").as("doc_id"))).distinct()
       var lbl = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
-      for (_ <- 1 to 3) {
-        val nb = lbl.select(col("doc_id").as("nb_id"), col("lbl").as("nb_lbl"))
-        lbl = lbl.join(e, lbl("doc_id") === col("a"))
-          .join(nb, col("b") === col("nb_id"))
-          .groupBy(lbl("doc_id").as("doc_id"), lbl("lbl").as("l0"))
-          .agg(min(col("nb_lbl")).as("mn"))
-          .select(col("doc_id"), least(col("l0"), col("mn")).as("lbl"))
-      }
+      for (_ <- 1 to 3) lbl = lblRound(lbl, e)
       lbl
     }
   }
+
+  /** One min-label propagation round (the q49 shape: edge⋈label join +
+    * groupBy-min, PageRank's join cadence) — factored so the
+    * incremental path (q134) can run it from arbitrary SEEDS. */
+  private def lblRound(lbl: DataFrame, e: DataFrame): DataFrame = {
+    val nb = lbl.select(col("doc_id").as("nb_id"), col("lbl").as("nb_lbl"))
+    lbl.join(e, lbl("doc_id") === col("a"))
+      .join(nb, col("b") === col("nb_id"))
+      .groupBy(lbl("doc_id").as("doc_id"), lbl("lbl").as("l0"))
+      .agg(min(col("nb_lbl")).as("mn"))
+      .select(col("doc_id"), least(col("l0"), col("mn")).as("lbl"))
+  }
+
+  /** The oracle's unrolled 3-round chain from a seed CTE over an edge
+    * CTE — shared by q134's base and merged propagations. */
+  private def lblRoundsSql(p: String, seedCte: String, edgeCte: String): String =
+    (1 to 3).map { i =>
+      val prev = if (i == 1) seedCte else s"$p${i - 1}"
+      s"""$p$i AS (SELECT l.doc_id, least(l.lbl, min(n.lbl)) AS lbl
+        |       FROM $prev l JOIN $edgeCte ee ON ee.a = l.doc_id
+        |            JOIN $prev n ON n.doc_id = ee.b
+        |       GROUP BY l.doc_id, l.lbl)""".stripMargin
+    }.mkString(",\n")
 
   /** Near-duplicate CLUSTERING: the step after pair detection in a real
     * dedup pipeline — group the verified MinHash pairs into connected
@@ -1388,6 +1404,94 @@ object TextOps {
     dedupLabels(s, d)
       .groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("cluster"))
+  }
+
+  /** INCREMENTAL cluster update — the missing member of the engine's
+    * incremental family (q76 dedup, q127 packing, q129 ANN index):
+    * an ingest (docs with doc_id % 11 == 3, the q105 "added"
+    * convention) lands new near-dup edges; instead of relabeling the
+    * corpus from scratch, propagation is SEEDED with the persisted
+    * per-snapshot base labels (components of the base-only edge set),
+    * so rounds only need to resolve the delta's neighborhood — within a
+    * base component the seed is already uniform. Output per updated
+    * cluster: size, how many docs the ingest contributed, and — the
+    * audit an incremental dedup pipeline acts on — how many PREVIOUSLY
+    * SEPARATE base clusters this cluster merged (n_base_clusters_merged
+    * > 1 means the keep-list for those clusters must be re-issued; a
+    * delta doc can bridge two base components that were each below the
+    * pair threshold with each other).
+    *
+    * Both the base labels and the merged update run the exact q49
+    * machinery (3 min-label rounds, edge⋈label join + groupBy-min, no
+    * all-pairs), unrolled identically in the oracle, so the result is
+    * hash-verified. Scale shape: base labels are a cached per-snapshot
+    * artifact (the q123/q127/q129 convention); each update round costs
+    * one scan of the edge set, and convergence needs only the DELTA's
+    * neighborhood diameter — a from-scratch relabel needs the full
+    * component diameter. `IncrementalClusterSpec` pins merge detection
+    * on a hand-built bridge corpus and agreement with q49's partition
+    * on the real fixture. */
+  val q134IncrementalClusters: QueryDef = sql(
+    "q134_incremental_clusters",
+    s"""WITH $minHashPairsCtes,
+      |pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.5),
+      |bpe AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |        WHERE d1 % 11 <> 3 AND d2 % 11 <> 3
+      |        UNION ALL
+      |        SELECT d2, d1 FROM pairs
+      |        WHERE d1 % 11 <> 3 AND d2 % 11 <> 3),
+      |bl0 AS (SELECT DISTINCT a AS doc_id, a AS lbl FROM bpe),
+      |${lblRoundsSql("bl", "bl0", "bpe")},
+      |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |      UNION ALL SELECT d2, d1 FROM pairs),
+      |nodes AS (SELECT DISTINCT doc_id
+      |          FROM (SELECT d1 AS doc_id FROM pairs
+      |                UNION ALL SELECT d2 FROM pairs)),
+      |ml0 AS (SELECT n.doc_id, COALESCE(b.lbl, n.doc_id) AS lbl
+      |        FROM nodes n LEFT JOIN bl3 b ON b.doc_id = n.doc_id),
+      |${lblRoundsSql("ml", "ml0", "e")}
+      |SELECT m.lbl AS cluster, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN m.doc_id % 11 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new_docs,
+      |  CAST(count(DISTINCT b.lbl) AS BIGINT) AS n_base_clusters_merged,
+      |  min(m.doc_id) AS keep_id
+      |FROM ml3 m LEFT JOIN bl3 b ON b.doc_id = m.doc_id
+      |GROUP BY m.lbl ORDER BY cluster""") { (s, d) =>
+    incrementalClusterPlan(s, d)
+  }
+
+  /** See [[q134IncrementalClusters]]; split out for the spec. */
+  private[graft] def incrementalClusterPlan(s: SparkSession, d: String): DataFrame = {
+    val pairs = verifiedPairs(s, d)
+    val bp = pairs.filter(col("d1") % 11 =!= 3 && col("d2") % 11 =!= 3)
+    val bpe = bp.select(col("d1").as("a"), col("d2").as("b"))
+      .union(bp.select(col("d2").as("a"), col("d1").as("b")))
+    // the persisted per-snapshot label artifact: components of the
+    // base-only edge set, the state an incremental pipeline carries
+    val baseLbl = cachedCheckpoint("baseDedupLabels", s, d) {
+      var l = bpe.select(col("a").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+      for (_ <- 1 to 3) l = lblRound(l, bpe)
+      l
+    }
+    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    val nodes = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    var lbl = nodes
+      .join(baseLbl.select(col("doc_id"), col("lbl").as("bl")), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"), coalesce(col("bl"), col("doc_id")).as("lbl"))
+    for (_ <- 1 to 3) lbl = lblRound(lbl, e)
+    lbl
+      .join(baseLbl.select(col("doc_id"), col("lbl").as("base_lbl")),
+        Seq("doc_id"), "left")
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") % 11 === 3, 1L).otherwise(0L)).as("n_new_docs"),
+        countDistinct(col("base_lbl")).as("n_base_clusters_merged"),
+        min(col("doc_id")).as("keep_id"))
       .orderBy(col("cluster"))
   }
 
@@ -3434,5 +3538,5 @@ object TextOps {
     q77BpeMerges, q79BpeEncode, q132TokenizerFertility, q80EpochMixture,
     q93Boilerplate, q94Bm25,
     q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve,
-    q133ShardManifest)
+    q133ShardManifest, q134IncrementalClusters)
 }
