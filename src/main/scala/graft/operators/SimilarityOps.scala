@@ -2156,6 +2156,15 @@ object SimilarityOps {
     java.nio.file.Files.write(dir.resolve("_fingerprint"),
       asnFingerprintOf(d).getBytes("UTF-8"))
 
+  /** Drop the artifact's `_fingerprint` BEFORE a writer rewrites batch
+    * partitions of an already-fresh artifact (q126's re-run path): a
+    * crash between Spark's overwrite-delete and commit must leave the
+    * artifact STALE (forcing a re-drain) rather than a valid
+    * fingerprint over a truncated partition that q129 would silently
+    * read as complete. */
+  private def invalidateAsn(dir: java.nio.file.Path): Unit =
+    java.nio.file.Files.deleteIfExists(dir.resolve("_fingerprint")): Unit
+
   /** Assign ONE streamed micro-batch into the existing learned cells
     * (map-side against the broadcast centroid table) and write it as
     * the batch's partition of the assignment artifact. batchId-keyed
@@ -2239,7 +2248,11 @@ object SimilarityOps {
     val cents = learnedCentroids(s, d, 0, 16)
     val logDir = java.nio.file.Files
       .createTempDirectory("graft_ann_ingest_log").toString
-    val (asnDir, _) = asnStaging(d)
+    val (asnDir, asnFresh) = asnStaging(d)
+    // About to rewrite the artifact's partitions in place — if it was
+    // already fingerprinted fresh, invalidate first so an interrupted
+    // re-run reads as stale instead of serving a truncated partition.
+    if (asnFresh) invalidateAsn(asnDir)
     val sch = s.read.parquet(dataDir).schema
     val stream = s.readStream.schema(sch)
       .option("maxFilesPerTrigger", "1").parquet(dataDir)
@@ -2336,6 +2349,32 @@ object SimilarityOps {
         first(col("nr")).as("nr"))
     withinCellDeltaPairs(s, asn)
   }
+
+  /** Probe entries (graft.StreamIndexProbe, VERDICT r14 item 3): the
+    * q129 pair-join term under an ARBITRARY cell count, so the k∝n
+    * [[pairCells]] contract the scaladoc cites can be MEASURED on
+    * q129's own join shape rather than inherited from q34/q102.
+    * [[probeAssignment]] is [[streamIndexPairsCold]]'s batch assignment
+    * generalized to k cells (same schema and semantics as the streamed
+    * artifact — assignment is per-vector independent given frozen
+    * cells); [[probePairJoin]] is the EXACT registered join
+    * ([[withinCellDeltaPairs]]), so the probe times the real plan. */
+  private[graft] def probeAssignment(
+      s: SparkSession, d: String, k: Int): DataFrame = {
+    val cents = learnedCentroids(s, d, 0, k)
+    embVecs(s, d)
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos", dotAny(col("embedding"), col("c_emb")) /
+        (col("nr") * col("c_nr")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"),
+          struct(col("c_cos"), (-col("c_id")).as("neg"))).as("c_id"),
+        first(col("embedding")).as("embedding"),
+        first(col("nr")).as("nr"))
+  }
+
+  private[graft] def probePairJoin(s: SparkSession, asn: DataFrame): DataFrame =
+    withinCellDeltaPairs(s, asn)
 
   /** STREAMED-INDEX PAIR DISCOVERY — the q126 → q34 loop closed
     * (VERDICT r13 item 5): the batch pair consumer reads the SAME

@@ -2240,9 +2240,22 @@ object TextOps {
 
   /** [[packOffsets]] over an arbitrary (source, doc_id, n_tok) relation —
     * the incremental path ([[q127PackIncremental]]) runs the same blocked
-    * prefix sum over the base and the delta SEPARATELY. */
+    * prefix sum over the base and the delta SEPARATELY.
+    *
+    * `levels` is the prefix-sum depth: 2 (default) is the blocked
+    * two-level form — fine whenever each source's block-totals table
+    * (rows/B per source) fits one sorted task. A caller whose `source`
+    * is a CONSTANT pseudo-key (q133's cross-source global pass) passes
+    * 3: the block totals then take their OWN blocked prefix, so the one
+    * single-task window at the top sorts rows/B² rows instead of
+    * rows/B — at 10¹¹ packed sequences with the deployment block size
+    * (4096) that is ~6k rows where two levels would leave ~2.4·10⁷ in
+    * one task. Every level sums longs (exact, associative), so the
+    * offsets are bit-identical at any depth (`ShardManifestSpec` pins a
+    * levels-2 ≡ levels-3 case alongside its block-size sweep). */
   private[graft] def packOffsetsFrom(
-      docs: DataFrame, blockDocs: Long): DataFrame = {
+      docs: DataFrame, blockDocs: Long, levels: Int = 2): DataFrame = {
+    require(levels >= 2, s"prefix-sum depth must be >= 2, got $levels")
     val wLoc = Window.partitionBy(col("source"), col("blk"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2253,11 +2266,23 @@ object TextOps {
       .withColumn("blk", floor(col("doc_id") / blockDocs.toDouble).cast("long"))
     val local = base
       .withColumn("loc_off", coalesce(sum(col("n_tok")).over(wLoc), lit(0L)))
-    val blkOff = local
+    val blkTot = local
       .groupBy(col("source"), col("blk"))
       .agg(sum(col("n_tok")).as("blk_tot"))
-      .withColumn("blk_off", coalesce(sum(col("blk_tot")).over(wBlk), lit(0L)))
-      .select(col("source"), col("blk"), col("blk_off"))
+    val blkOff =
+      if (levels == 2)
+        blkTot
+          .withColumn("blk_off", coalesce(sum(col("blk_tot")).over(wBlk), lit(0L)))
+          .select(col("source"), col("blk"), col("blk_off"))
+      else
+        // recurse: the block-totals table is itself a (source, doc_id,
+        // n_tok) relation whose exclusive prefix is exactly blk_off
+        packOffsetsFrom(
+          blkTot.select(col("source"), col("blk").as("doc_id"),
+            col("blk_tot").as("n_tok")),
+          blockDocs, levels - 1)
+          .select(col("source"), col("doc_id").as("blk"),
+            col("off").as("blk_off"))
     local.join(broadcast(blkOff), Seq("source", "blk"))
       .withColumn("off", col("blk_off") + col("loc_off"))
       .select(col("source"), col("doc_id"), col("n_tok"), col("off"))
@@ -2325,7 +2350,11 @@ object TextOps {
     * dimension), so one pseudo-source's blocked prefix ranks the whole
     * corpus with NO corpus-wide window (the oracle states the literal
     * global window; `ShardManifestSpec` pins the blocked form equal at
-    * several block sizes). Shard assignment is then a map-side
+    * several block sizes AND depths). Because the pseudo-source is
+    * constant, the global pass runs at prefix depth 3 — its one
+    * single-task window holds n_seq/B² block-of-block rows, not
+    * n_seq/B (round 15; was the known single-task watch item).
+    * Shard assignment is then a map-side
     * power-of-two division of the exclusive prefix (exact in doubles),
     * and the manifest is one |shards|-row aggregate. */
   val q133ShardManifest: QueryDef = sql(
@@ -2347,7 +2376,7 @@ object TextOps {
       |          AS tok_off
       |      FROM bins),
       |sh AS (SELECT source, seq_id, seq_tokens, tok_off,
-      |        tok_off // 16384 AS shard_id FROM r)
+      |        CAST(tok_off // 16384 AS BIGINT) AS shard_id FROM r)
       |SELECT shard_id, count(*) AS n_seqs,
       |  CAST(sum(seq_tokens) AS BIGINT) AS shard_tokens,
       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
@@ -2374,8 +2403,13 @@ object TextOps {
         (col("src_idx") * (1L << 40) + col("seq_id")).as("doc_id"),
         col("seq_tokens").as("n_tok"))
     // off = exclusive GLOBAL token prefix in (source, seq_id) order —
-    // the composite key orders identically to the pair (seq_id < 2^40)
-    val ranked = packOffsetsFrom(keyed, blockDocs)
+    // the composite key orders identically to the pair (seq_id < 2^40).
+    // levels = 3: the pseudo-source "_g" is constant, so the two-level
+    // form's top window would sort ALL n_seq/B block rows in one task;
+    // the third level bounds that single task at n_seq/B² rows (~6k at
+    // 10¹¹ sequences with the deployment block size) — bit-identical
+    // offsets at any depth (ShardManifestSpec).
+    val ranked = packOffsetsFrom(keyed, blockDocs, levels = 3)
       .withColumn("src_idx", shiftright(col("doc_id"), 40))
       .withColumn("seq_id",
         col("doc_id").bitwiseAND(lit((1L << 40) - 1)).cast("int"))
@@ -3208,6 +3242,33 @@ object TextOps {
       |       CAST(count(*) AS BIGINT) AS n_terms
       |FROM sc GROUP BY 1
       |ORDER BY bm25_micro DESC, doc_id LIMIT 20""") { (s, d) =>
+    val (scored, _) = bm25Machinery(s, d)
+    scored.orderBy(col("bm25_micro").desc, col("doc_id")).limit(20)
+  }
+
+  /** q135's positional stage, pre-checkpoint (split out so `RerankSpec`
+    * can pin the plan: positions of query-term occurrences are computed
+    * WITHIN candidates only — the broadcast semi-join prunes the corpus
+    * scan BEFORE the posexplode Generate, which is what makes the
+    * expensive per-candidate feature O(K·len), corpus-independent). */
+  private[graft] def rerankPositionsPlan(
+      s: SparkSession, d: String, cand: DataFrame,
+      qTerms: DataFrame): DataFrame =
+    documents(s, d)
+      .join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .toDF("doc_id", "pos0", "tok")
+      .join(broadcast(qTerms), Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        (col("pos0") + 1).cast("long").as("pos"))
+
+  /** The BM25 scoring relation shared by the retrieve (q94) and rerank
+    * (q135) stages: returns (scored, qTerms) where `scored` is one row
+    * per matching document (doc_id, bm25_micro, n_terms) and `qTerms`
+    * the 3-term derived query (tok). See [[q94Bm25]]'s scaladoc for the
+    * exactness and scale argument. */
+  private[graft] def bm25Machinery(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val tf = documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -3229,11 +3290,102 @@ object TextOps {
           (col("tf") + lit(1.2) * (lit(0.25) +
             lit(0.75) * col("dl") * col("nd") / col("ntok"))))
           .cast("long").as("s"))
-    sc.groupBy(col("doc_id"))
+    val scored = sc.groupBy(col("doc_id"))
       .agg(sum(col("s")).cast("long").as("bm25_micro"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("bm25_micro").desc, col("doc_id"))
-      .limit(20)
+    (scored, q.select(col("tok")))
+  }
+
+  /** RETRIEVE → RERANK — the two-stage shape every RAG data pipeline
+    * runs over its curated corpus: a cheap corpus-wide retriever (q94's
+    * BM25) nominates a bounded candidate set (top 100), and an
+    * EXPENSIVE per-candidate scorer re-orders only those 100 — here a
+    * deterministic cross-encoder stand-in over features a real reranker
+    * reads (term coverage, positional proximity): rerank_micro =
+    * bm25_micro + 300000·coverage + ⌊10⁶/(1+min_dist)⌋, where min_dist
+    * is the closest distance between occurrences of two DISTINCT query
+    * terms in the document (the cross-encoder's attention-locality
+    * analogue, exact in integers; -1 when <2 distinct terms match).
+    *
+    * Scale shape — the point of the two stages: the positional feature
+    * (posexplode + a per-doc position self-join) touches ONLY the 100
+    * candidate documents (broadcast semi-join prunes the corpus scan
+    * before the explode), so its cost is O(K·len²) INDEPENDENT of
+    * corpus size, while the corpus-wide stage stays q94's hash-agg +
+    * broadcast-probe plan. The candidate set and its positions are
+    * 100-row/few-hundred-row relations — localCheckpointed so the
+    * heavy retrieval upstream runs once, not once per consumer branch.
+    * All rerank arithmetic is BIGINT (integer `div`), so the score is
+    * exact and order-independent across engines. */
+  val q135Rerank: QueryDef = sql(
+    "q135_bm25_rerank",
+    """WITH t AS (SELECT doc_id,
+      |             unnest(string_split(trim(text), ' ')) AS tok,
+      |             unnest(generate_series(1,
+      |               len(string_split(trim(text), ' ')))) AS pos
+      |           FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS ntok FROM dl),
+      |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT tok, df FROM dfq ORDER BY df DESC, tok LIMIT 3 OFFSET 4),
+      |sc AS (SELECT tf.doc_id,
+      |         CAST(round(1000000 *
+      |           ln(1 + (st.nd - q.df + 0.5) / (q.df + 0.5)) *
+      |           (tf.tf * 2.2) /
+      |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * st.nd / st.ntok)))
+      |           AS BIGINT) AS s
+      |       FROM tf JOIN q USING (tok)
+      |            JOIN dl ON dl.doc_id = tf.doc_id
+      |            CROSS JOIN st),
+      |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_micro,
+      |          CAST(count(*) AS BIGINT) AS n_terms
+      |        FROM sc GROUP BY 1),
+      |cand AS (SELECT doc_id, bm25_micro, n_terms,
+      |           CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+      |             AS BIGINT) AS bm25_rank
+      |         FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 100),
+      |pos AS (SELECT t.doc_id, t.tok, CAST(t.pos AS BIGINT) AS pos
+      |        FROM t JOIN q USING (tok) JOIN cand USING (doc_id)),
+      |prox AS (SELECT p1.doc_id,
+      |           CAST(min(abs(p1.pos - p2.pos)) AS BIGINT) AS min_dist
+      |         FROM pos p1 JOIN pos p2
+      |           ON p1.doc_id = p2.doc_id AND p1.tok < p2.tok
+      |         GROUP BY 1)
+      |SELECT c.doc_id, c.bm25_micro, c.n_terms, c.bm25_rank,
+      |  COALESCE(x.min_dist, -1) AS min_dist,
+      |  c.bm25_micro + c.n_terms * 300000 +
+      |    (CASE WHEN x.min_dist IS NULL THEN 0
+      |          ELSE 1000000 // (1 + x.min_dist) END) AS rerank_micro
+      |FROM cand c LEFT JOIN prox x ON c.doc_id = x.doc_id
+      |ORDER BY rerank_micro DESC, c.doc_id LIMIT 10""") { (s, d) =>
+    val (scored, qTerms) = bm25Machinery(s, d)
+    // bounded candidate set: TakeOrdered top-100, then rank — a 100-row
+    // relation; localCheckpoint so the corpus-wide retrieval runs once
+    // across this plan's three uses of it
+    val cand = scored
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(100)
+      .localCheckpoint()
+      .withColumn("bm25_rank",
+        row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))).cast("long"))
+    val pos = rerankPositionsPlan(s, d, cand, qTerms).localCheckpoint()
+    val prox = pos.select(col("doc_id"), col("tok").as("t1"), col("pos").as("pp1"))
+      .join(pos.select(col("doc_id"), col("tok").as("t2"), col("pos").as("pp2")),
+        Seq("doc_id"))
+      .where(col("t1") < col("t2"))
+      .groupBy(col("doc_id"))
+      .agg(min(abs(col("pp1") - col("pp2"))).as("min_dist0"))
+    cand.join(prox, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bm25_micro"), col("n_terms"),
+        col("bm25_rank"),
+        coalesce(col("min_dist0"), lit(-1L)).as("min_dist"),
+        (col("bm25_micro") + col("n_terms") * lit(300000L) +
+          when(col("min_dist0").isNull, lit(0L))
+            .otherwise(expr("1000000 div (1 + min_dist0)")))
+          .as("rerank_micro"))
+      .orderBy(col("rerank_micro").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** k-hop BFS reachability over the verified near-dup pair graph —
@@ -3536,7 +3688,7 @@ object TextOps {
     q125PackSegments, q127PackIncremental, q59VocabCoverage,
     q64UnigramLogprob, q65LengthTrim, q68ChunkDedup, q69TopBigrams,
     q77BpeMerges, q79BpeEncode, q132TokenizerFertility, q80EpochMixture,
-    q93Boilerplate, q94Bm25,
+    q93Boilerplate, q94Bm25, q135Rerank,
     q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve,
     q133ShardManifest, q134IncrementalClusters)
 }

@@ -27,6 +27,29 @@ class ShardManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked prefix is depth-independent: levels=3 (the registered " +
+      "global-pass shape) == levels=2 == the plain window, at a block " +
+      "size small enough that the third level is non-degenerate") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = TextOps.packSequencesPlan(spark, sf, TextOps.PackBlockDocs)
+      .select(col("source"), col("seq_id").cast("long").as("doc_id"),
+        col("seq_tokens").as("n_tok"))
+    // blockDocs=4 on ~hundreds of bins: level-2 block totals are >4 rows
+    // per source, so the recursion genuinely re-blocks them
+    val l2 = TextOps.packOffsetsFrom(docs, 4L, levels = 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val l3 = TextOps.packOffsetsFrom(docs, 4L, levels = 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(l2.nonEmpty && l2.toSeq == l3.toSeq)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(l3.toSeq == naive.toSeq)
+  }
+
   test("manifest invariants: token conservation, dense shard ids, " +
       "cross-shard (source, seq_id) continuity, bin-count agreement " +
       "with q58") {

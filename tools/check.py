@@ -70,9 +70,24 @@ def main(sf_dir, out_dir):
         got_names = tbl.column_names
         got = rows_of([c.to_pylist() for c in tbl.columns], got_names)
         try:
-            cur = con.execute(sql)
-            exp_names = [d[0] for d in cur.description]
-            exp_cols = list(zip(*cur.fetchall())) or [[] for _ in exp_names]
+            rel = con.sql(sql)
+            exp_names = list(rel.columns)
+            # Oracle-output TYPE LINT: the driver hashes typed/encoded
+            # values, so an oracle column DuckDB widens past Spark's
+            # 64-bit types (HUGEINT from sum-of-BIGINT windows, DECIMAL
+            # from // or avg) hash-mismatches even when values are
+            # identical. check.py normalizes values and would mask it —
+            # fail loudly here instead (the q133/r14 class).
+            bad_types = [
+                f"{n}:{t}" for n, t in zip(exp_names, map(str, rel.types))
+                if t.upper() in ("HUGEINT", "UHUGEINT")
+                or t.upper().startswith("DECIMAL")]
+            if bad_types:
+                print(f"FAIL {name}: oracle type lint — driver-unhashable "
+                      f"column types {bad_types}; add CAST in the oracle SQL")
+                n_fail += 1
+                continue
+            exp_cols = list(zip(*rel.fetchall())) or [[] for _ in exp_names]
             exp_cols = [list(c) for c in exp_cols]
             exp = rows_of([[norm(v) for v in c] for c in exp_cols], exp_names)
         except Exception as e:
