@@ -2401,9 +2401,15 @@ object SimilarityOps {
     * FIXED 16-cell demo geometry, so the sf1→sf10 wall ratio is ~10×
     * (0.67 → 6.63 s, measured — the join term dominating once cells
     * hold 10⁴+ members). Holding it linear at scale means k ∝ n — the
-    * [[pairCells]] contract q34/q102 already implement; the math here
-    * is unchanged under any k, the demo keeps 16 so its oracle stays
-    * q123/q126's. */
+    * [[pairCells]] contract q34/q102 already implement, and (round 15)
+    * MEASURED on this query's own join shape via
+    * `graft.StreamIndexProbe` (`BENCH_Q129_KN_r15.json`): under
+    * k = pairCells(n), candidates grow 10.10× for 10× rows
+    * (per-delta-vector volume flat, 156.6 → 158.3 at 20k → 200k
+    * vectors) and the join wall 1.29×, where the same session's
+    * fixed-16 runs show the quadratic alternative (100× candidates,
+    * 16.3× wall). The math here is unchanged under any k; the demo
+    * keeps 16 so its oracle stays q123/q126's. */
   val q129StreamIndexPairs: QueryDef = sql(
     "q129_stream_index_pairs",
     s"""WITH d AS (SELECT vec_id, embedding,
