@@ -2254,8 +2254,13 @@ object TextOps {
     * offsets are bit-identical at any depth (`ShardManifestSpec` pins a
     * levels-2 ≡ levels-3 case alongside its block-size sweep). */
   private[graft] def packOffsetsFrom(
-      docs: DataFrame, blockDocs: Long, levels: Int = 2): DataFrame = {
+      docs: DataFrame, blockDocs: Long, levels: Int = 2,
+      innerBlockDocs: Long = -1L): DataFrame = {
     require(levels >= 2, s"prefix-sum depth must be >= 2, got $levels")
+    // callers with SPARSE ids (q136's virtual-time keys) block level 1
+    // by key range; the level-1 block ids handed to the recursion are
+    // DENSE, so deeper levels block by innerBlockDocs (row count)
+    val inner = if (innerBlockDocs > 0) innerBlockDocs else blockDocs
     val wLoc = Window.partitionBy(col("source"), col("blk"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2280,7 +2285,7 @@ object TextOps {
         packOffsetsFrom(
           blkTot.select(col("source"), col("blk").as("doc_id"),
             col("blk_tot").as("n_tok")),
-          blockDocs, levels - 1)
+          inner, levels - 1)
           .select(col("source"), col("doc_id").as("blk"),
             col("off").as("blk_off"))
     local.join(broadcast(blkOff), Seq("source", "blk"))
@@ -2428,6 +2433,133 @@ object TextOps {
         col("n_sources"),
         col("f.src").as("first_source"), col("f.seq_id").as("first_seq"),
         col("l.src").as("last_source"), col("l.seq_id").as("last_seq"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** MIXTURE-INTERLEAVED SHARD LAYOUT — the dataloader-order complement
+    * of [[q133ShardManifest]] (VERDICT r14 item 6b): q133 cuts shards in
+    * source-BLOCKED global order, so a sequential reader sees
+    * source-homogeneous runs; real mixture training wants each shard
+    * (and any prefix of the shard stream) to approximate the target
+    * mix. This query interleaves q58's packed sequences by STRIDE
+    * SCHEDULING (WFQ/stride virtual time, the deterministic form of
+    * every rate-based mixture dataloader): source s's sequence at
+    * within-source token position p (= seq_id·256) is scheduled at
+    * virtual time k = ⌊(seq_id+1)·2²⁴ / w_s⌋ with integer rate
+    * w_s = ⌊√T_s⌋ — the α = 0.5 temperature mixture (q114's recipe:
+    * rare sources up-weighted relative to natural share), all BIGINT
+    * arithmetic (⌊√·⌋ of a long is engine-identical: IEEE sqrt is
+    * correctly rounded). Sequences sort by (k, source, seq_id) — total,
+    * integer-exact — then 16,384-token shards are cut over THAT order.
+    * Per shard the manifest reports the mixing audit: sources spanned
+    * and the dominant source's token share in ppm (source-blocked q133
+    * shards sit at 1,000,000; interleaved shards approach the mixture).
+    *
+    * Scale shape: rates and the source index are |sources|-row
+    * broadcast aggregates; the interleave key is map-side arithmetic;
+    * the global prefix reuses [[packOffsetsFrom]] at depth 3 under the
+    * q133 pseudo-source trick with composite key k·2²⁵ + src_idx·2²⁰ +
+    * seq_id (orders identically to (k, source, seq_id); demo bounds
+    * |sources| ≤ 32, seq_id < 2²⁰ are require()d from one bins-sized
+    * aggregate). Virtual-time keys are SPARSE, so blocks are sized by
+    * key RANGE (one stats row picks blockEff ≈ key-span/(n/B) — any
+    * monotone blocking is exact, `InterleaveShardSpec` recomputes the
+    * whole layout from scratch); at 100 TB the prefix-over-interleaved-
+    * order is a range-partitioned sort by k + the same blocked prefix
+    * per range. bins is localCheckpointed once so the bounds/stats/main
+    * passes share one corpus scan. */
+  val q136InterleavedShards: QueryDef = sql(
+    "q136_interleaved_shards",
+    """WITH n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |b AS (SELECT source, doc_id, n_tok,
+      |        CAST(floor(off / 256.0) AS INT) AS seq_id FROM o),
+      |bins AS (SELECT source, seq_id,
+      |        CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+      |      FROM b GROUP BY 1, 2),
+      |ts AS (SELECT source,
+      |        CAST(floor(sqrt(CAST(sum(seq_tokens) AS BIGINT))) AS BIGINT)
+      |          AS w
+      |      FROM bins GROUP BY 1),
+      |ky AS (SELECT bins.source, bins.seq_id, bins.seq_tokens,
+      |        ((CAST(bins.seq_id AS BIGINT) + 1) * 16777216) // ts.w AS k
+      |      FROM bins JOIN ts USING (source)),
+      |r AS (SELECT source, seq_id, seq_tokens,
+      |        COALESCE(sum(seq_tokens) OVER (ORDER BY k, source, seq_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS tok_off
+      |      FROM ky),
+      |sh AS (SELECT source, seq_id, seq_tokens,
+      |        CAST(tok_off // 16384 AS BIGINT) AS shard_id FROM r),
+      |g1 AS (SELECT shard_id, source, count(*) AS n,
+      |        CAST(sum(seq_tokens) AS BIGINT) AS toks
+      |      FROM sh GROUP BY 1, 2)
+      |SELECT shard_id, CAST(sum(n) AS BIGINT) AS n_seqs,
+      |  CAST(sum(toks) AS BIGINT) AS shard_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_sources,
+      |  (max(toks) * 1000000) // CAST(sum(toks) AS BIGINT)
+      |    AS max_src_share_ppm
+      |FROM g1 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    interleavedShardsPlan(s, d, PackBlockDocs)
+  }
+
+  /** See [[q136InterleavedShards]]; split out for `InterleaveShardSpec`. */
+  private[graft] def interleavedShardsPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+    val bins = packSequencesPlan(s, d, blockDocs)
+      .select(col("source"), col("seq_id"), col("seq_tokens"))
+      .localCheckpoint()
+    val bounds = bins
+      .agg(max(col("seq_id")).as("mx_seq"),
+        countDistinct(col("source")).as("n_src"))
+      .collect()(0)
+    require(bounds.getInt(0) < (1 << 20) && bounds.getLong(1) <= 32L,
+      s"composite-key demo bounds exceeded: max seq_id ${bounds.getInt(0)}, " +
+        s"${bounds.getLong(1)} sources (production path: range-partition " +
+        "the sort by k instead of the packed composite)")
+    val rates = bins.groupBy(col("source"))
+      .agg(floor(sqrt(sum(col("seq_tokens")))).cast("long").as("w"))
+    val srcIdx = bins.select(col("source")).distinct()
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+    val keyed = bins
+      .join(broadcast(rates), "source")
+      .join(broadcast(srcIdx), "source")
+      .withColumn("k",
+        expr("((cast(seq_id as bigint) + 1) * cast(16777216 as bigint)) div w"))
+      .select(lit("_g").as("source"),
+        (col("k") * (1L << 25) + col("src_idx") * (1L << 20) +
+          col("seq_id").cast("long")).as("doc_id"),
+        col("seq_tokens").as("n_tok"))
+    // virtual-time keys are sparse: size blocks by key RANGE so the
+    // blocked prefix still forms ~n/B groups (any monotone blocking is
+    // offset-exact; see packOffsetsFrom)
+    val st = keyed.agg(max(col("doc_id")).as("mx"), count(lit(1)).as("n"))
+      .collect()(0)
+    val blockEff = math.max(blockDocs,
+      (st.getLong(0) + 1) / math.max(1L, st.getLong(1) / blockDocs) + 1)
+    val ranked = packOffsetsFrom(keyed, blockEff, levels = 3,
+        innerBlockDocs = blockDocs)
+      .withColumn("src_idx",
+        shiftright(col("doc_id"), 20).bitwiseAND(lit(31L)))
+      .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
+    ranked
+      .join(broadcast(srcIdx.select(col("source").as("src"), col("src_idx"))),
+        "src_idx")
+      .groupBy(col("shard_id"), col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"))
+      .groupBy(col("shard_id"))
+      .agg(sum(col("n")).as("n_seqs"),
+        sum(col("toks")).as("shard_tokens"),
+        count(lit(1)).as("n_sources"),
+        max(col("toks")).as("mx_toks"))
+      .select(col("shard_id"), col("n_seqs"), col("shard_tokens"),
+        col("n_sources"),
+        expr("(mx_toks * 1000000) div shard_tokens").as("max_src_share_ppm"))
       .orderBy(col("shard_id"))
   }
 
@@ -3690,5 +3822,5 @@ object TextOps {
     q77BpeMerges, q79BpeEncode, q132TokenizerFertility, q80EpochMixture,
     q93Boilerplate, q94Bm25, q135Rerank,
     q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve,
-    q133ShardManifest, q134IncrementalClusters)
+    q133ShardManifest, q134IncrementalClusters, q136InterleavedShards)
 }

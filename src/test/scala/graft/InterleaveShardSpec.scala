@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** q136 mixture-interleaved shards: the whole layout (stride keys,
+  * interleaved order, shard cuts, manifest stats) must equal a
+  * from-scratch Scala recompute off q58's bins, and the interleaving
+  * must measurably mix — every shard spans more sources than the
+  * source-blocked q133 layout's average, with a dominant-source share
+  * far from the blocked layout's 100%.
+  */
+class InterleaveShardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.01"
+
+  test("manifest equals a from-scratch recompute (stride keys, global " +
+      "interleaved prefix, shard cuts, per-shard mixing stats)") {
+    val bins = TextOps.packSequencesPlan(spark, sf, TextOps.PackBlockDocs)
+      .select("source", "seq_id", "seq_tokens").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val tSrc = bins.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val w = tSrc.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val ordered = bins
+      .map { case (s, q, tok) => (((q + 1L) * 16777216L) / w(s), s, q, tok) }
+      .sortBy { case (k, s, q, _) => (k, s, q) }
+    var off = 0L
+    val assigned = ordered.map { case (_, s, q, tok) =>
+      val shard = off / 16384L
+      off += tok
+      (shard, s, q, tok)
+    }
+    val expected = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (shard, rs) =>
+        val bySrc = rs.groupBy(_._2).map { case (_, xs) => xs.map(_._4).sum }
+        (shard, rs.length.toLong, rs.map(_._4).sum, bySrc.size.toLong,
+          bySrc.max * 1000000L / rs.map(_._4).sum)
+    }
+    val got = SparkEntry.queries("q136_interleaved_shards")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    // token conservation + dense ids fall out of the equality, but make
+    // the invariants explicit
+    assert(got.map(_._3).sum == bins.map(_._3).sum)
+    assert(got.map(_._1) == got.indices.map(_.toLong))
+  }
+
+  test("interleaving mixes: every q136 shard spans at least as many " +
+      "sources as the source-blocked q133 layout's average, and no " +
+      "source dominates") {
+    val inter = SparkEntry.queries("q136_interleaved_shards")(spark, sf)
+      .collect()
+    val blocked = SparkEntry.queries("q133_shard_manifest")(spark, sf)
+      .collect()
+    val blockedAvgSources =
+      blocked.map(_.getLong(3)).sum.toDouble / blocked.length
+    inter.foreach { r =>
+      assert(r.getLong(3) >= blockedAvgSources.floor.toLong,
+        s"shard ${r.getLong(0)} spans only ${r.getLong(3)} sources " +
+          s"(blocked layout averages $blockedAvgSources)")
+      assert(r.getLong(4) < 500000L,
+        s"shard ${r.getLong(0)} dominated: ${r.getLong(4)} ppm")
+    }
+  }
+
+  test("layout is block-size independent (key-range blocking at any " +
+      "granularity is offset-exact)") {
+    val ref = TextOps.interleavedShardsPlan(spark, sf, TextOps.PackBlockDocs)
+      .collect().map(_.toSeq).toSeq
+    for (b <- Seq(1L, 17L, 1000000L)) {
+      val alt = TextOps.interleavedShardsPlan(spark, sf, b)
+        .collect().map(_.toSeq).toSeq
+      assert(alt == ref, s"layout diverges at blockDocs=$b")
+    }
+  }
+}

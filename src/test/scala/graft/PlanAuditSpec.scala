@@ -719,6 +719,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q136 interleaved shards: no corpus-wide window — row_number " +
+      "windows consume aggregates, the interleaved token prefix rides " +
+      "the blocked partitioning, rate/index joins broadcast") {
+    val plan = finalPlan(
+      SparkEntry.queries("q136_interleaved_shards")(spark, "/root/testdata/sf0.01"))
+    val rn = plan.split("Window \\[row_number").drop(1)
+    assert(rn.nonEmpty && rn.forall(_.contains("HashAggregate")),
+      s"a row_number window runs over non-aggregated (corpus) input:\n$plan")
+    assert(plan.contains("windowspecdefinition(blk#"),
+      s"the interleaved prefix must use the blocked form:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("q122 bucketed join: sort-merge with NO exchange below the " +
       "join — bucketing replaces the per-query shuffle") {
     val plan = finalPlan(
