@@ -1929,10 +1929,9 @@ object SimilarityOps {
       |      FROM f QUALIFY fused_rank <= 10)
       |SELECT q_id, doc_id, lex_rank, sem_rank, rrf_micro, fused_rank
       |FROM r ORDER BY q_id, fused_rank""") { (s, d) =>
-    val toksQ = split(trim(col("text")), " ")
-    val tf = documents(s, d)
-      .select(col("doc_id"), explode(toksQ).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // shared per-snapshot postings artifact (one tokenize+aggregate
+    // per corpus snapshot for the whole retrieval family — round 15)
+    val tf = graft.operators.TextOps.tfPostings(s, d)
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("nd"),

@@ -3394,6 +3394,22 @@ object TextOps {
       .select(col("doc_id"), col("tok"),
         (col("pos0") + 1).cast("long").as("pos"))
 
+  /** Per-(session, corpus-snapshot) POSTINGS artifact shared by the
+    * retrieval family (q94 retrieve / q113 hybrid fusion / q135
+    * rerank): the (doc_id, tok, tf) term-frequency relation, reliably
+    * disk-checkpointed once per snapshot like the shingle index —
+    * every retrieval query probes the artifact (and each of its
+    * several per-query references reads the checkpoint) instead of
+    * re-tokenizing the corpus per reference. At 100 TB this is THE
+    * retrieval index build: one tokenize+aggregate pass per corpus
+    * snapshot persisted to shared storage, amortized over every
+    * retrieve/fuse/rerank query against that snapshot. */
+  private[graft] def tfPostings(s: SparkSession, d: String): DataFrame =
+    cachedCheckpoint("tfPostings", s, d)(
+      documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+
   /** The BM25 scoring relation shared by the retrieve (q94) and rerank
     * (q135) stages: returns (scored, qTerms) where `scored` is one row
     * per matching document (doc_id, bm25_micro, n_terms) and `qTerms`
@@ -3401,9 +3417,7 @@ object TextOps {
     * exactness and scale argument. */
   private[graft] def bm25Machinery(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val tf = documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = tfPostings(s, d)
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("nd"),
