@@ -2563,6 +2563,159 @@ object TextOps {
       .orderBy(col("shard_id"))
   }
 
+  /** INCREMENTAL SHARD-MANIFEST UPDATE — the shard layer's member of
+    * the incremental family (q76 dedup / q127 packing / q129 ANN index /
+    * q134 clusters): an append arrives (doc_id > ⌊0.9·max⌋, q127's
+    * snapshot-boundary convention) and the PER-SOURCE shard manifest
+    * (16,384-token shards over each source's packed 256-token bins)
+    * must be updated WITHOUT re-ranking the base corpus. Because every
+    * offset is an exclusive prefix sum and appends sort last in
+    * (source, doc_id) order, an ingest can only EXTEND each source's
+    * boundary shard and append new shards — shards before the boundary
+    * are immutable. Output: the affected rows only (shard_idx ≥ the
+    * boundary shard S0), per (source, shard): sequence count and token
+    * mass — exactly the full rebuild's rows for those shards (the
+    * oracle builds the full per-source manifest and filters; bit-equal
+    * composition, all long arithmetic).
+    *
+    * Scale shape: the base contributes two per-snapshot CACHED
+    * artifacts (its bin relation and its shard manifest — the
+    * q123/q127/q134 convention; a production pipeline persists the
+    * |sources|-row boundary state directly) plus a |sources|-row
+    * boundary-state aggregate over the cached bins; per-ingest compute
+    * is DELTA-sized: the delta's own blocked prefix, one bins-group,
+    * a composed prefix over (boundary bin ∪ delta bins), and
+    * broadcast joins of |sources|-row state. Nothing corpus-sized
+    * recomputes per ingest. */
+  val q137IncrementalShards: QueryDef = sql(
+    "q137_incremental_shard_update",
+    """WITH n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |b AS (SELECT source, doc_id, n_tok,
+      |        CAST(floor(off / 256.0) AS INT) AS seq_id FROM o),
+      |bins AS (SELECT source, seq_id,
+      |        CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+      |      FROM b GROUP BY 1, 2),
+      |r AS (SELECT source, seq_id, seq_tokens,
+      |        COALESCE(sum(seq_tokens) OVER (PARTITION BY source
+      |          ORDER BY seq_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS bin_off
+      |      FROM bins),
+      |full_sh AS (SELECT source,
+      |        CAST(bin_off // 16384 AS BIGINT) AS shard_idx,
+      |        CAST(count(*) AS BIGINT) AS n_seqs,
+      |        CAST(sum(seq_tokens) AS BIGINT) AS shard_tokens
+      |      FROM r GROUP BY 1, 2),
+      |ds AS (SELECT DISTINCT source FROM n CROSS JOIN cut WHERE doc_id > c),
+      |tb AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_base
+      |       FROM n CROSS JOIN cut WHERE doc_id <= c GROUP BY source),
+      |s0 AS (SELECT r.source, CAST(r.bin_off // 16384 AS BIGINT) AS s0
+      |       FROM r JOIN (SELECT ds.source, COALESCE(tb.t_base, 0) AS t_base
+      |                    FROM ds LEFT JOIN tb USING (source)) x
+      |         USING (source)
+      |       WHERE r.seq_id = CAST(floor(x.t_base / 256.0) AS INT))
+      |SELECT f.source, f.shard_idx, f.n_seqs, f.shard_tokens
+      |FROM full_sh f JOIN s0 USING (source)
+      |WHERE f.shard_idx >= s0.s0
+      |ORDER BY f.source, f.shard_idx""") { (s, d) =>
+    incrementalShardPlan(s, d, PackBlockDocs)
+  }
+
+  /** (source, seq_id, seq_tokens) bins of an offset relation. */
+  private def binsOf(off: DataFrame): DataFrame =
+    off.withColumn("seq_id", floor(col("off") / 256.0).cast("int"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("n_tok")).cast("long").as("seq_tokens"))
+
+  /** Per-source 16,384-token shard rows of a bin relation. */
+  private def shardRowsOf(bins: DataFrame, blockDocs: Long): DataFrame =
+    packOffsetsFrom(
+      bins.select(col("source"), col("seq_id").cast("long").as("doc_id"),
+        col("seq_tokens").as("n_tok")),
+      blockDocs)
+      .withColumn("shard_idx", floor(col("off") / 16384.0).cast("long"))
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_tok")).as("shard_tokens"))
+
+  /** See [[q137IncrementalShards]]; split out for `IncrShardSpec`. */
+  private[graft] def incrementalShardPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+    val docsAll = documents(s, d)
+      .select(col("source"), col("doc_id"), size(toks(col("text"))).as("n_tok"))
+    val cutoff =
+      docsAll.agg(max(col("doc_id")).cast("long")).first().getLong(0) * 9L / 10L
+    // per-snapshot cached artifacts (q127/q134 convention)
+    val baseBins = cachedCheckpoint("incrShardBaseBins", s, d)(
+      binsOf(packOffsetsFrom(docsAll.filter(col("doc_id") <= cutoff), blockDocs)))
+    val baseMan = cachedCheckpoint("incrShardBaseMan", s, d)(
+      shardRowsOf(baseBins, blockDocs))
+    // |sources|-row boundary state off the cached bins: base token total
+    // T, the boundary bin B0 = ⌊T/256⌋, its base token mass (0 when no
+    // base doc STARTS in it), the bin's start offset, and the boundary
+    // shard S0 — what a production pipeline persists per snapshot
+    val tBase = baseBins.groupBy(col("source"))
+      .agg(sum(col("seq_tokens")).cast("long").as("t_base"))
+      .withColumn("b0", expr("t_base div 256").cast("int"))
+    val b0Tok = baseBins
+      .join(tBase, Seq("source"))
+      .filter(col("seq_id") === col("b0"))
+      .select(col("source"), col("seq_tokens").as("b0_base_tokens"))
+    val state = tBase.join(b0Tok, Seq("source"), "left")
+      .withColumn("b0_base_tokens", coalesce(col("b0_base_tokens"), lit(0L)))
+      .withColumn("start_off", col("t_base") - col("b0_base_tokens"))
+      .withColumn("s0", expr("start_off div 16384"))
+    // delta bins: offsets compose as base-total + the delta's OWN
+    // blocked prefix (appends sort last per source)
+    val deltaBins = packOffsetsFrom(
+        docsAll.filter(col("doc_id") > cutoff), blockDocs)
+      .join(broadcast(state.select(col("source"), col("t_base"))),
+        Seq("source"), "left")
+      .withColumn("off", col("off") + coalesce(col("t_base"), lit(0L)))
+      .drop("t_base")
+      .transform(binsOf)
+    // composed boundary stream: the base boundary bin (if it has base
+    // mass) plus every delta bin, re-binned — the only bins whose shard
+    // rows an append can touch
+    val composed = state.filter(col("b0_base_tokens") > 0)
+      .select(col("source"), col("b0").as("seq_id"),
+        col("b0_base_tokens").as("seq_tokens"))
+      .unionByName(deltaBins)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("seq_tokens")).cast("long").as("seq_tokens"))
+    val cRows = packOffsetsFrom(
+        composed.select(col("source"), col("seq_id").cast("long").as("doc_id"),
+          col("seq_tokens").as("n_tok")),
+        blockDocs)
+      .join(broadcast(state.select(col("source"), col("start_off"))),
+        Seq("source"), "left")
+      .withColumn("off", col("off") + coalesce(col("start_off"), lit(0L)))
+      .withColumn("shard_idx", floor(col("off") / 16384.0).cast("long"))
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(count(lit(1)).as("n_seqs_c"), sum(col("n_tok")).as("tokens_c"))
+    // boundary-shard adjustment: the base manifest's S0 row minus the
+    // boundary bin's own base contribution (it re-enters via composed)
+    val adj = baseMan
+      .join(broadcast(state.select(col("source"), col("s0"),
+        col("b0_base_tokens"))), Seq("source"))
+      .filter(col("shard_idx") === col("s0"))
+      .select(col("source"), col("shard_idx"),
+        (col("n_seqs") -
+          when(col("b0_base_tokens") > 0, 1L).otherwise(0L)).as("adj_seqs"),
+        (col("shard_tokens") - col("b0_base_tokens")).as("adj_tokens"))
+    cRows.join(adj, Seq("source", "shard_idx"), "left")
+      .select(col("source"), col("shard_idx"),
+        (col("n_seqs_c") + coalesce(col("adj_seqs"), lit(0L))).as("n_seqs"),
+        (col("tokens_c") + coalesce(col("adj_tokens"), lit(0L)))
+          .as("shard_tokens"))
+      .orderBy(col("source"), col("shard_idx"))
+  }
+
   /** GPU-shape-aware packing layout — q58's bins taken the rest of the
     * way to what a training dataloader actually consumes: every document
     * is SPLIT at the 256-token sequence boundaries into attention-mask
@@ -3836,5 +3989,6 @@ object TextOps {
     q77BpeMerges, q79BpeEncode, q132TokenizerFertility, q80EpochMixture,
     q93Boilerplate, q94Bm25, q135Rerank,
     q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve,
-    q133ShardManifest, q134IncrementalClusters, q136InterleavedShards)
+    q133ShardManifest, q134IncrementalClusters, q136InterleavedShards,
+    q137IncrementalShards)
 }
