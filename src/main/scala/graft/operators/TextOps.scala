@@ -2666,10 +2666,17 @@ object TextOps {
       .join(tBase, Seq("source"))
       .filter(col("seq_id") === col("b0"))
       .select(col("source"), col("seq_tokens").as("b0_base_tokens"))
+    // the oracle's ds CTE: only sources that actually received an
+    // append emit rows — a source absent from the delta is untouched,
+    // so its boundary state must not enter the composed stream (it
+    // would re-emit an unchanged boundary-shard row the oracle omits)
+    val deltaSrcs = docsAll.filter(col("doc_id") > cutoff)
+      .select(col("source")).distinct()
     val state = tBase.join(b0Tok, Seq("source"), "left")
       .withColumn("b0_base_tokens", coalesce(col("b0_base_tokens"), lit(0L)))
       .withColumn("start_off", col("t_base") - col("b0_base_tokens"))
       .withColumn("s0", expr("start_off div 16384"))
+      .join(broadcast(deltaSrcs), Seq("source"), "left_semi")
     // delta bins: offsets compose as base-total + the delta's OWN
     // blocked prefix (appends sort last per source)
     val deltaBins = packOffsetsFrom(

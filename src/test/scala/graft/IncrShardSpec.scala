@@ -82,6 +82,53 @@ class IncrShardSpec extends AnyFunSuite {
     }
   }
 
+  test("a source with NO appended docs emits nothing (oracle ds-CTE " +
+      "semantics): delta-source restriction") {
+    import org.apache.spark.sql.functions._
+    // synthetic corpus: max doc_id = 100 → cutoff 90; source "c" has
+    // every doc ≤ 90 (absent from the delta), "a" and "b" straddle it
+    val rows = Seq(
+      ("a", 1L, 300L), ("a", 10L, 200L), ("a", 95L, 500L),
+      ("b", 2L, 100L), ("b", 50L, 40000L), ("b", 100L, 700L),
+      ("c", 3L, 20000L), ("c", 60L, 123L), ("c", 90L, 77L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("incrshard_ds").toString
+    spark.createDataFrame(rows.map { case (s, id, n) =>
+      (s, id, Seq.fill(n.toInt)("w").mkString(" "))
+    }).toDF("source", "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cut = 90L
+    val full = shardRows(rows)
+    val deltaSrc = rows.filter(_._2 > cut).map(_._1).toSet
+    assert(deltaSrc == Set("a", "b"))
+    val tBase = rows.filter(_._2 <= cut).groupBy(_._1)
+      .map { case (s, ds) => s -> ds.map(_._3).sum }
+    val s0 = deltaSrc.map { src =>
+      val t = tBase.getOrElse(src, 0L)
+      val b0 = (t / 256L).toInt
+      var off = 0L
+      val bins = scala.collection.mutable.Map[Int, Long]()
+      rows.filter(r => r._1 == src && r._2 <= cut).sortBy(_._2)
+        .foreach { case (_, _, n) =>
+          bins((off / 256L).toInt) = bins.getOrElse((off / 256L).toInt, 0L) + n
+          off += n
+        }
+      src -> (t - bins.getOrElse(b0, 0L)) / 16384L
+    }.toMap
+    val expected = full.toSeq.collect {
+      case ((src, shard), (n, tok)) if deltaSrc(src) && shard >= s0(src) =>
+        (src, shard, n, tok)
+    }.sortBy { case (s, sh, _, _) => (s, sh) }
+    for (b <- Seq(1L, TextOps.PackBlockDocs)) {
+      val got = TextOps.incrementalShardPlan(spark, dir, b).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(!got.exists(_._1 == "c"),
+        s"source with no delta docs emitted rows at blockDocs=$b")
+      assert(got == expected, s"diverges at blockDocs=$b")
+    }
+  }
+
   test("unemitted rows are immutable: the full rebuild below each " +
       "source's boundary shard equals the base-only build") {
     val cut = docs.map(_._2).max * 9L / 10L
