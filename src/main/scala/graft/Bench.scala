@@ -29,6 +29,12 @@ object Bench {
       .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // host-phase sentinel (see PhaseSentinel): a fixed pinned micro-run
+    // + load/gc read BEFORE the suite, repeated after it, both stamped
+    // into the artifact so an inflated total carries its own
+    // clean-vs-degraded-host attribution
+    val sentinelPre = PhaseSentinel.json(cpus.toInt)
+    System.err.println(s"[bench] sentinel_pre $sentinelPre")
     // generic warmup so JVM/classloader/codegen startup is not billed to
     // whichever query happens to run first
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -142,11 +148,14 @@ object Bench {
     val total =
       if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val wallSecs = (System.nanoTime() - wall0) / 1e9
+    val sentinelPost = PhaseSentinel.json(cpus.toInt)
+    System.err.println(s"[bench] sentinel_post $sentinelPost")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","wall":$wallSecs,""" +
         s""""queries":${obj(results)},""" +
         s""""pass1":${obj(p1)},"pass2":${obj(p2)},"failed":$failedArr,""" +
-        s""""diag":$diag,"sf":"$sfDir"}"""
+        s""""diag":$diag,"sentinel_pre":$sentinelPre,""" +
+        s""""sentinel_post":$sentinelPost,"sf":"$sfDir"}"""
     // belt + braces for the driver's parser: a file copy in target/, a
     // greppable sentinel line, and the contract's bare JSON as the
     // absolute LAST stdout line (after spark.stop(), so no shutdown
@@ -184,7 +193,9 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
       s""""wall":${fmt2(wallSecs)},"queries":$compactQ,"failed":$failedArr,""" +
-      s""""diag":$compactDiag,"sf":"$sfDir","full":"target/bench.json"}""")
+      s""""diag":$compactDiag,"sentinel_pre":$sentinelPre,""" +
+      s""""sentinel_post":$sentinelPost,"sf":"$sfDir",""" +
+      s""""full":"target/bench.json"}""")
     System.out.flush()
     // Long suites have been observed to linger after spark.stop() on a
     // non-daemon thread; everything is flushed and the session stopped,
