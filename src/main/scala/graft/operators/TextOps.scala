@@ -2459,15 +2459,18 @@ object TextOps {
     * broadcast aggregates; the interleave key is map-side arithmetic;
     * the global prefix reuses [[packOffsetsFrom]] at depth 3 under the
     * q133 pseudo-source trick with composite key k·2²⁵ + src_idx·2²⁰ +
-    * seq_id (orders identically to (k, source, seq_id); demo bounds
-    * |sources| ≤ 32, seq_id < 2²⁰ are require()d from one bins-sized
-    * aggregate). Virtual-time keys are SPARSE, so blocks are sized by
-    * key RANGE (one stats row picks blockEff ≈ key-span/(n/B) — any
-    * monotone blocking is exact, `InterleaveShardSpec` recomputes the
-    * whole layout from scratch); at 100 TB the prefix-over-interleaved-
-    * order is a range-partitioned sort by k + the same blocked prefix
-    * per range. bins is localCheckpointed once so the bounds/stats/main
-    * passes share one corpus scan. */
+    * seq_id (orders identically to (k, source, seq_id)) WHEN the key
+    * fits (|sources| ≤ 32, seq_id < 2²⁰, checked from one bins-sized
+    * aggregate); corpora past those bounds route AUTOMATICALLY through
+    * [[interleaveOffsetsByRange]] — the same prefix computed by
+    * key-range blocking on k directly, no packing, bit-identical
+    * offsets (`InterleaveShardSpec` pins composite ≡ range on in-bounds
+    * data and drives an out-of-bounds corpus through the fallback).
+    * Virtual-time keys are SPARSE, so blocks are sized by key RANGE
+    * (one stats row picks blockEff ≈ key-span/(n/B) — any monotone
+    * blocking is exact, `InterleaveShardSpec` recomputes the whole
+    * layout from scratch). bins is localCheckpointed once so the
+    * bounds/stats/main passes share one corpus scan. */
   val q136InterleavedShards: QueryDef = sql(
     "q136_interleaved_shards",
     """WITH n AS (SELECT source, doc_id,
@@ -2507,9 +2510,51 @@ object TextOps {
     interleavedShardsPlan(s, d, PackBlockDocs)
   }
 
-  /** See [[q136InterleavedShards]]; split out for `InterleaveShardSpec`. */
+  /** Production interleave prefix — the composite key's "range-partition
+    * the sort by k" recipe as code: the global exclusive running sum
+    * over (k, src, seq_id) order via KEY-RANGE blocking on the
+    * virtual-time key itself. Blocking by a PREFIX of the sort key is
+    * monotone (k alone picks the block, so every row of block i
+    * precedes every row of block j > i); key ties complete their
+    * (k, src, seq_id) order inside the block's window; and the
+    * block-totals table rides [[packOffsetsFrom]] under a constant
+    * pseudo-source, so no single task ever sorts more than ~n/B² rows.
+    * Every sum is over longs — bit-identical to the packed-composite
+    * route on in-bounds data (`InterleaveShardSpec` pins the equality)
+    * and free of that route's |sources| ≤ 32 / seq_id < 2²⁰ bounds:
+    * this is the deployment path when a corpus has hundreds of sources
+    * or virtual times past the packed key's headroom. */
+  private[graft] def interleaveOffsetsByRange(
+      keyed: DataFrame, blockDocs: Long): DataFrame = {
+    val st = keyed.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+      count(lit(1)).as("n")).collect()(0)
+    val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val span = math.max(1L, (mx - mn + 1) / math.max(1L, n / blockDocs))
+    val wLoc = Window.partitionBy(col("blk"))
+      .orderBy(col("k"), col("src"), col("seq_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = keyed
+      .withColumn("blk", expr(s"(k - ${mn}L) div ${span}L"))
+      .withColumn("loc_off", coalesce(sum(col("n_tok")).over(wLoc), lit(0L)))
+    val blkOff = packOffsetsFrom(
+      local.groupBy(col("blk")).agg(sum(col("n_tok")).as("blk_tot"))
+        .select(lit("_g").as("source"), col("blk").as("doc_id"),
+          col("blk_tot").as("n_tok")),
+      blockDocs)
+      .select(col("doc_id").as("blk"), col("off").as("blk_off"))
+    local.join(broadcast(blkOff), Seq("blk"))
+      .withColumn("off", col("blk_off") + col("loc_off"))
+      .select(col("src"), col("seq_id"), col("n_tok"), col("off"))
+  }
+
+  /** See [[q136InterleavedShards]]; split out for `InterleaveShardSpec`.
+    * `forceRange` routes an in-bounds corpus through the production
+    * range-blocked path so the spec can pin composite ≡ range
+    * bit-equality; out-of-bounds corpora take that path AUTOMATICALLY
+    * (the former demo-bounds require() is now a route, not a wall). */
   private[graft] def interleavedShardsPlan(
-      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+      s: SparkSession, d: String, blockDocs: Long,
+      forceRange: Boolean = false): DataFrame = {
     val bins = packSequencesPlan(s, d, blockDocs)
       .select(col("source"), col("seq_id"), col("seq_tokens"))
       .localCheckpoint()
@@ -2517,39 +2562,54 @@ object TextOps {
       .agg(max(col("seq_id")).as("mx_seq"),
         countDistinct(col("source")).as("n_src"))
       .collect()(0)
-    require(bounds.getInt(0) < (1 << 20) && bounds.getLong(1) <= 32L,
-      s"composite-key demo bounds exceeded: max seq_id ${bounds.getInt(0)}, " +
-        s"${bounds.getLong(1)} sources (production path: range-partition " +
-        "the sort by k instead of the packed composite)")
+    // the packed composite k·2²⁵ + src_idx·2²⁰ + seq_id is the cheap
+    // route (single-long sort key) when it fits; otherwise the range-
+    // blocked production path — identical offsets either way
+    val compositeFits =
+      bounds.getInt(0) < (1 << 20) && bounds.getLong(1) <= 32L
     val rates = bins.groupBy(col("source"))
       .agg(floor(sqrt(sum(col("seq_tokens")))).cast("long").as("w"))
-    val srcIdx = bins.select(col("source")).distinct()
-      .withColumn("src_idx",
-        (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
-    val keyed = bins
-      .join(broadcast(rates), "source")
-      .join(broadcast(srcIdx), "source")
-      .withColumn("k",
-        expr("((cast(seq_id as bigint) + 1) * cast(16777216 as bigint)) div w"))
-      .select(lit("_g").as("source"),
-        (col("k") * (1L << 25) + col("src_idx") * (1L << 20) +
-          col("seq_id").cast("long")).as("doc_id"),
-        col("seq_tokens").as("n_tok"))
-    // virtual-time keys are sparse: size blocks by key RANGE so the
-    // blocked prefix still forms ~n/B groups (any monotone blocking is
-    // offset-exact; see packOffsetsFrom)
-    val st = keyed.agg(max(col("doc_id")).as("mx"), count(lit(1)).as("n"))
-      .collect()(0)
-    val blockEff = math.max(blockDocs,
-      (st.getLong(0) + 1) / math.max(1L, st.getLong(1) / blockDocs) + 1)
-    val ranked = packOffsetsFrom(keyed, blockEff, levels = 3,
-        innerBlockDocs = blockDocs)
-      .withColumn("src_idx",
-        shiftright(col("doc_id"), 20).bitwiseAND(lit(31L)))
+    val withOff: DataFrame =
+      if (compositeFits && !forceRange) {
+        val srcIdx = bins.select(col("source")).distinct()
+          .withColumn("src_idx",
+            (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+        val keyed = bins
+          .join(broadcast(rates), "source")
+          .join(broadcast(srcIdx), "source")
+          .withColumn("k",
+            expr("((cast(seq_id as bigint) + 1) * cast(16777216 as bigint)) div w"))
+          .select(lit("_g").as("source"),
+            (col("k") * (1L << 25) + col("src_idx") * (1L << 20) +
+              col("seq_id").cast("long")).as("doc_id"),
+            col("seq_tokens").as("n_tok"))
+        // virtual-time keys are sparse: size blocks by key RANGE so the
+        // blocked prefix still forms ~n/B groups (any monotone blocking
+        // is offset-exact; see packOffsetsFrom)
+        val st = keyed.agg(max(col("doc_id")).as("mx"), count(lit(1)).as("n"))
+          .collect()(0)
+        val blockEff = math.max(blockDocs,
+          (st.getLong(0) + 1) / math.max(1L, st.getLong(1) / blockDocs) + 1)
+        packOffsetsFrom(keyed, blockEff, levels = 3,
+            innerBlockDocs = blockDocs)
+          .withColumn("src_idx",
+            shiftright(col("doc_id"), 20).bitwiseAND(lit(31L)))
+          .join(broadcast(
+            srcIdx.select(col("source").as("src"), col("src_idx"))),
+            "src_idx")
+          .select(col("src"), col("n_tok"), col("off"))
+      } else {
+        interleaveOffsetsByRange(
+          bins.join(broadcast(rates), "source")
+            .withColumn("k",
+              expr("((cast(seq_id as bigint) + 1) * cast(16777216 as bigint)) div w"))
+            .select(col("source").as("src"), col("seq_id"),
+              col("seq_tokens").as("n_tok"), col("k")),
+          blockDocs)
+          .select(col("src"), col("n_tok"), col("off"))
+      }
+    withOff
       .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
-    ranked
-      .join(broadcast(srcIdx.select(col("source").as("src"), col("src_idx"))),
-        "src_idx")
       .groupBy(col("shard_id"), col("src"))
       .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"))
       .groupBy(col("shard_id"))

@@ -15,11 +15,10 @@ class InterleaveShardSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   private val sf = "/root/testdata/sf0.01"
 
-  test("manifest equals a from-scratch recompute (stride keys, global " +
-      "interleaved prefix, shard cuts, per-shard mixing stats)") {
-    val bins = TextOps.packSequencesPlan(spark, sf, TextOps.PackBlockDocs)
-      .select("source", "seq_id", "seq_tokens").collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+  // from-scratch manifest recompute off (source, seq_id, seq_tokens)
+  // bins: stride keys, total interleaved order, shard cuts, mixing stats
+  private def expectedManifest(bins: Seq[(String, Int, Long)])
+      : Seq[(Long, Long, Long, Long, Long)] = {
     val tSrc = bins.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
     val w = tSrc.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
     val ordered = bins
@@ -31,12 +30,23 @@ class InterleaveShardSpec extends AnyFunSuite {
       off += tok
       (shard, s, q, tok)
     }
-    val expected = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+    assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (shard, rs) =>
         val bySrc = rs.groupBy(_._2).map { case (_, xs) => xs.map(_._4).sum }
         (shard, rs.length.toLong, rs.map(_._4).sum, bySrc.size.toLong,
           bySrc.max * 1000000L / rs.map(_._4).sum)
     }
+  }
+
+  private def binsOf(dir: String): Seq[(String, Int, Long)] =
+    TextOps.packSequencesPlan(spark, dir, TextOps.PackBlockDocs)
+      .select("source", "seq_id", "seq_tokens").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+
+  test("manifest equals a from-scratch recompute (stride keys, global " +
+      "interleaved prefix, shard cuts, per-shard mixing stats)") {
+    val bins = binsOf(sf)
+    val expected = expectedManifest(bins)
     val got = SparkEntry.queries("q136_interleaved_shards")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -76,5 +86,43 @@ class InterleaveShardSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
       assert(alt == ref, s"layout diverges at blockDocs=$b")
     }
+  }
+
+  test("production range-blocked path is bit-equal to the packed " +
+      "composite on in-bounds data, at several block sizes") {
+    val ref = TextOps.interleavedShardsPlan(spark, sf, TextOps.PackBlockDocs)
+      .collect().map(_.toSeq).toSeq
+    for (b <- Seq(1L, TextOps.PackBlockDocs)) {
+      val rng = TextOps
+        .interleavedShardsPlan(spark, sf, b, forceRange = true)
+        .collect().map(_.toSeq).toSeq
+      assert(rng == ref, s"range path diverges at blockDocs=$b")
+    }
+  }
+
+  test("out-of-bounds corpus (33 sources) routes through the range " +
+      "fallback automatically and matches the from-scratch recompute") {
+    import org.apache.spark.sql.functions._
+    // 33 sources breaks the composite key's |sources| ≤ 32 bound — the
+    // former require(); deterministic doc sizes, a few shards of mass
+    val rows = for {
+      s <- 0 until 33
+      d <- 0 until 12
+    } yield (f"src$s%02d", d.toLong, 200 + (s * 31 + d * 7) % 900)
+    val dir = java.nio.file.Files
+      .createTempDirectory("interleave_oob").toString
+    spark.createDataFrame(rows.map { case (s, id, n) =>
+      (s, id, Seq.fill(n)("w").mkString(" "))
+    }).toDF("source", "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = expectedManifest(binsOf(dir))
+    val got = TextOps
+      .interleavedShardsPlan(spark, dir, TextOps.PackBlockDocs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    assert(got.map(_._4).max > 1L) // shards genuinely mix sources
   }
 }
