@@ -28,6 +28,55 @@ object RecallProbe {
     // {vec_id % sampleMod == 0}. The round-14 instrument for the one
     // extrapolated ANN claim: the hier escape tier engaging ON ITS OWN
     // past FusedCollectKnee (~450k vectors) and holding the 0.85 floor.
+    // aggregated natural audit: `RecallProbe --natural-agg <sfDir> [mod]`
+    // — the 1M-point form (VERDICT r15 item 5). The r15 attempt at 1M
+    // died at ENOSPC WRITING the q34 result (the pair count grows ~
+    // quadratically on a replicated corpus; the host has ~70 GB
+    // scratch), so this mode never materializes pairs: the emitted
+    // count is one aggregated pass, and recall is computed on the
+    // SAMPLE-RESTRICTED subset (pairs touching vec_id % mod == 0 —
+    // unbiased, and it shrinks the join's shuffle by ~2/mod) against
+    // the sampled exact truth evaluated inside the same plan. Costs one
+    // extra evaluation of the pair relation (count pass + recall pass);
+    // buys zero result bytes on disk.
+    if (args.headOption.contains("--natural-agg")) {
+      import org.apache.spark.sql.functions._
+      val sf = args(1)
+      val mod = if (args.length > 2) args(2).toInt else 25
+      println(s"""{"sentinel_pre":${PhaseSentinel.json(cpus.toInt)}}""")
+      val t0 = System.nanoTime()
+      val got = SparkEntry.queries("q34_embed_near_pairs")(spark, sf)
+        .select("v1", "v2")
+      val pairs = got.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (vol, pa) = graft.operators.SimilarityOps
+        .pairCandidateVolume(spark, sf)
+      println(f"$sf registered q34 (agg): tier=${pa.tier} " +
+        f"cells=${pa.cells} q=${pa.quantizers} np=${pa.nprobe} " +
+        f"pairs=$pairs candidateVolume=$vol wall=$wall%.1fs")
+      val tt0 = System.nanoTime()
+      val truth = graft.operators.SimilarityOps
+        .embedNearPairsSampledTruth(spark, sf, mod)
+      val gotS = got
+        .filter(col("v1") % mod === 0 || col("v2") % mod === 0)
+        .withColumn("g", lit(1))
+      val r = truth.join(gotS, Seq("v1", "v2"), "left")
+        .agg(count(lit(1)).as("tn"), count(col("g")).as("hits"))
+        .collect()(0)
+      val (tn, hits) = (r.getLong(0), r.getLong(1))
+      println(f"sampled truth (mod=$mod, aggregated): pairs=$tn " +
+        f"hits=$hits recall=${hits.toDouble / tn}%.4f " +
+        f"truthTime=${(System.nanoTime() - tt0) / 1e9}%.1fs")
+      println(s"""{"probe":"natural_agg","sf":"$sf","tier":"${pa.tier}",""" +
+        s""""cells":${pa.cells},"q":${pa.quantizers},"np":${pa.nprobe},""" +
+        s""""pairs":$pairs,"candidate_volume":$vol,""" +
+        s""""wall_s":${f"$wall%.1f"},"truth_mod":$mod,""" +
+        s""""truth_pairs":$tn,"hits":$hits,""" +
+        s""""recall":${f"${hits.toDouble / tn}%.4f"},""" +
+        s""""sentinel_post":${PhaseSentinel.json(cpus.toInt)}}""")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("--natural")) {
       val sf = args(1)
       val mod = if (args.length > 2) args(2).toInt else 25

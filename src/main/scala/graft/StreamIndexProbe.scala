@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   * volume flat) where the fixed-16 demo geometry grows quadratically.
   *
   * Usage: `tools/run.sh graft.StreamIndexProbe <sfDir> <mode1,mode2,…>`
-  * where each mode is `contract` (k = pairCells(n)) or an integer k.
-  * Prints one JSON line per mode. A measurement tool, never a query.
+  * where each mode is `contract` (k = pairCells(n)) or an integer k,
+  * optionally suffixed `-hier` (route the BUILD through the two-level
+  * assignment — [[graft.operators.SimilarityOps.probeAssignmentHier]],
+  * the deployment form whose build term this probe exists to measure;
+  * `-hierw<W>` overrides the super-probe width). Hier modes also
+  * compute the end pair recall vs the flat build of the same k
+  * (untimed), so the escape's accuracy price sits in the same JSON as
+  * its cost. Prints one JSON line per mode plus sentinel lines
+  * ([[PhaseSentinel]]). A measurement tool, never a query.
   */
 object StreamIndexProbe {
   def main(args: Array[String]): Unit = {
@@ -43,14 +50,26 @@ object StreamIndexProbe {
     def gcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
     val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    println(s"""{"sentinel_pre":${PhaseSentinel.json(cpus.toInt)}}""")
+    // exact delta-pair ground truth, shared by every mode (untimed):
+    // both tiers are approximate indexes, so each is scored against
+    // truth — recall-vs-flat alone would punish disagreement
+    lazy val truth = graft.operators.SimilarityOps
+      .probeDeltaTruth(spark, d).localCheckpoint()
+    lazy val truthN = truth.count()
     modes.foreach { mode =>
-      val k = mode match {
+      val hier = mode.contains("-hier")
+      val w = "-hierw(\\d+)".r.findFirstMatchIn(mode)
+        .map(_.group(1).toInt).getOrElse(0)
+      val k = mode.split("-")(0) match {
         case "contract" => graft.operators.SimilarityOps.pairCells(n)
         case x          => x.toInt
       }
       val tb0 = System.nanoTime()
-      val asn = graft.operators.SimilarityOps
-        .probeAssignment(spark, d, k).localCheckpoint()
+      val asn = (if (hier)
+          graft.operators.SimilarityOps.probeAssignmentHier(spark, d, k, w)
+        else graft.operators.SimilarityOps.probeAssignment(spark, d, k))
+        .localCheckpoint()
       val buildS = (System.nanoTime() - tb0) / 1e9
       // exact candidate volume from the assignment histogram: the join
       // emits δ(c)·pop(c) − δ(c) rows per cell (self-matches filtered)
@@ -77,15 +96,41 @@ object StreamIndexProbe {
       val (s2, p2, g2) = once()
       require(p1 == p2, s"nondeterministic pair count: $p1 vs $p2")
       val joinS = math.min(s1, s2)
+      // accuracy context for the build-term decade point (untimed):
+      // every mode's emitted pairs scored against the exact delta-pair
+      // ground truth; hier additionally vs the flat build of the same k
+      val modePairs = graft.operators.SimilarityOps.probePairJoin(spark, asn)
+        .select(col("v1"), col("v2")).localCheckpoint()
+      val truthHits = modePairs
+        .join(truth, Seq("v1", "v2"), "left_semi").count()
+      val truthStr = s""","truth_pairs":$truthN,""" +
+        s""""recall_vs_truth":${f"${truthHits.toDouble / truthN}%.4f"}"""
+      val recall =
+        if (!hier) s""","tier":"flat"$truthStr"""
+        else {
+          val flatPairs = graft.operators.SimilarityOps
+            .probePairJoin(spark,
+              graft.operators.SimilarityOps.probeAssignment(spark, d, k)
+                .localCheckpoint())
+            .select(col("v1"), col("v2")).localCheckpoint()
+          val nf = flatPairs.count()
+          val inter = modePairs
+            .join(flatPairs, Seq("v1", "v2"), "left_semi").count()
+          s""","tier":"hier","w_mode":${if (w > 0) w else -1},""" +
+            s""""flat_pairs":$nf,""" +
+            s""""pair_recall_vs_flat":${f"${inter.toDouble / nf}%.4f"}""" +
+            truthStr
+        }
       println(
         s"""{"probe":"stream_index_pairs","sf":"$d","n_vec":$n,""" +
           s""""mode":"$mode","k":$k,"n_cells":$nCells,"max_pop":$maxPop,""" +
           s""""n_delta":$nDelta,"candidates":$cand,"pairs_ge_04":$p1,""" +
           s""""build_s":${f"$buildS%.2f"},"join_s":${f"$joinS%.2f"},""" +
           s""""join_s_p1":${f"$s1%.2f"},"join_s_p2":${f"$s2%.2f"},""" +
-          s""""gc_ms_p1":$g1,"gc_ms_p2":$g2}""")
+          s""""gc_ms_p1":$g1,"gc_ms_p2":$g2$recall}""")
       asn.unpersist(): Unit
     }
+    println(s"""{"sentinel_post":${PhaseSentinel.json(cpus.toInt)}}""")
     spark.stop()
   }
 }

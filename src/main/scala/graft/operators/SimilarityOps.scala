@@ -2375,6 +2375,48 @@ object SimilarityOps {
   private[graft] def probePairJoin(s: SparkSession, asn: DataFrame): DataFrame =
     withinCellDeltaPairs(s, asn)
 
+  /** [[probeAssignment]]'s TWO-LEVEL twin — the deployment form of the
+    * streamed-index build once k ∝ n makes the flat batch assignment
+    * the quadratic term (the r15 probe artifact measured its build
+    * column growing 6.4× for 10× rows while the join term it feeds
+    * stayed 1.29×): the Lloyd round and the per-vector assignment both
+    * route through ⌈√k⌉ supers ([[hierCellAssign]] — the same
+    * machinery q34's above-knee escape tier runs), so the n·k
+    * fat-row explosion of the crossJoin form never exists and nothing
+    * k-sized is driver-collected per row. APPROXIMATE by contract
+    * (routing retention ≥ 0.95 measured, `CoarseAssignSpec`); the
+    * probe publishes the end pair recall vs the flat build next to the
+    * build-term decade point, so the accuracy price of the escape is
+    * in the same artifact as its cost. */
+  private[graft] def probeAssignmentHier(
+      s: SparkSession, d: String, k: Int, wOverride: Int = 0): DataFrame =
+    hierCellAssign(s, d, 0, k, 1, wOverride)
+      .select(col("vec_id"), col("embedding"), col("nr"), col("c_id"))
+
+  /** EXACT ground truth of the q129 delta-pair relation — every pair
+    * (v1 < v2, cosine ≥ 0.4) touching the probe's delta set
+    * (vec_id % 13 = 5), via a broadcast of the delta vectors against
+    * the corpus ([[embedNearPairsSampledTruth]]'s shape): n_delta·n
+    * dots, no shuffle. The probe scores BOTH index tiers against this,
+    * because recall-vs-flat alone punishes disagreement between two
+    * equally-approximate indexes (flat and hier learn slightly
+    * different centroids) rather than measuring quality. */
+  private[graft] def probeDeltaTruth(s: SparkSession, d: String): DataFrame = {
+    val e = embVecs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val delta = broadcast(e.filter(col("vec_id") % 13 === 5)
+      .select(col("vec_id").as("vd"), col("embedding").as("ed"),
+        col("nr").as("nd")))
+    delta.join(e, col("vd") =!= col("vec_id"))
+      .select(least(col("vd"), col("vec_id")).as("v1"),
+        greatest(col("vd"), col("vec_id")).as("v2"),
+        (dot(col("ed"), col("embedding")) / (col("nd") * col("nr")))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .select(col("v1"), col("v2"))
+      .distinct()
+  }
+
   /** STREAMED-INDEX PAIR DISCOVERY — the q126 → q34 loop closed
     * (VERDICT r13 item 5): the batch pair consumer reads the SAME
     * per-vector assignment artifact the streaming ingest maintains,
@@ -2407,8 +2449,15 @@ object SimilarityOps {
     * (per-delta-vector volume flat, 156.6 → 158.3 at 20k → 200k
     * vectors) and the join wall 1.29×, where the same session's
     * fixed-16 runs show the quadratic alternative (100× candidates,
-    * 16.3× wall). The math here is unchanged under any k; the demo
-    * keeps 16 so its oracle stays q123/q126's. */
+    * 16.3× wall). The ASSIGNMENT term is closed the same way (round
+    * 16, `BENCH_Q129_ASSIGN_r16.json`): at k ∝ n the flat
+    * crossJoin build grows 8.2× for 10× rows (the n·k fat-row
+    * explosion) while [[probeAssignmentHier]]'s two-level build grows
+    * 1.96× and retains 96–97% of the flat tier's truth-recall — the
+    * hier route is the deployment form of the index build; the
+    * registered demo keeps the flat 16-cell geometry so its oracle
+    * stays q123/q126's (hash-exact, and at k=16 flat is both exact and
+    * cheapest). */
   val q129StreamIndexPairs: QueryDef = sql(
     "q129_stream_index_pairs",
     s"""WITH d AS (SELECT vec_id, embedding,

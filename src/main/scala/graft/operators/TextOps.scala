@@ -2687,6 +2687,110 @@ object TextOps {
     incrementalShardPlan(s, d, PackBlockDocs)
   }
 
+  /** CONTAMINATION-AWARE SHARD MANIFEST — q84's decontamination signal
+    * joined INTO q133's shard layout (VERDICT r15 item 6b): per training
+    * shard, how much of its token mass belongs to documents that
+    * overlap the held-out benchmark (q84's capped-shingle probe, docs
+    * 0–4, ≥ 3 shared shingles). This is the report a training run needs
+    * BEFORE it reads a shard stream: which shards to drop or re-cut
+    * when the decontamination sweep lands after the layout was built.
+    * Because q58's packing is greedy concat-without-splitting, a
+    * document lives entirely in ONE sequence and a sequence entirely in
+    * ONE shard, so contaminated mass per shard is an exact integer
+    * aggregate — no partial-overlap approximation.
+    *
+    * Scale shape: one packing chain (the per-source blocked prefix +
+    * q133's depth-3 global bin prefix — nothing new over q133's own
+    * cost); the doc→shard hop is an equi-join on (source, seq_id) —
+    * corpus-row but key-dense, the well-distributed case; the
+    * contaminated doc set is q84's OUTPUT (benchmark-overlapping docs
+    * only — broadcast-sized by construction, and its build rides the
+    * session-cached shingle index the dedup family already shares).
+    * All-BIGINT arithmetic; ppm is integer div. */
+  val q138ContaminatedShards: QueryDef = sql(
+    "q138_contaminated_shards",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |d0 AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(1, greatest(len(w), 2)), i -> w[i] || ' ' || w[i+1])) AS tk
+      |      FROM w),
+      |t0 AS (SELECT doc_id, unnest(tk) AS tok FROM d0),
+      |tdf AS (SELECT tok, count(*) AS df FROM t0 GROUP BY 1),
+      |t AS (SELECT doc_id, tok FROM t0 JOIN tdf USING (tok) WHERE df <= 1000),
+      |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t),
+      |probe AS (SELECT DISTINCT h FROM th WHERE doc_id < 5),
+      |cont AS (SELECT th.doc_id FROM th JOIN probe USING (h)
+      |         WHERE th.doc_id >= 5 GROUP BY 1 HAVING count(*) >= 3),
+      |n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |b AS (SELECT source, doc_id, n_tok,
+      |        CAST(floor(off / 256.0) AS INT) AS seq_id FROM o),
+      |bins AS (SELECT source, seq_id,
+      |        CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+      |      FROM b GROUP BY 1, 2),
+      |r AS (SELECT source, seq_id,
+      |        COALESCE(sum(seq_tokens) OVER (ORDER BY source, seq_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS tok_off
+      |      FROM bins),
+      |shb AS (SELECT source, seq_id,
+      |        CAST(tok_off // 16384 AS BIGINT) AS shard_id FROM r),
+      |ds AS (SELECT shb.shard_id, b.n_tok,
+      |        CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ic
+      |      FROM b JOIN shb USING (source, seq_id)
+      |        LEFT JOIN cont ON b.doc_id = cont.doc_id)
+      |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(ic) AS BIGINT) AS n_contaminated,
+      |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+      |  CAST(sum(ic * n_tok) AS BIGINT) AS contaminated_tokens,
+      |  (CAST(sum(ic * n_tok) AS BIGINT) * 1000000)
+      |    // CAST(sum(n_tok) AS BIGINT) AS contamination_ppm
+      |FROM ds GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    contaminatedShardsPlan(s, d, PackBlockDocs)
+  }
+
+  /** See [[q138ContaminatedShards]]; split out for spec pinning. */
+  private[graft] def contaminatedShardsPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+    val docs = packOffsets(s, d, blockDocs)
+      .withColumn("seq_id", floor(col("off") / 256.0).cast("int"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("seq_id"))
+    val bins = docs.groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("n_tok")).cast("long").as("seq_tokens"))
+    val srcIdx = bins.select(col("source")).distinct()
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+    val keyed = bins.join(broadcast(srcIdx), "source")
+      .select(lit("_g").as("source"),
+        (col("src_idx") * (1L << 40) + col("seq_id")).as("doc_id"),
+        col("seq_tokens").as("n_tok"))
+    val seqShard = packOffsetsFrom(keyed, blockDocs, levels = 3)
+      .drop("source")
+      .withColumn("src_idx", shiftright(col("doc_id"), 40))
+      .withColumn("seq_id",
+        col("doc_id").bitwiseAND(lit((1L << 40) - 1)).cast("int"))
+      .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
+      .join(broadcast(srcIdx.select(col("source"), col("src_idx"))),
+        "src_idx")
+      .select(col("source"), col("seq_id"), col("shard_id"))
+    val cont = bloomDecontaminate(s, d, useBloom = true)
+      .select(col("doc_id"), lit(1L).as("ic"))
+    docs.join(seqShard, Seq("source", "seq_id"))
+      .join(broadcast(cont), Seq("doc_id"), "left")
+      .withColumn("ic", coalesce(col("ic"), lit(0L)))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ic")).as("n_contaminated"),
+        sum(col("n_tok")).cast("long").as("shard_tokens"),
+        sum(col("ic") * col("n_tok")).cast("long").as("contaminated_tokens"))
+      .withColumn("contamination_ppm",
+        expr("(contaminated_tokens * 1000000) div shard_tokens"))
+      .orderBy(col("shard_id"))
+  }
+
   /** (source, seq_id, seq_tokens) bins of an offset relation. */
   private def binsOf(off: DataFrame): DataFrame =
     off.withColumn("seq_id", floor(col("off") / 256.0).cast("int"))
@@ -4057,5 +4161,5 @@ object TextOps {
     q93Boilerplate, q94Bm25, q135Rerank,
     q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve,
     q133ShardManifest, q134IncrementalClusters, q136InterleavedShards,
-    q137IncrementalShards)
+    q137IncrementalShards, q138ContaminatedShards)
 }
