@@ -684,13 +684,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads more than (source, text): $readSchema")
   }
 
-  test("q128 substring dedup: ONE h-exchange feeds both window passes " +
-      "(no groupBy+join-back), removal joins broadcast, no sort-merge") {
+  test("q128 substring dedup: ONE h-only exchange feeds both window " +
+      "passes (no groupBy+join-back), the (h, doc_id) collapse is " +
+      "partial-aggregated before its exchange, removal joins " +
+      "broadcast, no sort-merge") {
     val plan = finalPlan(
       SparkEntry.queries("q128_substring_dedup_apply")(spark, sf))
       .split("== Initial Plan ==").head
-    assert("Exchange hashpartitioning\\(h#".r.findAllIn(plan).size == 1,
-      s"dup-flag and canonical must share one h-exchange:\n$plan")
+    // since the tokArrays artifact replaced the per-reference doc_id
+    // repartition (which incidentally satisfied the groupBy's
+    // distribution), the (h, doc_id) collapse carries its own slim
+    // exchange — one row per (h, doc_id) after map-side partial agg —
+    // and the two windows still share ONE h-only exchange above it
+    assert("Exchange hashpartitioning\\(h#\\d+L, \\d+\\)".r
+        .findAllIn(plan).size == 1,
+      s"dup-flag and canonical must share one h-only exchange:\n$plan")
+    assert("Exchange hashpartitioning\\(h#\\d+L, doc_id#".r
+        .findAllIn(plan).size == 1,
+      s"expected the one partial-aggregated (h, doc_id) exchange:\n$plan")
     assert("windowspecdefinition\\(h#".r.findAllIn(plan).size == 2,
       s"expected exactly the two h-partitioned windows:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"removal path fell to SMJ:\n$plan")
@@ -730,6 +741,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("windowspecdefinition(blk#"),
       s"the interleaved prefix must use the blocked form:\n$plan")
     assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q138 contaminated shards: no corpus-wide window (prefix rides " +
+      "the blocked form, row_numbers consume aggregates), the " +
+      "contamination join broadcasts, no nested-loop anywhere") {
+    val plan = finalPlan(
+      SparkEntry.queries("q138_contaminated_shards")(
+        spark, "/root/testdata/sf0.01"))
+    val rn = plan.split("Window \\[row_number").drop(1)
+    assert(rn.nonEmpty && rn.forall(_.contains("HashAggregate")),
+      s"a row_number window runs over non-aggregated (corpus) input:\n$plan")
+    assert(plan.contains("windowspecdefinition(blk#"),
+      s"the token prefix must use the blocked two-level form:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination flag must stay an equi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no join should fall to SMJ at this sf:\n$plan")
   }
 
   test("q122 bucketed join: sort-merge with NO exchange below the " +
