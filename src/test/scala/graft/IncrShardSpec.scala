@@ -86,11 +86,14 @@ class IncrShardSpec extends AnyFunSuite {
       "semantics): delta-source restriction") {
     import org.apache.spark.sql.functions._
     // synthetic corpus: max doc_id = 100 → cutoff 90; source "c" has
-    // every doc ≤ 90 (absent from the delta), "a" and "b" straddle it
+    // every doc ≤ 90 (absent from the delta), "a" and "b" straddle it,
+    // and "d" is DELTA-ONLY (no base docs — boundary state must coalesce
+    // to zero offsets and emit its shards from 0)
     val rows = Seq(
       ("a", 1L, 300L), ("a", 10L, 200L), ("a", 95L, 500L),
       ("b", 2L, 100L), ("b", 50L, 40000L), ("b", 100L, 700L),
-      ("c", 3L, 20000L), ("c", 60L, 123L), ("c", 90L, 77L))
+      ("c", 3L, 20000L), ("c", 60L, 123L), ("c", 90L, 77L),
+      ("d", 92L, 450L), ("d", 96L, 17000L))
     val dir = java.nio.file.Files
       .createTempDirectory("incrshard_ds").toString
     spark.createDataFrame(rows.map { case (s, id, n) =>
@@ -100,7 +103,7 @@ class IncrShardSpec extends AnyFunSuite {
     val cut = 90L
     val full = shardRows(rows)
     val deltaSrc = rows.filter(_._2 > cut).map(_._1).toSet
-    assert(deltaSrc == Set("a", "b"))
+    assert(deltaSrc == Set("a", "b", "d"))
     val tBase = rows.filter(_._2 <= cut).groupBy(_._1)
       .map { case (s, ds) => s -> ds.map(_._3).sum }
     val s0 = deltaSrc.map { src =>
