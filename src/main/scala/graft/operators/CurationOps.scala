@@ -889,9 +889,73 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** PER-SOURCE EPOCH/REPETITION PLANNER — the data-constrained-mixture
+    * step between q136's interleaved layout and the dataloader (VERDICT
+    * r15 item 6a): given the α = 0.5 temperature target weights
+    * w_s = ⌊√T_s⌋ (exactly q136's stride rates) and a training budget
+    * B = 2× the corpus, compute per source the target token mass
+    * m_s = ⌊B·w_s/Σw⌋, the whole-epoch repetition factor
+    * r_s = min(4, ⌈m_s/T_s⌉) (the data-constrained cap: past a few
+    * epochs repeated tokens stop paying — q119's same rule at cap 3,
+    * here 4 with a partial final epoch allowed inside the cap), the
+    * GRANTED mass min(m_s, r_s·T_s), the deficit the cap leaves unmet
+    * (the "crawl more of this source" signal, the planner twin of
+    * q131's saturation estimate), and the resulting 16,384-token shard
+    * count — the numbers a shard-layout run (q133/q136) is parameterized
+    * with.
+    *
+    * Scale shape: ONE map-side-combinable corpus aggregate (per-source
+    * token totals); every planning column is integer arithmetic on the
+    * |sources|-row table against a broadcast 1-row global (⌊√·⌋ of a
+    * long is engine-identical — IEEE sqrt is correctly rounded, the
+    * q136 precedent). The corpus pass is the cost; the plan is free.
+    */
+  val q139EpochPlan: QueryDef = sql(
+    "q139_epoch_plan",
+    """WITH n AS (SELECT source,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |t AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS supply
+      |      FROM n GROUP BY 1),
+      |w AS (SELECT source, supply,
+      |        CAST(floor(sqrt(supply)) AS BIGINT) AS wt FROM t),
+      |g AS (SELECT CAST(sum(wt) AS BIGINT) AS tw,
+      |        CAST(sum(supply) AS BIGINT) * 2 AS budget FROM w),
+      |m AS (SELECT source, supply, wt, (g.budget * wt) // g.tw AS target
+      |      FROM w CROSS JOIN g),
+      |e AS (SELECT source, supply, wt, target,
+      |        least(CAST(4 AS BIGINT), (target + supply - 1) // supply)
+      |          AS epochs FROM m),
+      |f AS (SELECT source, supply, wt, target, epochs,
+      |        least(target, epochs * supply) AS granted FROM e)
+      |SELECT source, supply AS supply_tokens, wt AS weight,
+      |  target AS target_tokens, epochs, granted AS granted_tokens,
+      |  (target - granted) AS deficit_tokens,
+      |  (granted + 16383) // 16384 AS planned_shards
+      |FROM f ORDER BY source""") { (s, d) =>
+    val t = graft.sources.Tables.documents(s, d)
+      .select(col("source"), size(split(trim(col("text")), " ")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("long").as("supply"))
+      .withColumn("wt", floor(sqrt(col("supply"))).cast("long"))
+    val g = t.agg(sum(col("wt")).cast("long").as("tw"),
+      (sum(col("supply")) * 2).cast("long").as("budget"))
+    t.crossJoin(broadcast(g))
+      .withColumn("target", expr("(budget * wt) div tw"))
+      .withColumn("epochs",
+        least(lit(4L), expr("(target + supply - 1) div supply")))
+      .withColumn("granted", least(col("target"), col("epochs") * col("supply")))
+      .select(col("source"), col("supply").as("supply_tokens"),
+        col("wt").as("weight"), col("target").as("target_tokens"),
+        col("epochs"), col("granted").as("granted_tokens"),
+        (col("target") - col("granted")).as("deficit_tokens"),
+        expr("(granted + 16383) div 16384").as("planned_shards"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q105SnapshotDiff, q106DataProfile, q107ImportanceWeights, q108PiiScan,
       q111NfcNormalize, q112WeightedSample, q114TemperatureMix,
       q116DatasetCard, q119TokenBudget, q120LengthQuantiles,
-      q124AdaptiveQualityGate, q130GateOperatingCurve, q131SaturationAudit)
+      q124AdaptiveQualityGate, q130GateOperatingCurve, q131SaturationAudit,
+      q139EpochPlan)
 }

@@ -760,6 +760,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no join should fall to SMJ at this sf:\n$plan")
   }
 
+  test("q139 epoch plan: one map-side-combinable corpus aggregate, the " +
+      "1-row global broadcast back, no window and no sort-merge") {
+    val plan = finalPlan(
+      SparkEntry.queries("q139_epoch_plan")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"planner math must run on aggregates, never a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row global must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected the broadcast global join:\n$plan")
+    // partial aggregation before the source-key exchange: the corpus
+    // rows combine map-side, so the shuffle carries |sources|-ish rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
   test("q122 bucketed join: sort-merge with NO exchange below the " +
       "join — bucketing replaces the per-query shuffle") {
     val plan = finalPlan(
