@@ -29,16 +29,21 @@ object Bench {
       .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // generic warmup so JVM/classloader/codegen startup is not billed to
+    // whichever query happens to run first — and run BEFORE the pre
+    // sentinel so pre and post readings are like-for-like (both on a
+    // warm JVM; previously pre ran on a cold JIT path mitigated only by
+    // the sentinel's internal spin warmup)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // host-phase sentinel (see PhaseSentinel): a fixed pinned micro-run
-    // + load/gc read BEFORE the suite, repeated after it, both stamped
+    // + load/gc read BEFORE the suite, repeated after it AND every
+    // `SentinelEvery` queries DURING it (a host phase that starts and
+    // ends mid-sweep would evade endpoint-only stamps), all stamped
     // into the artifact so an inflated total carries its own
     // clean-vs-degraded-host attribution
     val sentinelPre = PhaseSentinel.json(cpus.toInt)
     System.err.println(s"[bench] sentinel_pre $sentinelPre")
-    // generic warmup so JVM/classloader/codegen startup is not billed to
-    // whichever query happens to run first
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
     // JVM-health telemetry per measurement, published per PASS in the
     // bench JSON ("diag") so any >2× adjacent-pass outlier carries its
     // attribution (GC churn vs host stall vs first-execution codegen) in
@@ -110,13 +115,27 @@ object Bench {
     val wall0 = System.nanoTime()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
-    val attempts: Seq[(String, (Meas, Meas))] = ordered.map { case (name, fn) =>
-      val a = once(name, fn)
-      System.err.println(f"[bench] p1 $name%-24s ${a.secs}%.2f s")
-      val b = once(name, fn)
-      System.err.println(f"[bench] p2 $name%-24s ${b.secs}%.2f s")
-      name -> (a, b)
-    }
+    // mid-sweep sentinel stamps: one reading every SentinelEvery queries
+    // (~3 s each, outside any timed region), collected as
+    // "sentinel_mid":[{"after":"qNN",...},...] so an in-suite host phase
+    // is visible in-artifact even when both endpoints read clean
+    val SentinelEvery = 25
+    val sentinelMid = scala.collection.mutable.ArrayBuffer.empty[String]
+    val attempts: Seq[(String, (Meas, Meas))] =
+      ordered.zipWithIndex.map { case ((name, fn), idx) =>
+        val a = once(name, fn)
+        System.err.println(f"[bench] p1 $name%-24s ${a.secs}%.2f s")
+        val b = once(name, fn)
+        System.err.println(f"[bench] p2 $name%-24s ${b.secs}%.2f s")
+        if ((idx + 1) % SentinelEvery == 0 && idx + 1 < ordered.size) {
+          val s = PhaseSentinel.json(cpus.toInt)
+          System.err.println(s"[bench] sentinel_mid after=$name $s")
+          sentinelMid +=
+            s"""{"after":"${name.split("_")(0)}","s":$s}"""
+        }
+        name -> (a, b)
+      }
+    val sentinelMidArr = sentinelMid.mkString("[", ",", "]")
     val p1 = attempts.map { case (n, (a, _)) => n -> a.secs }
     val p2 = attempts.map { case (n, (_, b)) => n -> b.secs }
     val results = attempts.map { case (name, (a, b)) =>
@@ -155,6 +174,7 @@ object Bench {
         s""""queries":${obj(results)},""" +
         s""""pass1":${obj(p1)},"pass2":${obj(p2)},"failed":$failedArr,""" +
         s""""diag":$diag,"sentinel_pre":$sentinelPre,""" +
+        s""""sentinel_mid":$sentinelMidArr,""" +
         s""""sentinel_post":$sentinelPost,"sf":"$sfDir"}"""
     // belt + braces for the driver's parser: a file copy in target/, a
     // greppable sentinel line, and the contract's bare JSON as the
@@ -194,6 +214,7 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
       s""""wall":${fmt2(wallSecs)},"queries":$compactQ,"failed":$failedArr,""" +
       s""""diag":$compactDiag,"sentinel_pre":$sentinelPre,""" +
+      s""""sentinel_mid":$sentinelMidArr,""" +
       s""""sentinel_post":$sentinelPost,"sf":"$sfDir",""" +
       s""""full":"target/bench.json"}""")
     System.out.flush()

@@ -16,10 +16,13 @@ package graft
   *    clean). Pure integer ALU work, no allocation, no syscalls — its
   *    wall moves ONLY with per-core slowdown (CPU steal, thermal/freq
   *    phase, hypervisor contention), never with JVM state.
-  *  - `mt_ms`: wall for the same per-thread loop on `threads` threads.
-  *    On an uncontended host mt_ms ≈ st_ms (each thread gets a core);
-  *    under host contention it inflates ahead of st_ms because the
-  *    sentinel threads compete with whatever else holds the cores.
+  *  - `mt_ms`: wall for the same per-thread loop (SAME iteration count
+  *    as the ST loop, so on an uncontended host mt_ms ≈ st_ms and the
+  *    two are directly comparable; before round 17 the MT loop ran 2/3
+  *    the iterations, so r16-era artifacts read mt ≈ 0.67·st when
+  *    clean — do not compare mt across that boundary). Under host
+  *    contention mt inflates ahead of st because the sentinel threads
+  *    compete with whatever else holds the cores.
   *  - `load1`: /proc/loadavg first field — external pressure visible
   *    directly (this JVM contributes ~0 at sentinel time: Spark is idle
   *    between suites).
@@ -34,7 +37,7 @@ package graft
   */
 object PhaseSentinel {
   private val StIters = 600000000L
-  private val MtItersPerThread = 400000000L
+  private val MtItersPerThread = StIters
 
   private def spin(iters: Long): Long = {
     var x = 0x9e3779b97f4a7c15L
@@ -68,16 +71,23 @@ object PhaseSentinel {
     val sink0 = spin(StIters)
     val stMs = (System.nanoTime() - t0) / 1000000L
     val t1 = System.nanoTime()
+    // per-thread results XORed into a shared sink (published below) so
+    // the MT loops can't be dead-code-eliminated either — the guard is
+    // symmetric with the ST path's sink0
+    val mtSink = new java.util.concurrent.atomic.AtomicLong(0L)
     val ts = (0 until threads).map { i =>
-      val t = new Thread(() => { spin(MtItersPerThread + i): Unit })
+      val t = new Thread(() => {
+        val r = spin(MtItersPerThread + i)
+        mtSink.getAndAccumulate(r, (a, b) => a ^ b): Unit
+      })
       t.setDaemon(true); t.start(); t
     }
     ts.foreach(_.join())
     val mtMs = (System.nanoTime() - t1) / 1000000L
-    // sink0 published so the ST loop cannot be dead-code-eliminated
+    // sink0/mtSink published so neither spin loop can be dead-code-eliminated
     s"""{"st_ms":$stMs,"mt_ms":$mtMs,"mt_threads":$threads,""" +
       s""""load1":${load1()},"gc_total_ms":${gcTotalMs()},""" +
-      s""""sink":${sink0 & 0xff}}"""
+      s""""sink":${(sink0 ^ mtSink.get()) & 0xff}}"""
   }
 
   /** Standalone: one reading on `SPARK_GRAFT_CPUS` threads, printed as

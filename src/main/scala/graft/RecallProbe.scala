@@ -57,22 +57,27 @@ object RecallProbe {
       val tt0 = System.nanoTime()
       val truth = graft.operators.SimilarityOps
         .embedNearPairsSampledTruth(spark, sf, mod)
+      // .distinct() so the left-join row count stays the truth-pair count
+      // even if a future q34 change emits duplicate (v1,v2) pairs (cheap:
+      // the filter restricts to the sampled subset first)
       val gotS = got
         .filter(col("v1") % mod === 0 || col("v2") % mod === 0)
+        .distinct()
         .withColumn("g", lit(1))
       val r = truth.join(gotS, Seq("v1", "v2"), "left")
         .agg(count(lit(1)).as("tn"), count(col("g")).as("hits"))
         .collect()(0)
       val (tn, hits) = (r.getLong(0), r.getLong(1))
+      val recall = if (tn == 0) 0.0 else hits.toDouble / tn
       println(f"sampled truth (mod=$mod, aggregated): pairs=$tn " +
-        f"hits=$hits recall=${hits.toDouble / tn}%.4f " +
+        f"hits=$hits recall=$recall%.4f " +
         f"truthTime=${(System.nanoTime() - tt0) / 1e9}%.1fs")
       println(s"""{"probe":"natural_agg","sf":"$sf","tier":"${pa.tier}",""" +
         s""""cells":${pa.cells},"q":${pa.quantizers},"np":${pa.nprobe},""" +
         s""""pairs":$pairs,"candidate_volume":$vol,""" +
         s""""wall_s":${f"$wall%.1f"},"truth_mod":$mod,""" +
         s""""truth_pairs":$tn,"hits":$hits,""" +
-        s""""recall":${f"${hits.toDouble / tn}%.4f"},""" +
+        s""""recall":${f"$recall%.4f"},""" +
         s""""sentinel_post":${PhaseSentinel.json(cpus.toInt)}}""")
       spark.stop()
       return
