@@ -2476,9 +2476,149 @@ object SimilarityOps {
     withinCellDeltaPairs(s, streamedAssignment(s, d))
   }
 
+  /** Oracle fragment: the 56-bit floor-split exact mean over
+    * `$src`($key, embedding) → `${p}cents2`(c_id, c_emb, c_nr) — the
+    * identical digit recipe [[ivfCtesSqlExpr]] unrolls (q44's
+    * bit-reproducibility construction), factored so the hierarchical
+    * chain can run it over arbitrary keyed groups (seed→super means,
+    * routed Lloyd means, cent→super means). */
+  private def meanCtesSql(p: String, src: String, key: String,
+      dotFn: (String, String) => String): String =
+    s"""${p}comp AS (SELECT $key, dim, CAST(embedding[dim] AS DOUBLE) AS v
+      |         FROM $src CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)),
+      |${p}sp1 AS (SELECT $key, dim,
+      |          CAST(floor(v * 72057594037927936) AS BIGINT) AS x1,
+      |          v * 72057594037927936 - floor(v * 72057594037927936) AS r1
+      |        FROM ${p}comp),
+      |${p}sp2 AS (SELECT $key, dim, x1,
+      |          CAST(floor(r1 * 72057594037927936) AS BIGINT) AS x2,
+      |          r1 * 72057594037927936 - floor(r1 * 72057594037927936) AS r2
+      |        FROM ${p}sp1),
+      |${p}dm AS (SELECT $key, dim,
+      |         (CAST(sum(x1) AS DOUBLE)
+      |           + (CAST(sum(x2) AS DOUBLE)
+      |              + CAST(sum(CAST(floor(r2 * 72057594037927936) AS BIGINT)) AS DOUBLE)
+      |                / 72057594037927936)
+      |             / 72057594037927936)
+      |         / 72057594037927936 / count(*) AS m
+      |       FROM ${p}sp2 GROUP BY $key, dim),
+      |${p}cents AS (SELECT $key, list(m ORDER BY dim) AS c_emb
+      |            FROM ${p}dm GROUP BY $key),
+      |${p}cents2 AS (SELECT $key AS c_id, c_emb,
+      |             sqrt(${dotFn("c_emb", "c_emb")}) AS c_nr
+      |           FROM ${p}cents)""".stripMargin
+
+  /** Oracle fragment: [[hierLearnedSupers]] over `$pts`(c_id, c_emb,
+    * c_nr) → `${p}cents2`(c_id, c_emb, c_nr): seeds every `step`-th
+    * point id, assigns each point to its nearest seed (cos DESC, c_id
+    * — [[NearestCellIdsStatic]]'s comparator), floor-split means the
+    * groups. */
+  private def superCtesSql(p: String, pts: String,
+      dotFn: (String, String) => String): String =
+    s"""${p}ss AS (SELECT c_id, c_emb, c_nr FROM $pts
+      |        WHERE c_id % (SELECT step FROM hq) = 0),
+      |${p}pa AS (SELECT q.c_id AS pkey, q.c_emb AS embedding,
+      |          z.c_id AS s_id,
+      |          ROW_NUMBER() OVER (PARTITION BY q.c_id
+      |            ORDER BY ${dotFn("q.c_emb", "z.c_emb")}
+      |              / (q.c_nr * z.c_nr) DESC, z.c_id) AS rn
+      |        FROM $pts q CROSS JOIN ${p}ss z),
+      |${p}pm AS (SELECT s_id, embedding FROM ${p}pa WHERE rn = 1),
+      |${meanCtesSql(s"${p}m", s"${p}pm", "s_id", dotFn)}""".stripMargin
+
+  /** Oracle fragment: [[hierAssign]] of the corpus `d` against cells
+    * `$pts` routed through supers `$sup` → `${p}af`(vec_id, embedding,
+    * nr, c_id, rn): each cell under its nearest super, each vector
+    * routed to its top-w supers (w = max(4, (|supers|+1)/2),
+    * [[hierSuperProbe]]), candidates ranked cos DESC, c_id. */
+  private def hierAssignCtesSql(p: String, pts: String, sup: String,
+      dotFn: (String, String) => String): String =
+    s"""${p}gr AS (SELECT c_id, c_emb, c_nr, s_id FROM (
+      |          SELECT q.c_id, q.c_emb, q.c_nr, z.c_id AS s_id,
+      |            ROW_NUMBER() OVER (PARTITION BY q.c_id
+      |              ORDER BY ${dotFn("q.c_emb", "z.c_emb")}
+      |                / (q.c_nr * z.c_nr) DESC, z.c_id) AS rn
+      |          FROM $pts q CROSS JOIN $sup z) t WHERE rn = 1),
+      |${p}w AS (SELECT greatest(4, (count(*) + 1) // 2) AS w FROM $sup),
+      |${p}vr AS (SELECT v.vec_id, z.c_id AS s_id,
+      |          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |            ORDER BY ${dotFn("v.embedding", "z.c_emb")}
+      |              / (v.nr * z.c_nr) DESC, z.c_id) AS rn
+      |        FROM d v CROSS JOIN $sup z),
+      |${p}cand AS (SELECT v.vec_id, v.embedding, v.nr,
+      |            g.c_id, g.c_emb, g.c_nr
+      |          FROM d v
+      |          JOIN ${p}vr r ON r.vec_id = v.vec_id
+      |            AND r.rn <= (SELECT w FROM ${p}w)
+      |          JOIN ${p}gr g ON g.s_id = r.s_id),
+      |${p}af AS (SELECT vec_id, embedding, nr, c_id,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id
+      |            ORDER BY ${dotFn("embedding", "c_emb")}
+      |              / (nr * c_nr) DESC, c_id) AS rn
+      |        FROM ${p}cand)""".stripMargin
+
+  /** STREAMED-INDEX PAIRS AT THE k ∝ n DEPLOYMENT GEOMETRY — q129's
+    * pair discovery with BOTH index-build terms in their at-scale
+    * form: cell count k = [[pairCells]](n) (the contract that keeps the
+    * pair join linear, measured on this query's own join shape in
+    * `BENCH_Q129_KN_r15.json`) and the assignment built by the
+    * TWO-LEVEL route ([[hierCellAssign]] — the r16 probe measured the
+    * flat crossJoin build growing 8.2×/decade at k ∝ n vs 1.96× for
+    * this build, `BENCH_Q129_ASSIGN_r16.json`; this registers the
+    * deployment form as a first-class hash-verified query instead of a
+    * probe-only tier). The hier route is approximate BY CONTRACT
+    * (routing covers the true top cells ≥ 0.95 of the time,
+    * `CoarseAssignSpec`; end pair recall vs exact truth floor-pinned
+    * in `StreamIndexSpec`) but DETERMINISTIC — every stage (super
+    * seeding every `step`-th id, one floor-split Lloyd round per
+    * level, top-w routing, within-group top-1, all ties cos DESC then
+    * c_id ASC) is pure arithmetic both engines state identically, so
+    * the oracle mirrors the algorithm rather than a flat idealization
+    * and the result hash-matches exactly.
+    *
+    * 100 TB posture: nothing k-sized is ever a join side or a per-row
+    * array — supers (⌈√k⌉) ride the task binary, cells reach vectors
+    * as broadcast per-super GROUPS, the per-vector scan is w·k/g ≈
+    * √k·np cells, and the pair join runs on the assignment's own c_id
+    * partitioning with delta-sized probes. Both decade terms are
+    * measured: build 1.96×, join 1.29× per 10× rows. */
+  val q140StreamIndexPairsHier: QueryDef = sql(
+    "q140_stream_index_pairs_hier",
+    s"""WITH d AS (SELECT vec_id, embedding,
+      |        sqrt(${sqlDotFast("embedding", "embedding")}) AS nr
+      |      FROM embeddings),
+      |hk AS (SELECT greatest($PairCells, count(*) // $PairCellTarget) AS k
+      |       FROM embeddings),
+      |hq AS (SELECT k, (k + g - 1) // g AS step FROM (
+      |         SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS g
+      |         FROM hk)),
+      |seeds AS (SELECT vec_id AS c_id, embedding AS c_emb, nr AS c_nr
+      |          FROM d WHERE vec_id < (SELECT k FROM hq)),
+      |${superCtesSql("s0", "seeds", sqlDotFast)},
+      |${hierAssignCtesSql("l0", "seeds", "s0mcents2", sqlDotFast)},
+      |asn1 AS (SELECT c_id, embedding FROM l0af WHERE rn = 1),
+      |${meanCtesSql("lc", "asn1", "c_id", sqlDotFast)},
+      |${superCtesSql("s1", "lccents2", sqlDotFast)},
+      |${hierAssignCtesSql("l1", "lccents2", "s1mcents2", sqlDotFast)},
+      |asn AS (SELECT vec_id, embedding, nr, c_id FROM l1af WHERE rn = 1),
+      |p AS (SELECT least(x.vec_id, y.vec_id) AS v1,
+      |        greatest(x.vec_id, y.vec_id) AS v2,
+      |        ${sqlDotFast("x.embedding", "y.embedding")}
+      |          / (x.nr * y.nr) AS cosine
+      |      FROM asn x JOIN asn y ON x.c_id = y.c_id
+      |        AND x.vec_id % 13 = 5 AND x.vec_id <> y.vec_id)
+      |SELECT DISTINCT v1, v2, cosine FROM p
+      |WHERE cosine >= 0.4 ORDER BY v1, v2""") { (s, d) =>
+    val k = pairCells(embeddings(s, d).count())
+    withinCellDeltaPairs(s,
+      hierCellAssign(s, d, 0, k, 1)
+        .select(col("vec_id"), col("embedding"), col("nr"), col("c_id")))
+  }
+
   def all: Seq[QueryDef] =
     Seq(q33CosineTopK, q34EmbedNearPairs, q35AnnLshBucketed, q44AnnIvf,
       q56QuantizeInt8, q72KnnClassify, q102SemanticDedup, q103EmbedOutliers,
       q109KmeansTrain, q113HybridRrf, q121CentroidDrift,
-      q123IndexMaintenance, q126StreamAnnIngest, q129StreamIndexPairs)
+      q123IndexMaintenance, q126StreamAnnIngest, q129StreamIndexPairs,
+      q140StreamIndexPairsHier)
 }

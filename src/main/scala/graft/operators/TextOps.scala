@@ -4007,14 +4007,71 @@ object TextOps {
     * the collapsed rows (count + min(struct) over h: one shuffle,
     * no groupBy+join-back, which would re-evaluate the whole Generate
     * subtree — q101's rationale) and the removal explode re-expands
-    * positions only for the ≥2-doc hashes. Removal positions are
-    * 16-byte (doc, t) pairs; the anti-join and the per-doc
-    * reconstruction cluster on doc_id, so the whole apply is three
-    * compact-key exchanges over O(corpus tokens) rows — no text ever
-    * shuffles except the final per-doc rebuild. At 100 TB the one
-    * watch-item is a boilerplate window shared by millions of docs:
-    * its h-partition is a single sort-based (spillable) window group,
-    * the same exposure q101 carries by design. */
+    * positions only for the ≥2-doc hashes, folding straight into a
+    * per-doc `collect_set` of removed positions. The rebuild is then
+    * PURE ARRAY EXPRESSIONS on the token-array artifact: one doc-keyed
+    * join (token arrays ⋈ removal sets), kept positions via
+    * `array_except(sequence(0,n-1), rmv)` (hash-set membership, O(n+r)
+    * per doc, order-preserving), tokens re-attached with a `transform`
+    * — so clean_text needs NO per-token explode, NO anti-join, NO
+    * collect_list+array_sort. (The round-16 form paid all three: a
+    * second corpus-token Generate, two token-row exchanges for the
+    * anti-join, and a struct-sort rebuild. Measured r17 A/B at sf1:
+    * best-of-2 3.56 → 3.47 s — the tail owned ~0.5 s there, NOT the
+    * bulk; the stage probe (`graft.Q128Probe`,
+    * `BENCH_Q128_STAGES_r17.json`) attributes the remaining warm wall
+    * to the window-hash Generate (~0.9 s — every window must be
+    * hashed) and the (h, doc) collapse (~1.2 s — within-doc repeats
+    * must fold before the cross-doc count), both irreducible under
+    * the md5-per-window output contract. The structural win is the
+    * scale shape: the removed terms were the only O(corpus-token)
+    * EXCHANGES in the apply, which dominate at 100 TB even though at
+    * sf1 they were cheap.) Everything that shuffles is either 16-byte
+    * (h, doc) rows or doc-keyed removal sets bounded by doc length.
+    * At 100 TB the one watch-item is a boilerplate window shared by
+    * millions of docs: its h-partition is a single sort-based
+    * (spillable) window group, the same exposure q101 carries by
+    * design. */
+  /** Stage-timing probe for q128 (dev/evidence tooling, not a query):
+    * materializes each prefix of the q128 plan through a noop write and
+    * returns (stage → seconds), so the warm-wall attribution in the
+    * round artifacts is measured, not inferred. */
+  private[graft] def q128StageProbe(s: SparkSession, d: String): Seq[(String, Double)] = {
+    def time(tag: String)(df: => DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (tag, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = tokArrays(s, d)
+    def win = docs.filter(size(col("w")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', slice(w, i + 1, 8)))")))
+      .select(col("doc_id"), col("pos"), tokHash(col("col")).as("h"))
+    def byDoc = win.groupBy(col("h"), col("doc_id"))
+      .agg(min(col("pos")).as("minpos"), collect_list(col("pos")).as("poss"))
+    val overH = Window.partitionBy(col("h"))
+    def flagged = byDoc
+      .withColumn("nd", count(lit(1)).over(overH))
+      .withColumn("canon",
+        min(struct(col("doc_id").as("cd"), col("minpos").as("cp"))).over(overH))
+      .filter(col("nd") >= 2)
+    def rm = flagged
+      .select(col("doc_id"), col("canon"), explode(col("poss")).as("pos"))
+      .filter(!(col("doc_id") === col("canon.cd") &&
+        col("pos") === col("canon.cp")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(7))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("t")).as("rmv"))
+    Seq(
+      time("artifact_read")(docs),
+      time("win_generate_hash")(win),
+      time("bydoc_agg")(byDoc),
+      time("h_window_flag")(flagged),
+      time("rm_sets")(rm),
+      time("full_query")(q128SubstringDedupApply.fn(s, d)))
+  }
+
   val q128SubstringDedupApply: QueryDef = sql(
     "q128_substring_dedup_apply",
     """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -4061,6 +4118,8 @@ object TextOps {
     val byDoc = win.groupBy(col("h"), col("doc_id"))
       .agg(min(col("pos")).as("minpos"), collect_list(col("pos")).as("poss"))
     val overH = Window.partitionBy(col("h"))
+    // per-doc removal SET (collect_set subsumes the old row-level
+    // distinct): positions of every non-canonical occurrence's 8 tokens
     val rm = byDoc
       .withColumn("nd", count(lit(1)).over(overH))
       .withColumn("canon",
@@ -4071,23 +4130,22 @@ object TextOps {
         col("pos") === col("canon.cp")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(7))).as("t"))
-      .distinct()
-    val tk = docs
-      .select(col("doc_id"), posexplode(col("w")))
-      .toDF("doc_id", "t", "tok")
-    val kept = tk.join(rm, Seq("doc_id", "t"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(t, tok))), x -> x.tok)"))
-          .as("clean_text"),
-        count(lit(1)).cast("long").as("n_kept"))
-    docs.select(col("doc_id"), size(col("w")).cast("long").as("n"))
-      .join(kept, Seq("doc_id"), "left")
+      .agg(collect_set(col("t")).as("rmv"))
+    // rebuild as array expressions on the token-array artifact: kept
+    // positions = array_except(0..n-1, rmv) (order-preserving), tokens
+    // re-attached by index — no token-level explode/anti-join/sort.
+    // rmv is only ever non-null for docs with ≥1 window (size(w) ≥ 8),
+    // so the sequence() below never sees an empty token array.
+    docs.join(rm, Seq("doc_id"), "left")
+      .withColumn("keep",
+        when(col("rmv").isNull, col("w")).otherwise(expr(
+          "transform(array_except(sequence(0, size(w) - 1), rmv)," +
+            " i -> element_at(w, i + 1))")))
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        concat_ws(" ", col("keep")).as("clean_text"),
+        size(col("keep")).cast("long").as("n_kept"),
+        (size(col("w")) - size(col("keep"))).cast("long").as("n_removed"))
       .orderBy(col("doc_id"))
   }
 
