@@ -707,6 +707,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"removal path fell to SMJ:\n$plan")
   }
 
+  test("q140 hier streamed-index pairs: the assignment build is " +
+      "TWO-LEVEL (super routing + per-group scan expressions), with " +
+      "no flat n-by-k crossJoin anywhere in the executed plan") {
+    val plan = finalPlan(
+      SparkEntry.queries("q140_stream_index_pairs_hier")(spark, sf))
+    assert(plan.contains("nearestcellidsstatic"),
+      s"vector routing must ride the static super scan:\n$plan")
+    assert(plan.contains("nearestcellstop"),
+      s"per-group cell scan must ride NearestCellsTop:\n$plan")
+    // the flat build's signature: crossJoin(broadcast(k-row centroids))
+    // physical-plans as a BroadcastNestedLoopJoin - its absence IS the
+    // no-n-by-k-explosion pin
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"flat n-by-k build leaked into the hier route:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the hier route:\n$plan")
+  }
+
   test("q129 streamed-index pairs: the pair join reads the staged " +
       "assignment artifact, no broadcast-nested-loop anywhere") {
     val plan = finalPlan(
