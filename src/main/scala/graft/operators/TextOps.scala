@@ -2903,6 +2903,160 @@ object TextOps {
       .orderBy(col("source"), col("shard_idx"))
   }
 
+  /** REPETITION-EXPANDED INTERLEAVE — the q139 planner's numbers driven
+    * INTO q136's layout (VERDICT r16 item 5): q139 decides per source
+    * how many whole-epoch repetitions r_s = min(4, ⌈m_s/T_s⌉) a
+    * data-constrained run grants and how much token mass
+    * g_s = min(m_s, r_s·T_s) it may actually read; this query emits the
+    * shard stream such a run consumes. Each source's packed bins are
+    * replicated r_s times at SHIFTED virtual times — replica (e, seq_id)
+    * schedules at k = ⌊(e·n_s + seq_id + 1)·2²⁴ / w_s⌋ with n_s the
+    * source's bin count, so epoch e continues the stride schedule
+    * exactly where epoch e−1 left off (the e = 0 slice IS q136's
+    * schedule) — and the final epoch is TRUNCATED to the granted mass
+    * at whole-bin granularity (a bin enters iff its within-source
+    * replicated-stream exclusive prefix e·T_s + boff < g_s; the
+    * boundary bin may overshoot by < one bin, the packing family's
+    * standard approximation). Shards are 16,384-token cuts over the
+    * global (k, source, pos) order, pos = e·n_s + seq_id. Per shard the
+    * manifest adds `repeated_ppm` — the token share drawn from epochs
+    * ≥ 1 — the data-constrained audit a run reads next to q136's
+    * mixing share.
+    *
+    * Scale shape: the plan table is |sources|-row (one bins-sized
+    * aggregate off the SHARED localCheckpointed bins — no second corpus
+    * pass) broadcast everywhere; within-source bin prefixes ride
+    * [[packOffsetsFrom]]'s blocked form (never a per-source window);
+    * replication is one `explode(sequence(0, epochs−1))` — per-row
+    * fan-out ≤ 4, independent of corpus size, never a join blowup; and
+    * the global prefix rides [[interleaveOffsetsByRange]], the
+    * production key-range-blocked path (no corpus-wide window, no
+    * |sources| bound). Epoch recovery after the ranked pass is integer
+    * arithmetic on pos (e = pos div n_s) — nothing re-joins the corpus.
+    */
+  val q141RepetitionShards: QueryDef = sql(
+    "q141_repetition_shards",
+    """WITH n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |b AS (SELECT source, n_tok,
+      |        CAST(floor(off / 256.0) AS INT) AS seq_id FROM o),
+      |bins AS (SELECT source, seq_id,
+      |        CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(seq_tokens) AS BIGINT) AS supply,
+      |        CAST(count(*) AS BIGINT) AS nbins,
+      |        CAST(floor(sqrt(CAST(sum(seq_tokens) AS BIGINT))) AS BIGINT)
+      |          AS w
+      |      FROM bins GROUP BY 1),
+      |g AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+      |        CAST(sum(supply) AS BIGINT) * 2 AS budget FROM t),
+      |m AS (SELECT source, supply, nbins, w, (g.budget * w) // g.tw AS target
+      |      FROM t CROSS JOIN g),
+      |ep AS (SELECT source, supply, nbins, w, target,
+      |        least(CAST(4 AS BIGINT), (target + supply - 1) // supply)
+      |          AS epochs FROM m),
+      |p AS (SELECT source, supply, nbins, w, epochs,
+      |        least(target, epochs * supply) AS granted FROM ep),
+      |so AS (SELECT source, seq_id, seq_tokens,
+      |        COALESCE(CAST(sum(seq_tokens) OVER (PARTITION BY source
+      |          ORDER BY seq_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS boff
+      |      FROM bins),
+      |px AS (SELECT source, supply, nbins, w, granted,
+      |        unnest(generate_series(CAST(0 AS BIGINT), epochs - 1)) AS e
+      |      FROM p),
+      |kept AS (SELECT so.source, so.seq_tokens, px.e,
+      |        px.e * px.nbins + CAST(so.seq_id AS BIGINT) AS pos,
+      |        ((px.e * px.nbins + CAST(so.seq_id AS BIGINT) + 1) * 16777216)
+      |          // px.w AS k
+      |      FROM so JOIN px USING (source)
+      |      WHERE px.e * px.supply + so.boff < px.granted),
+      |r AS (SELECT source, seq_tokens, e,
+      |        COALESCE(CAST(sum(seq_tokens) OVER (ORDER BY k, source, pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS tok_off
+      |      FROM kept),
+      |sh AS (SELECT source, seq_tokens, e,
+      |        CAST(tok_off // 16384 AS BIGINT) AS shard_id FROM r),
+      |g1 AS (SELECT shard_id, source, count(*) AS n,
+      |        CAST(sum(seq_tokens) AS BIGINT) AS toks,
+      |        CAST(sum(CASE WHEN e > 0 THEN seq_tokens ELSE 0 END)
+      |          AS BIGINT) AS rtoks
+      |      FROM sh GROUP BY 1, 2)
+      |SELECT shard_id, CAST(sum(n) AS BIGINT) AS n_seqs,
+      |  CAST(sum(toks) AS BIGINT) AS shard_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_sources,
+      |  (max(toks) * 1000000) // CAST(sum(toks) AS BIGINT)
+      |    AS max_src_share_ppm,
+      |  (CAST(sum(rtoks) AS BIGINT) * 1000000) // CAST(sum(toks) AS BIGINT)
+      |    AS repeated_ppm
+      |FROM g1 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    repetitionShardsPlan(s, d, PackBlockDocs)
+  }
+
+  /** See [[q141RepetitionShards]]; split out for `InterleaveShardSpec`. */
+  private[graft] def repetitionShardsPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+    val bins = packSequencesPlan(s, d, blockDocs)
+      .select(col("source"), col("seq_id"), col("seq_tokens"))
+      .localCheckpoint()
+    // q139's planning numbers from the SAME bins artifact (one corpus
+    // scan total): |sources|-row, broadcast from here on
+    val t = bins.groupBy(col("source"))
+      .agg(sum(col("seq_tokens")).cast("long").as("supply"),
+        count(lit(1)).as("nbins"))
+      .withColumn("w", floor(sqrt(col("supply"))).cast("long"))
+    val g = t.agg(sum(col("w")).cast("long").as("tw"),
+      (sum(col("supply")) * 2).cast("long").as("budget"))
+    val plan = t.crossJoin(broadcast(g))
+      .withColumn("target", expr("(budget * w) div tw"))
+      .withColumn("epochs",
+        least(lit(4L), expr("(target + supply - 1) div supply")))
+      .withColumn("granted",
+        least(col("target"), col("epochs") * col("supply")))
+      .select(col("source"), col("supply"), col("nbins"), col("w"),
+        col("epochs"), col("granted"))
+    // within-source bin prefix — blocked, never a per-source window
+    val boff = packOffsetsFrom(
+        bins.select(col("source"), col("seq_id").cast("long").as("doc_id"),
+          col("seq_tokens").as("n_tok")),
+        blockDocs)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        col("off").as("boff"))
+    val rep = boff.join(broadcast(plan), "source")
+      .withColumn("e",
+        explode(expr("sequence(cast(0 as bigint), epochs - 1)")))
+      .filter(col("e") * col("supply") + col("boff") < col("granted"))
+      .withColumn("pos", col("e") * col("nbins") + col("doc_id"))
+      .select(col("source").as("src"), col("pos").as("seq_id"),
+        col("n_tok"),
+        expr("((pos + 1) * cast(16777216 as bigint)) div w").as("k"))
+    interleaveOffsetsByRange(rep, blockDocs)
+      .join(broadcast(plan.select(col("source").as("src"), col("nbins"))),
+        "src")
+      .withColumn("e", expr("seq_id div nbins"))
+      .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
+      .groupBy(col("shard_id"), col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"),
+        sum(when(col("e") > 0, col("n_tok")).otherwise(0L)).as("rtoks"))
+      .groupBy(col("shard_id"))
+      .agg(sum(col("n")).as("n_seqs"),
+        sum(col("toks")).as("shard_tokens"),
+        count(lit(1)).as("n_sources"),
+        max(col("toks")).as("mx_toks"),
+        sum(col("rtoks")).as("r_toks"))
+      .select(col("shard_id"), col("n_seqs"), col("shard_tokens"),
+        col("n_sources"),
+        expr("(mx_toks * 1000000) div shard_tokens").as("max_src_share_ppm"),
+        expr("(r_toks * 1000000) div shard_tokens").as("repeated_ppm"))
+      .orderBy(col("shard_id"))
+  }
+
   /** GPU-shape-aware packing layout — q58's bins taken the rest of the
     * way to what a training dataloader actually consumes: every document
     * is SPLIT at the 256-token sequence boundaries into attention-mask
@@ -4240,5 +4394,5 @@ object TextOps {
     q93Boilerplate, q94Bm25, q135Rerank,
     q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve,
     q133ShardManifest, q134IncrementalClusters, q136InterleavedShards,
-    q137IncrementalShards, q138ContaminatedShards)
+    q137IncrementalShards, q138ContaminatedShards, q141RepetitionShards)
 }

@@ -100,6 +100,98 @@ class InterleaveShardSpec extends AnyFunSuite {
     }
   }
 
+  // q141: from-scratch recompute of the repetition-expanded layout —
+  // q139's planning numbers, epoch replication at shifted virtual
+  // times, granted-mass truncation, global (k, source, pos) order,
+  // shard cuts, mixing + repetition stats
+  private def expectedRepetitionManifest(bins: Seq[(String, Int, Long)])
+      : Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val bySrc = bins.groupBy(_._1)
+    val supply = bySrc.map { case (s, rs) => s -> rs.map(_._3).sum }
+    val nbins = bySrc.map { case (s, rs) => s -> rs.length.toLong }
+    val w = supply.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val tw = w.values.sum
+    val budget = supply.values.sum * 2
+    val target = supply.keysIterator
+      .map(s => s -> budget * w(s) / tw).toMap
+    val epochs = supply.keysIterator
+      .map(s => s -> math.min(4L, (target(s) + supply(s) - 1) / supply(s)))
+      .toMap
+    val granted = supply.keysIterator
+      .map(s => s -> math.min(target(s), epochs(s) * supply(s))).toMap
+    val boff: Map[(String, Int), Long] = bySrc.flatMap { case (s, rs) =>
+      var off = 0L
+      rs.sortBy(_._2).map { case (_, q, tok) =>
+        val o = off; off += tok; ((s, q), o)
+      }
+    }
+    val rep = for {
+      (s, q, tok) <- bins
+      e <- 0L until epochs(s)
+      if e * supply(s) + boff((s, q)) < granted(s)
+    } yield {
+      val pos = e * nbins(s) + q
+      (((pos + 1) * 16777216L) / w(s), s, pos, tok, e)
+    }
+    var off = 0L
+    val assigned = rep.sortBy { case (k, s, pos, _, _) => (k, s, pos) }
+      .map { case (_, s, _, tok, e) =>
+        val shard = off / 16384L; off += tok; (shard, s, tok, e)
+      }
+    assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (shard, rs) =>
+      val srcTok = rs.groupBy(_._2).map { case (_, xs) => xs.map(_._3).sum }
+      val tot = rs.map(_._3).sum
+      val rept = rs.filter(_._4 > 0).map(_._3).sum
+      (shard, rs.length.toLong, tot, srcTok.size.toLong,
+        srcTok.max * 1000000L / tot, rept * 1000000L / tot)
+    }
+  }
+
+  test("q141 repetition-expanded manifest equals a from-scratch " +
+      "recompute (planner numbers, shifted-virtual-time replication, " +
+      "granted truncation, shard cuts, repetition stats)") {
+    val bins = binsOf(sf)
+    val expected = expectedRepetitionManifest(bins)
+    val got = SparkEntry.queries("q141_repetition_shards")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // the data-constrained semantics are visible: repeated mass exists
+    // (upweighted small sources recycle) and the early stream is
+    // fresher than the tail (epoch 0 schedules first per source)
+    assert(got.map(_._6).max > 0L)
+    assert(got.head._6 <= got.last._6)
+    // granted truncation: total mass is Σ_s granted ± one boundary bin
+    // per source (whole-bin granularity)
+    val bySrc = bins.groupBy(_._1)
+    val supply = bySrc.map { case (s, rs) => s -> rs.map(_._3).sum }
+    val w = supply.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val tw = w.values.sum
+    val budget = supply.values.sum * 2
+    val grantedTot = supply.keysIterator.map { s =>
+      val target = budget * w(s) / tw
+      val ep = math.min(4L, (target + supply(s) - 1) / supply(s))
+      math.min(target, ep * supply(s))
+    }.sum
+    val maxBin = bins.map(_._3).max
+    val tot = got.map(_._3).sum
+    assert(tot >= grantedTot &&
+      tot <= grantedTot + bySrc.size * maxBin,
+      s"kept mass $tot outside [$grantedTot, granted + |src|·maxBin]")
+  }
+
+  test("q141 layout is block-size independent") {
+    val ref = TextOps.repetitionShardsPlan(spark, sf, TextOps.PackBlockDocs)
+      .collect().map(_.toSeq).toSeq
+    for (b <- Seq(1L, 17L, 1000000L)) {
+      val alt = TextOps.repetitionShardsPlan(spark, sf, b)
+        .collect().map(_.toSeq).toSeq
+      assert(alt == ref, s"q141 layout diverges at blockDocs=$b")
+    }
+  }
+
   test("out-of-bounds corpus (33 sources) routes through the range " +
       "fallback automatically and matches the from-scratch recompute") {
     import org.apache.spark.sql.functions._

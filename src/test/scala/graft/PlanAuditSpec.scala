@@ -778,6 +778,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no join should fall to SMJ at this sf:\n$plan")
   }
 
+  test("q141 repetition-interleaved shards: replication is an explode " +
+      "of a sequence literal (no join blowup), the global prefix rides " +
+      "the key-range blocked form, no corpus-wide window, no cartesian, " +
+      "no sort-merge") {
+    val plan = finalPlan(
+      SparkEntry.queries("q141_repetition_shards")(
+        spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("Generate explode(sequence("),
+      s"epoch replication must be a per-row sequence explode:\n$plan")
+    assert(plan.contains("windowspecdefinition(blk#"),
+      s"the interleaved prefix must use the blocked form:\n$plan")
+    // every window partitions on a blocking/source column — a corpus-
+    // wide prefix window would open with its ORDER column + sort dir
+    val wins = plan.split("windowspecdefinition\\(").drop(1)
+    assert(wins.nonEmpty && wins.forall(w0 =>
+      w0.startsWith("blk#") || w0.startsWith("source#") ||
+        w0.startsWith("src#")),
+      s"unpartitioned (corpus-wide) window in the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the repetition route:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a join fell to SMJ at this sf:\n$plan")
+  }
+
   test("q139 epoch plan: one map-side-combinable corpus aggregate, the " +
       "1-row global broadcast back, no window and no sort-merge") {
     val plan = finalPlan(
