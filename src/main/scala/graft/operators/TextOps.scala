@@ -2570,6 +2570,26 @@ object TextOps {
     * (the former demo-bounds require() is now a route, not a wall). */
   private[graft] def interleavedShardsPlan(
       s: SparkSession, d: String, blockDocs: Long,
+      forceRange: Boolean = false): DataFrame =
+    interleavedStreamPlan(s, d, blockDocs, forceRange)
+      .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
+      .groupBy(col("shard_id"), col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"))
+      .groupBy(col("shard_id"))
+      .agg(sum(col("n")).as("n_seqs"),
+        sum(col("toks")).as("shard_tokens"),
+        count(lit(1)).as("n_sources"),
+        max(col("toks")).as("mx_toks"))
+      .select(col("shard_id"), col("n_seqs"), col("shard_tokens"),
+        col("n_sources"),
+        expr("(mx_toks * 1000000) div shard_tokens").as("max_src_share_ppm"))
+      .orderBy(col("shard_id"))
+
+  /** q136's interleaved stream BEFORE the shard aggregate:
+    * (src, n_tok, off) in global (k, source, seq_id) stride order —
+    * shared by [[q136InterleavedShards]] and the run-length audit. */
+  private[graft] def interleavedStreamPlan(
+      s: SparkSession, d: String, blockDocs: Long,
       forceRange: Boolean = false): DataFrame = {
     val bins = packSequencesPlan(s, d, blockDocs)
       .select(col("source"), col("seq_id"), col("seq_tokens"))
@@ -2625,18 +2645,6 @@ object TextOps {
           .select(col("src"), col("n_tok"), col("off"))
       }
     withOff
-      .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
-      .groupBy(col("shard_id"), col("src"))
-      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"))
-      .groupBy(col("shard_id"))
-      .agg(sum(col("n")).as("n_seqs"),
-        sum(col("toks")).as("shard_tokens"),
-        count(lit(1)).as("n_sources"),
-        max(col("toks")).as("mx_toks"))
-      .select(col("shard_id"), col("n_seqs"), col("shard_tokens"),
-        col("n_sources"),
-        expr("(mx_toks * 1000000) div shard_tokens").as("max_src_share_ppm"))
-      .orderBy(col("shard_id"))
   }
 
   /** INCREMENTAL SHARD-MANIFEST UPDATE — the shard layer's member of
@@ -3006,6 +3014,30 @@ object TextOps {
 
   /** See [[q141RepetitionShards]]; split out for `InterleaveShardSpec`. */
   private[graft] def repetitionShardsPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame =
+    repetitionStreamPlan(s, d, blockDocs)
+      .withColumn("e", expr("seq_id div nbins"))
+      .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
+      .groupBy(col("shard_id"), col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"),
+        sum(when(col("e") > 0, col("n_tok")).otherwise(0L)).as("rtoks"))
+      .groupBy(col("shard_id"))
+      .agg(sum(col("n")).as("n_seqs"),
+        sum(col("toks")).as("shard_tokens"),
+        count(lit(1)).as("n_sources"),
+        max(col("toks")).as("mx_toks"),
+        sum(col("rtoks")).as("r_toks"))
+      .select(col("shard_id"), col("n_seqs"), col("shard_tokens"),
+        col("n_sources"),
+        expr("(mx_toks * 1000000) div shard_tokens").as("max_src_share_ppm"),
+        expr("(r_toks * 1000000) div shard_tokens").as("repeated_ppm"))
+      .orderBy(col("shard_id"))
+
+  /** q141's repetition-expanded stream BEFORE the shard aggregate:
+    * (src, seq_id = e·nbins + within-epoch seq, n_tok, off, nbins) in
+    * global (k, source, pos) order — shared by [[q141RepetitionShards]]
+    * and the resume manifest (epoch recovery: e = seq_id div nbins). */
+  private[graft] def repetitionStreamPlan(
       s: SparkSession, d: String, blockDocs: Long): DataFrame = {
     val bins = packSequencesPlan(s, d, blockDocs)
       .select(col("source"), col("seq_id"), col("seq_tokens"))
@@ -3044,21 +3076,206 @@ object TextOps {
     interleaveOffsetsByRange(rep, blockDocs)
       .join(broadcast(plan.select(col("source").as("src"), col("nbins"))),
         "src")
-      .withColumn("e", expr("seq_id div nbins"))
+  }
+
+  /** DATALOADER RESUME MANIFEST — the checkpoint/restart op over q141's
+    * repetition-expanded stream: a run that consumed the first
+    * C = ⌊2·M/5⌋ tokens of the stream (M = total granted-kept mass;
+    * whole-bin granularity, the shard-cut convention) restarts from a
+    * manifest that tells it, PER SOURCE, how much it already read
+    * (bins, tokens, ppm of the source's total stream mass) and the
+    * exact next replica to fetch — (epoch, seq_id) of the first
+    * unconsumed bin in stream order, (−1, −1) for a source the
+    * consumed prefix fully drained. Epoch recovery is integer
+    * arithmetic on the stream position (e = pos div n_s) — the same
+    * identity q141 uses.
+    *
+    * Scale shape: the stream is built once ([[repetitionStreamPlan]],
+    * localCheckpointed — the C aggregate and the per-source manifest
+    * share it); C is a 1-row broadcast; the manifest is ONE map-side-
+    * combinable per-source aggregate (conditional sums + a conditional
+    * min). Nothing after the stream build is corpus-sized. */
+  val q142ResumeManifest: QueryDef = sql(
+    "q142_resume_manifest",
+    """WITH n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |b AS (SELECT source, n_tok,
+      |        CAST(floor(off / 256.0) AS INT) AS seq_id FROM o),
+      |bins AS (SELECT source, seq_id,
+      |        CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(seq_tokens) AS BIGINT) AS supply,
+      |        CAST(count(*) AS BIGINT) AS nbins,
+      |        CAST(floor(sqrt(CAST(sum(seq_tokens) AS BIGINT))) AS BIGINT)
+      |          AS w
+      |      FROM bins GROUP BY 1),
+      |g AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+      |        CAST(sum(supply) AS BIGINT) * 2 AS budget FROM t),
+      |m AS (SELECT source, supply, nbins, w, (g.budget * w) // g.tw AS target
+      |      FROM t CROSS JOIN g),
+      |ep AS (SELECT source, supply, nbins, w, target,
+      |        least(CAST(4 AS BIGINT), (target + supply - 1) // supply)
+      |          AS epochs FROM m),
+      |p AS (SELECT source, supply, nbins, w, epochs,
+      |        least(target, epochs * supply) AS granted FROM ep),
+      |so AS (SELECT source, seq_id, seq_tokens,
+      |        COALESCE(CAST(sum(seq_tokens) OVER (PARTITION BY source
+      |          ORDER BY seq_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS boff
+      |      FROM bins),
+      |px AS (SELECT source, supply, nbins, w, granted,
+      |        unnest(generate_series(CAST(0 AS BIGINT), epochs - 1)) AS e
+      |      FROM p),
+      |kept AS (SELECT so.source, so.seq_tokens, px.nbins,
+      |        px.e * px.nbins + CAST(so.seq_id AS BIGINT) AS pos,
+      |        ((px.e * px.nbins + CAST(so.seq_id AS BIGINT) + 1) * 16777216)
+      |          // px.w AS k
+      |      FROM so JOIN px USING (source)
+      |      WHERE px.e * px.supply + so.boff < px.granted),
+      |r AS (SELECT source, seq_tokens, nbins, pos,
+      |        COALESCE(CAST(sum(seq_tokens) OVER (ORDER BY k, source, pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS tok_off
+      |      FROM kept),
+      |ctab AS (SELECT (CAST(sum(seq_tokens) AS BIGINT) * 2) // 5 AS c
+      |      FROM kept),
+      |a AS (SELECT source,
+      |        CAST(sum(CASE WHEN tok_off < c THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS consumed_bins,
+      |        CAST(sum(CASE WHEN tok_off < c THEN seq_tokens ELSE 0 END)
+      |          AS BIGINT) AS consumed_tokens,
+      |        min(CASE WHEN tok_off >= c THEN pos END) AS next_pos,
+      |        CAST(sum(seq_tokens) AS BIGINT) AS kept_tokens,
+      |        min(nbins) AS nbins
+      |      FROM r CROSS JOIN ctab GROUP BY source)
+      |SELECT source, consumed_bins, consumed_tokens, kept_tokens,
+      |  (consumed_tokens * 1000000) // kept_tokens AS consumed_ppm,
+      |  CASE WHEN next_pos IS NULL THEN CAST(-1 AS BIGINT)
+      |       ELSE next_pos // nbins END AS next_epoch,
+      |  CASE WHEN next_pos IS NULL THEN CAST(-1 AS BIGINT)
+      |       ELSE next_pos % nbins END AS next_seq_id
+      |FROM a ORDER BY source""") { (s, d) =>
+    resumeManifestPlan(s, d, PackBlockDocs)
+  }
+
+  /** See [[q142ResumeManifest]]; split out for `InterleaveShardSpec`. */
+  private[graft] def resumeManifestPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+    val stream = repetitionStreamPlan(s, d, blockDocs).localCheckpoint()
+    val cTbl = stream.agg(
+      expr("(sum(n_tok) * 2) div 5").cast("long").as("c"))
+    stream.crossJoin(broadcast(cTbl))
+      .groupBy(col("src"))
+      .agg(
+        sum(when(col("off") < col("c"), 1L).otherwise(0L))
+          .as("consumed_bins"),
+        sum(when(col("off") < col("c"), col("n_tok")).otherwise(0L))
+          .as("consumed_tokens"),
+        min(when(col("off") >= col("c"), col("seq_id"))).as("next_pos"),
+        sum(col("n_tok")).cast("long").as("kept_tokens"),
+        min(col("nbins")).as("nbins"))
+      .select(col("src").as("source"),
+        col("consumed_bins"), col("consumed_tokens"), col("kept_tokens"),
+        expr("(consumed_tokens * 1000000) div kept_tokens")
+          .as("consumed_ppm"),
+        when(col("next_pos").isNull, lit(-1L))
+          .otherwise(expr("next_pos div nbins")).as("next_epoch"),
+        when(col("next_pos").isNull, lit(-1L))
+          .otherwise(expr("next_pos % nbins")).as("next_seq_id"))
+      .orderBy(col("source"))
+  }
+
+  /** INTERLEAVE RUN-LENGTH AUDIT — the mixing metric q136's
+    * max-share ppm cannot see: two layouts with identical per-shard
+    * source shares can still differ wildly in LOCALITY (AAABBB vs
+    * ABABAB), and a mixture dataloader cares — long same-source runs
+    * inside a shard are exactly the gradient-correlation pathology
+    * interleaving exists to break. Per shard: bins, source-runs
+    * (maximal same-source consecutive stretches in stream order), mean
+    * run length in micro units, and the longest run. Stride scheduling
+    * should keep mean runs near 1 for mixed corpora; a drift upward is
+    * the first sign a source's rate has collapsed the interleave.
+    *
+    * Scale shape: rides [[interleavedStreamPlan]] (q136's exact build —
+    * blocked prefix, broadcast rates); the run detection is lag + a
+    * running count over (shard_id, off) windows — shard-sized
+    * partitions (~64 bins), millions of them: the well-distributed
+    * case, ONE sort shared by both window functions; then two
+    * shard-keyed aggregates. No corpus-wide window anywhere. */
+  val q143InterleaveRuns: QueryDef = sql(
+    "q143_interleave_runs",
+    """WITH n AS (SELECT source, doc_id,
+      |        len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT source, doc_id, n_tok,
+      |        COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM n),
+      |b AS (SELECT source, n_tok,
+      |        CAST(floor(off / 256.0) AS INT) AS seq_id FROM o),
+      |bins AS (SELECT source, seq_id,
+      |        CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+      |      FROM b GROUP BY 1, 2),
+      |ts AS (SELECT source,
+      |        CAST(floor(sqrt(CAST(sum(seq_tokens) AS BIGINT))) AS BIGINT)
+      |          AS w
+      |      FROM bins GROUP BY 1),
+      |ky AS (SELECT bins.source, bins.seq_id, bins.seq_tokens,
+      |        ((CAST(bins.seq_id AS BIGINT) + 1) * 16777216) // ts.w AS k
+      |      FROM bins JOIN ts USING (source)),
+      |r AS (SELECT source, seq_id, seq_tokens,
+      |        COALESCE(sum(seq_tokens) OVER (ORDER BY k, source, seq_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS tok_off
+      |      FROM ky),
+      |sh AS (SELECT source, tok_off,
+      |        CAST(tok_off // 16384 AS BIGINT) AS shard_id FROM r),
+      |f AS (SELECT shard_id, source, tok_off,
+      |        CASE WHEN lag(source) OVER (PARTITION BY shard_id
+      |              ORDER BY tok_off) IS NULL
+      |             OR lag(source) OVER (PARTITION BY shard_id
+      |              ORDER BY tok_off) <> source
+      |          THEN 1 ELSE 0 END AS chg
+      |      FROM sh),
+      |rn AS (SELECT shard_id,
+      |        CAST(sum(chg) OVER (PARTITION BY shard_id ORDER BY tok_off
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS run_id
+      |      FROM f),
+      |runs AS (SELECT shard_id, run_id, CAST(count(*) AS BIGINT) AS rl
+      |      FROM rn GROUP BY 1, 2)
+      |SELECT shard_id, CAST(sum(rl) AS BIGINT) AS n_seqs,
+      |  CAST(count(*) AS BIGINT) AS n_runs,
+      |  (CAST(sum(rl) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+      |    AS mean_run_micro,
+      |  CAST(max(rl) AS BIGINT) AS max_run
+      |FROM runs GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    interleaveRunsPlan(s, d, PackBlockDocs)
+  }
+
+  /** See [[q143InterleaveRuns]]; split out for `InterleaveShardSpec`. */
+  private[graft] def interleaveRunsPlan(
+      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col("shard_id")).orderBy(col("off"))
+    val flagged = interleavedStreamPlan(s, d, blockDocs)
       .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
-      .groupBy(col("shard_id"), col("src"))
-      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"),
-        sum(when(col("e") > 0, col("n_tok")).otherwise(0L)).as("rtoks"))
+      .withColumn("chg",
+        when(lag(col("src"), 1).over(wOrd).isNull ||
+          lag(col("src"), 1).over(wOrd) =!= col("src"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("shard_id"), col("run_id"))
+      .agg(count(lit(1)).as("rl"))
       .groupBy(col("shard_id"))
-      .agg(sum(col("n")).as("n_seqs"),
-        sum(col("toks")).as("shard_tokens"),
-        count(lit(1)).as("n_sources"),
-        max(col("toks")).as("mx_toks"),
-        sum(col("rtoks")).as("r_toks"))
-      .select(col("shard_id"), col("n_seqs"), col("shard_tokens"),
-        col("n_sources"),
-        expr("(mx_toks * 1000000) div shard_tokens").as("max_src_share_ppm"),
-        expr("(r_toks * 1000000) div shard_tokens").as("repeated_ppm"))
+      .agg(sum(col("rl")).as("n_seqs"), count(lit(1)).as("n_runs"),
+        max(col("rl")).as("max_run"))
+      .select(col("shard_id"), col("n_seqs"), col("n_runs"),
+        expr("(n_seqs * 1000000) div n_runs").as("mean_run_micro"),
+        col("max_run"))
       .orderBy(col("shard_id"))
   }
 
@@ -4399,5 +4616,6 @@ object TextOps {
     q93Boilerplate, q94Bm25, q135Rerank,
     q98KhopReach, q101DupSpans, q128SubstringDedupApply, q115NoveltyCurve,
     q133ShardManifest, q134IncrementalClusters, q136InterleavedShards,
-    q137IncrementalShards, q138ContaminatedShards, q141RepetitionShards)
+    q137IncrementalShards, q138ContaminatedShards, q141RepetitionShards,
+    q142ResumeManifest, q143InterleaveRuns)
 }

@@ -182,6 +182,116 @@ class InterleaveShardSpec extends AnyFunSuite {
       s"kept mass $tot outside [$grantedTot, granted + |src|·maxBin]")
   }
 
+  // shared repetition-stream recompute: (k, source, pos, tok, epoch)
+  // rows after planner numbers, replication, granted truncation
+  private def expectedRepStream(bins: Seq[(String, Int, Long)])
+      : Seq[(Long, String, Long, Long, Long)] = {
+    val bySrc = bins.groupBy(_._1)
+    val supply = bySrc.map { case (s, rs) => s -> rs.map(_._3).sum }
+    val nbins = bySrc.map { case (s, rs) => s -> rs.length.toLong }
+    val w = supply.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val tw = w.values.sum
+    val budget = supply.values.sum * 2
+    val target = supply.keysIterator.map(s => s -> budget * w(s) / tw).toMap
+    val epochs = supply.keysIterator
+      .map(s => s -> math.min(4L, (target(s) + supply(s) - 1) / supply(s)))
+      .toMap
+    val granted = supply.keysIterator
+      .map(s => s -> math.min(target(s), epochs(s) * supply(s))).toMap
+    val boff: Map[(String, Int), Long] = bySrc.flatMap { case (s, rs) =>
+      var off = 0L
+      rs.sortBy(_._2).map { case (_, q, tok) =>
+        val o = off; off += tok; ((s, q), o)
+      }
+    }
+    (for {
+      (s, q, tok) <- bins
+      e <- 0L until epochs(s)
+      if e * supply(s) + boff((s, q)) < granted(s)
+    } yield {
+      val pos = e * nbins(s) + q
+      (((pos + 1) * 16777216L) / w(s), s, pos, tok, e)
+    }).sortBy { case (k, s, pos, _, _) => (k, s, pos) }
+  }
+
+  test("q142 resume manifest equals a from-scratch recompute, and the " +
+      "consumed prefix covers the 40% budget at whole-bin granularity") {
+    val bins = binsOf(sf)
+    val stream = expectedRepStream(bins)
+    val nbins = bins.groupBy(_._1).map { case (s, rs) => s -> rs.length.toLong }
+    var off = 0L
+    val withOff = stream.map { case (_, s, pos, tok, _) =>
+      val o = off; off += tok; (s, pos, tok, o)
+    }
+    val total = withOff.map(_._3).sum
+    val c = total * 2 / 5
+    val expected = withOff.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (s, rs) =>
+        val consumed = rs.filter(_._4 < c)
+        val nextPos = rs.filter(_._4 >= c).map(_._2).minOption
+        (s, consumed.length.toLong, consumed.map(_._3).sum,
+          rs.map(_._3).sum,
+          consumed.map(_._3).sum * 1000000L / rs.map(_._3).sum,
+          nextPos.map(_ / nbins(s)).getOrElse(-1L),
+          nextPos.map(_ % nbins(s)).getOrElse(-1L))
+    }
+    val got = SparkEntry.queries("q142_resume_manifest")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got == expected)
+    // whole-bin budget bound: the consumed prefix reaches C but
+    // overshoots by less than one bin
+    val consumedTot = got.map(_._3).sum
+    val maxBin = bins.map(_._3).max
+    assert(consumedTot >= c && consumedTot < c + maxBin,
+      s"consumed $consumedTot outside [$c, c + maxBin)")
+    // next pointers are real positions: re-reading from them replays
+    // exactly the unconsumed suffix
+    val nextBySrc = got.map(r => r._1 -> (r._6, r._7)).toMap
+    withOff.filter(_._4 >= c).groupBy(_._1).foreach { case (s, rs) =>
+      val minPos = rs.map(_._2).min
+      assert(nextBySrc(s) == (minPos / nbins(s), minPos % nbins(s)))
+    }
+  }
+
+  test("q143 run lengths equal a from-scratch recompute off the " +
+      "interleaved stream, and stride interleaving keeps runs short") {
+    val bins = binsOf(sf)
+    val tSrc = bins.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val w = tSrc.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val ordered = bins
+      .map { case (s, q, tok) => (((q + 1L) * 16777216L) / w(s), s, q, tok) }
+      .sortBy { case (k, s, q, _) => (k, s, q) }
+    var off = 0L
+    val assigned = ordered.map { case (_, s, _, tok) =>
+      val shard = off / 16384L; off += tok; (shard, s)
+    }
+    val expected = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (shard, rs) =>
+        val srcs = rs.map(_._2)
+        val runs = srcs.foldLeft(List.empty[(String, Long)]) {
+          case ((h, n) :: t, s) if h == s => (h, n + 1) :: t
+          case (acc, s) => (s, 1L) :: acc
+        }.map(_._2)
+        (shard, srcs.length.toLong, runs.length.toLong,
+          srcs.length.toLong * 1000000L / runs.length, runs.max)
+    }
+    val got = SparkEntry.queries("q143_interleave_runs")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == bins.length.toLong)
+    // the metric's point: stride scheduling over this near-uniform
+    // corpus keeps every run tiny (q136's max-share alone can't see
+    // locality)
+    assert(got.map(_._5).max <= 3L,
+      s"stride interleave produced a long same-source run: $got")
+  }
+
   test("q141 layout is block-size independent") {
     val ref = TextOps.repetitionShardsPlan(spark, sf, TextOps.PackBlockDocs)
       .collect().map(_.toSeq).toSeq

@@ -802,6 +802,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a join fell to SMJ at this sf:\n$plan")
   }
 
+  test("q142 resume manifest: the consumed-budget C is a 1-row " +
+      "broadcast over the checkpointed stream, the manifest is one " +
+      "map-side-combinable per-source aggregate, every window is " +
+      "partitioned (no corpus-wide window), no cartesian/SMJ") {
+    val plan = finalPlan(
+      SparkEntry.queries("q142_resume_manifest")(
+        spark, "/root/testdata/sf0.01"))
+    val wins = plan.split("windowspecdefinition\\(").drop(1)
+    assert(wins.forall(w0 =>
+      w0.startsWith("blk#") || w0.startsWith("source#") ||
+        w0.startsWith("src#")),
+      s"unpartitioned (corpus-wide) window in the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the resume route:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a join fell to SMJ at this sf:\n$plan")
+    // partial+final aggregation over the stream (map-side combine)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
+  test("q143 interleave runs: run detection windows partition on " +
+      "shard_id (shard-sized partitions, one shared sort), the stream " +
+      "prefix rides the blocked form, no corpus-wide window, no SMJ") {
+    val plan = finalPlan(
+      SparkEntry.queries("q143_interleave_runs")(
+        spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("windowspecdefinition(shard_id#"),
+      s"run detection must window per shard:\n$plan")
+    assert(plan.contains("windowspecdefinition(blk#"),
+      s"the interleaved prefix must use the blocked form:\n$plan")
+    val wins = plan.split("windowspecdefinition\\(").drop(1)
+    assert(wins.forall(w0 =>
+      w0.startsWith("blk#") || w0.startsWith("source#") ||
+        w0.startsWith("src#") || w0.startsWith("shard_id#")),
+      s"unpartitioned (corpus-wide) window in the plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a join fell to SMJ at this sf:\n$plan")
+  }
+
   test("q139 epoch plan: one map-side-combinable corpus aggregate, the " +
       "1-row global broadcast back, no window and no sort-merge") {
     val plan = finalPlan(
