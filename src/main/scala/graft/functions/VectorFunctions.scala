@@ -628,12 +628,93 @@ case class NearestCellIdsStatic(vec: Expression, nr: Expression,
     copy(vec = newChildren(0), nr = newChildren(1))
 }
 
+/** All sign-LSH bucket ids for one vector against a fixed hyperplane
+  * family, in one pass: `flat` is the row-major (tables·bits × dim)
+  * plane matrix; output is `array<int>` of `tables` bucket ids, bit j
+  * of table t set iff dot(vec, plane[t·bits+j]) > 0, with the same
+  * left-to-right double fold as [[FloatVectorDot]] — so every sign
+  * decision is bit-identical to the `when(dot(...) > 0, 1<<j)` column
+  * form this replaces, and the registered outputs hash-match unchanged.
+  * A dim mismatch (or a NULL vector) leaves every bit 0 — exactly the
+  * NULL-dot semantics of the column form (`when(NULL > 0, ·)` takes the
+  * otherwise-0 branch).
+  *
+  * Why an expression and not 36–48 composed dot columns: fusing that
+  * many 64-float literal dots into one projection generates a method
+  * past the JVM's huge-method JIT limit — janino compiles it silently,
+  * HotSpot refuses to JIT it, and the whole projection runs
+  * bytecode-interpreted (measured 46.6 s for the 200k×48-dot sf10
+  * index build vs 0.2 s for a lone literal dot over the same corpus;
+  * `BENCH_Q35_r17.json`). One CodegenFallback call per row into this
+  * primitive loop is ~100× cheaper than that cliff. */
+case class SignPlaneBuckets(child: Expression,
+    flat: Array[Float], tables: Int, bits: Int, dim: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(tables > 0 && bits > 0 && flat.length == tables * bits * dim)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_plane_buckets requires array<float>, got ${t.simpleString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Int](tables)
+    if (v != null) {
+      val x = v.asInstanceOf[ArrayData]
+      if (x.numElements() == dim) {
+        // hoist the vector once; the tables·bits×dim loop is then plain
+        // primitive arithmetic
+        val xv = new Array[Double](dim)
+        var j = 0
+        while (j < dim) { xv(j) = x.getFloat(j).toDouble; j += 1 }
+        var t = 0
+        var o = 0
+        while (t < tables) {
+          var b = 0
+          var k = 0
+          while (k < bits) {
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += xv(i) * flat(o).toDouble; o += 1; i += 1 }
+            if (s > 0) b |= (1 << k)
+            k += 1
+          }
+          out(t) = b
+          t += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SignPlaneBuckets =
+    copy(child = newChildren(0))
+}
+
 object VectorFunctions {
   /** `dot(a, b)` over two `array<float>` columns, as a native codegen
     * expression. */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(
       FloatVectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** All sign-LSH bucket/band ids for a vector against a fixed plane
+    * family — see [[SignPlaneBuckets]]. */
+  def signPlaneBuckets(vec: Column, planes: Array[Array[Float]],
+      bits: Int): Column = {
+    val dim = planes.headOption.map(_.length).getOrElse(0)
+    GraftBridge.column(SignPlaneBuckets(GraftBridge.expression(vec),
+      planes.flatten, planes.length / bits, bits, dim))
+  }
 
   /** `dot(a, b)` where either side is `array<float>` or `array<double>`
     * (same left fold in doubles). */

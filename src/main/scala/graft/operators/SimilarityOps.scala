@@ -314,19 +314,12 @@ object SimilarityOps {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      // 36 codegen float-dot projections per row, folded into 12 band
-      // signatures — pure map-side.
-      val bandCols = (0 until PairBands).map { bi =>
-        struct(lit(bi).as("band"),
-          (0 until PairBits).map { j =>
-            when(dot(col("embedding"),
-                typedlit(pairPlanes(bi * PairBits + j))) > 0,
-              1 << j).otherwise(0)
-          }.reduce(_ + _).as("sig"))
-      }
+      // all 36 plane dots per row ride ONE SignPlaneBuckets pass (same
+      // JIT-cliff avoidance as q35; posexplode position = band id)
       val bands = e
-        .select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions.signPlaneBuckets(
+            col("embedding"), pairPlanes, PairBits)).as(Seq("band", "sig")))
       val x = bands.as("x")
       val y = bands.as("y")
       val cand = x.join(y,
@@ -726,20 +719,16 @@ object SimilarityOps {
         |      FROM c)
         |SELECT q_id, neighbor, cosine, rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""") { (s, d) =>
-      // 48 codegen float-dot projections per row folded into 12 bucket
-      // ids — pure map-side; the index carries ids only.
-      def bucketOf(t: Int): Column = (0 until AnnBits)
-        .map { j =>
-          when(dot(col("embedding"), typedlit(hyperplanes(t * AnnBits + j))) > 0,
-            1 << j).otherwise(0) }
-        .reduce(_ + _)
+      // all 48 plane dots per row ride ONE SignPlaneBuckets pass (the
+      // 48-literal-dot column form silently fell off the JIT cliff —
+      // see the expression's scaladoc); posexplode's position IS the
+      // table id, so values are unchanged.
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
-      val tableCols = (0 until AnnTables).map(t =>
-        struct(lit(t).as("t"), bucketOf(t).as("b")))
       val idx = e
-        .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
-        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions.signPlaneBuckets(
+            col("embedding"), hyperplanes, AnnBits)).as(Seq("t", "b")))
       val qi = idx.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("t"), col("b"))
       val cand = idx.join(broadcast(qi), Seq("t", "b"))
@@ -761,6 +750,48 @@ object SimilarityOps {
         .filter(col("rn") <= 5)
         .orderBy(col("q_id"), col("rn"))
     }
+  }
+
+  /** Stage-timing probe for q35 (see `graft.Q35Probe`): walls for the
+    * OLD 48-literal-dot bucket build (the JIT-cliff witness — kept as
+    * the A side), the registered SignPlaneBuckets build, the candidate
+    * join+distinct, and the full query. */
+  private[graft] def q35StageProbe(
+      s: SparkSession, d: String): Seq[(String, Double)] = {
+    def bucketOf(t: Int): Column = (0 until AnnBits)
+      .map { j =>
+        when(dot(col("embedding"), typedlit(hyperplanes(t * AnnBits + j))) > 0,
+          1 << j).otherwise(0) }
+      .reduce(_ + _)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nr"))
+    val oldIdx = e.select(col("vec_id"),
+      explode(array((0 until AnnTables).map(t =>
+        struct(lit(t).as("t"), bucketOf(t).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val idx = e.select(col("vec_id"),
+      posexplode(graft.functions.VectorFunctions.signPlaneBuckets(
+        col("embedding"), hyperplanes, AnnBits)).as(Seq("t", "b")))
+    val qi = idx.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("t"), col("b"))
+    val cand = idx.join(broadcast(qi), Seq("t", "b"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"))
+      .distinct()
+    def wall(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime; val n = f
+      ((System.nanoTime - t0) / 1e9, n)
+    }
+    val (tOld, nOld) =
+      wall(oldIdx.agg(sum(col("b")).cast("long")).first().getLong(0))
+    val (tNew, nNew) =
+      wall(idx.agg(sum(col("b")).cast("long")).first().getLong(0))
+    val (tCand, nCand) = wall(cand.count())
+    val (tFull, nFull) = wall(q35AnnLshBucketed.fn(s, d).count())
+    Seq("old_bucket_s" -> tOld, "old_bucket_sum" -> nOld.toDouble,
+      "new_bucket_s" -> tNew, "new_bucket_sum" -> nNew.toDouble,
+      "cand_s" -> tCand, "cand_rows" -> nCand.toDouble,
+      "full_s" -> tFull, "full_rows" -> nFull.toDouble)
   }
 
   /** universal double dot product: works for float/double array mixes
