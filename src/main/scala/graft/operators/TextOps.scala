@@ -2205,6 +2205,13 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** `df.localCheckpoint()` unless a plan audit asked for the
+    * untruncated twin (`ckpt = false`) — results identical either way;
+    * the checkpoint only stops Spark re-executing a multiply-referenced
+    * subtree once per reference. */
+  private def maybeCkpt(df: DataFrame, ckpt: Boolean): DataFrame =
+    if (ckpt) df.localCheckpoint() else df
+
   /** Docs per prefix-sum block in [[packSequencesPlan]]. 128 puts the
     * driver's sf0.01 verify (≈500 docs) and the sf0.1 bench on the real
     * multi-block path; a 100 TB deployment raises it (4096+) so the
@@ -2411,10 +2418,18 @@ object TextOps {
 
   /** See [[q133ShardManifest]]; split out so `ShardManifestSpec` can pin
     * block-size independence and the manifest invariants. */
+  /** `ckpt = false` (PlanAuditSpec only) skips the materialization so
+    * the audit sees the full untruncated plan — identical logical
+    * shape, offsets bit-identical either way. */
   private[graft] def shardManifestPlan(
-      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
-    val bins = packSequencesPlan(s, d, blockDocs)
-      .select(col("source"), col("seq_id"), col("seq_tokens"))
+      s: SparkSession, d: String, blockDocs: Long,
+      ckpt: Boolean = true): DataFrame = {
+    // materialized ONCE: srcIdx + the depth-3 prefix reference this
+    // relation ~6× through packOffsetsFrom's local/blkTot branches —
+    // uncheckpointed, each reference re-ran the corpus tokenize+pack
+    // chain (28 parquet scans in the executed plan)
+    val bins = maybeCkpt(packSequencesPlan(s, d, blockDocs)
+      .select(col("source"), col("seq_id"), col("seq_tokens")), ckpt)
     // |sources|-row dimension: alphabetical index, broadcast both ways
     val srcIdx = bins.select(col("source")).distinct()
       .withColumn("src_idx",
@@ -2541,7 +2556,12 @@ object TextOps {
     * this is the deployment path when a corpus has hundreds of sources
     * or virtual times past the packed key's headroom. */
   private[graft] def interleaveOffsetsByRange(
-      keyed: DataFrame, blockDocs: Long): DataFrame = {
+      keyed0: DataFrame, blockDocs: Long,
+      ckpt: Boolean = true): DataFrame = {
+    // materialized ONCE: the span stats collect below plus the window
+    // and block-totals branches would otherwise each re-run the whole
+    // upstream pipeline (3× — bins-sized, but a multi-stage replay)
+    val keyed = maybeCkpt(keyed0, ckpt)
     val st = keyed.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
       count(lit(1)).as("n")).collect()(0)
     val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
@@ -2570,8 +2590,8 @@ object TextOps {
     * (the former demo-bounds require() is now a route, not a wall). */
   private[graft] def interleavedShardsPlan(
       s: SparkSession, d: String, blockDocs: Long,
-      forceRange: Boolean = false): DataFrame =
-    interleavedStreamPlan(s, d, blockDocs, forceRange)
+      forceRange: Boolean = false, ckpt: Boolean = true): DataFrame =
+    interleavedStreamPlan(s, d, blockDocs, forceRange, ckpt)
       .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
       .groupBy(col("shard_id"), col("src"))
       .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"))
@@ -2590,10 +2610,9 @@ object TextOps {
     * shared by [[q136InterleavedShards]] and the run-length audit. */
   private[graft] def interleavedStreamPlan(
       s: SparkSession, d: String, blockDocs: Long,
-      forceRange: Boolean = false): DataFrame = {
-    val bins = packSequencesPlan(s, d, blockDocs)
-      .select(col("source"), col("seq_id"), col("seq_tokens"))
-      .localCheckpoint()
+      forceRange: Boolean = false, ckpt: Boolean = true): DataFrame = {
+    val bins = maybeCkpt(packSequencesPlan(s, d, blockDocs)
+      .select(col("source"), col("seq_id"), col("seq_tokens")), ckpt)
     val bounds = bins
       .agg(max(col("seq_id")).as("mx_seq"),
         countDistinct(col("source")).as("n_src"))
@@ -2619,6 +2638,10 @@ object TextOps {
             (col("k") * (1L << 25) + col("src_idx") * (1L << 20) +
               col("seq_id").cast("long")).as("doc_id"),
             col("seq_tokens").as("n_tok"))
+          // materialized ONCE: the blockEff stats collect plus the
+          // depth-3 prefix's branch references would otherwise replay
+          // this join pipeline ~5×
+          .transform(kdf => maybeCkpt(kdf, ckpt))
         // virtual-time keys are sparse: size blocks by key RANGE so the
         // blocked prefix still forms ~n/B groups (any monotone blocking
         // is offset-exact; see packOffsetsFrom)
@@ -2641,7 +2664,7 @@ object TextOps {
               expr("((cast(seq_id as bigint) + 1) * cast(16777216 as bigint)) div w"))
             .select(col("source").as("src"), col("seq_id"),
               col("seq_tokens").as("n_tok"), col("k")),
-          blockDocs)
+          blockDocs, ckpt)
           .select(col("src"), col("n_tok"), col("off"))
       }
     withOff
@@ -2778,10 +2801,16 @@ object TextOps {
 
   /** See [[q138ContaminatedShards]]; split out for spec pinning. */
   private[graft] def contaminatedShardsPlan(
-      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
-    val docs = packOffsets(s, d, blockDocs)
+      s: SparkSession, d: String, blockDocs: Long,
+      ckpt: Boolean = true): DataFrame = {
+    // materialized ONCE (narrow: 4 int/long cols): bins→keyed→depth-3
+    // prefix plus the final doc→shard join reference this relation ~6×
+    // — uncheckpointed, each reference re-ran the corpus tokenize+pack
+    // chain (32 parquet scans in the executed plan)
+    val docs = maybeCkpt(packOffsets(s, d, blockDocs)
       .withColumn("seq_id", floor(col("off") / 256.0).cast("int"))
-      .select(col("source"), col("doc_id"), col("n_tok"), col("seq_id"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("seq_id")),
+      ckpt)
     val bins = docs.groupBy(col("source"), col("seq_id"))
       .agg(sum(col("n_tok")).cast("long").as("seq_tokens"))
     val srcIdx = bins.select(col("source")).distinct()
@@ -3014,8 +3043,9 @@ object TextOps {
 
   /** See [[q141RepetitionShards]]; split out for `InterleaveShardSpec`. */
   private[graft] def repetitionShardsPlan(
-      s: SparkSession, d: String, blockDocs: Long): DataFrame =
-    repetitionStreamPlan(s, d, blockDocs)
+      s: SparkSession, d: String, blockDocs: Long,
+      ckpt: Boolean = true): DataFrame =
+    repetitionStreamPlan(s, d, blockDocs, ckpt)
       .withColumn("e", expr("seq_id div nbins"))
       .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
       .groupBy(col("shard_id"), col("src"))
@@ -3038,10 +3068,10 @@ object TextOps {
     * global (k, source, pos) order — shared by [[q141RepetitionShards]]
     * and the resume manifest (epoch recovery: e = seq_id div nbins). */
   private[graft] def repetitionStreamPlan(
-      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
-    val bins = packSequencesPlan(s, d, blockDocs)
-      .select(col("source"), col("seq_id"), col("seq_tokens"))
-      .localCheckpoint()
+      s: SparkSession, d: String, blockDocs: Long,
+      ckpt: Boolean = true): DataFrame = {
+    val bins = maybeCkpt(packSequencesPlan(s, d, blockDocs)
+      .select(col("source"), col("seq_id"), col("seq_tokens")), ckpt)
     // q139's planning numbers from the SAME bins artifact (one corpus
     // scan total): |sources|-row, broadcast from here on
     val t = bins.groupBy(col("source"))
@@ -3073,7 +3103,7 @@ object TextOps {
       .select(col("source").as("src"), col("pos").as("seq_id"),
         col("n_tok"),
         expr("((pos + 1) * cast(16777216 as bigint)) div w").as("k"))
-    interleaveOffsetsByRange(rep, blockDocs)
+    interleaveOffsetsByRange(rep, blockDocs, ckpt)
       .join(broadcast(plan.select(col("source").as("src"), col("nbins"))),
         "src")
   }
@@ -3165,8 +3195,10 @@ object TextOps {
 
   /** See [[q142ResumeManifest]]; split out for `InterleaveShardSpec`. */
   private[graft] def resumeManifestPlan(
-      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
-    val stream = repetitionStreamPlan(s, d, blockDocs).localCheckpoint()
+      s: SparkSession, d: String, blockDocs: Long,
+      ckpt: Boolean = true): DataFrame = {
+    val stream =
+      maybeCkpt(repetitionStreamPlan(s, d, blockDocs, ckpt), ckpt)
     val cTbl = stream.agg(
       expr("(sum(n_tok) * 2) div 5").cast("long").as("c"))
     stream.crossJoin(broadcast(cTbl))
@@ -3259,9 +3291,10 @@ object TextOps {
 
   /** See [[q143InterleaveRuns]]; split out for `InterleaveShardSpec`. */
   private[graft] def interleaveRunsPlan(
-      s: SparkSession, d: String, blockDocs: Long): DataFrame = {
+      s: SparkSession, d: String, blockDocs: Long,
+      ckpt: Boolean = true): DataFrame = {
     val wOrd = Window.partitionBy(col("shard_id")).orderBy(col("off"))
-    val flagged = interleavedStreamPlan(s, d, blockDocs)
+    val flagged = interleavedStreamPlan(s, d, blockDocs, ckpt = ckpt)
       .withColumn("shard_id", floor(col("off") / 16384.0).cast("long"))
       .withColumn("chg",
         when(lag(col("src"), 1).over(wOrd).isNull ||

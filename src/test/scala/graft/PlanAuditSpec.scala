@@ -738,8 +738,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q133 shard layout: no corpus-wide window — every global " +
       "row_number consumes the |sources| aggregate, prefix windows " +
       "ride the blocked partitioning") {
-    val plan = finalPlan(
-      SparkEntry.queries("q133_shard_manifest")(spark, "/root/testdata/sf0.01"))
+    // ckpt = false: the registered query materializes the shared bins
+    // relation (localCheckpoint), which truncates the final plan at the
+    // checkpoint — the audit reads the untruncated twin (identical
+    // logical shape, bit-identical offsets)
+    val plan = finalPlan(graft.operators.TextOps.shardManifestPlan(
+      spark, "/root/testdata/sf0.01", graft.operators.TextOps.PackBlockDocs,
+      ckpt = false))
     val rn = plan.split("Window \\[row_number").drop(1)
     assert(rn.nonEmpty && rn.forall(_.contains("HashAggregate")),
       s"a row_number window runs over non-aggregated (corpus) input:\n$plan")
@@ -751,8 +756,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q136 interleaved shards: no corpus-wide window — row_number " +
       "windows consume aggregates, the interleaved token prefix rides " +
       "the blocked partitioning, rate/index joins broadcast") {
-    val plan = finalPlan(
-      SparkEntry.queries("q136_interleaved_shards")(spark, "/root/testdata/sf0.01"))
+    val plan = finalPlan(graft.operators.TextOps.interleavedShardsPlan(
+      spark, "/root/testdata/sf0.01", graft.operators.TextOps.PackBlockDocs,
+      ckpt = false))
     val rn = plan.split("Window \\[row_number").drop(1)
     assert(rn.nonEmpty && rn.forall(_.contains("HashAggregate")),
       s"a row_number window runs over non-aggregated (corpus) input:\n$plan")
@@ -764,9 +770,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q138 contaminated shards: no corpus-wide window (prefix rides " +
       "the blocked form, row_numbers consume aggregates), the " +
       "contamination join broadcasts, no nested-loop anywhere") {
-    val plan = finalPlan(
-      SparkEntry.queries("q138_contaminated_shards")(
-        spark, "/root/testdata/sf0.01"))
+    val plan = finalPlan(graft.operators.TextOps.contaminatedShardsPlan(
+      spark, "/root/testdata/sf0.01", graft.operators.TextOps.PackBlockDocs,
+      ckpt = false))
     val rn = plan.split("Window \\[row_number").drop(1)
     assert(rn.nonEmpty && rn.forall(_.contains("HashAggregate")),
       s"a row_number window runs over non-aggregated (corpus) input:\n$plan")
@@ -782,9 +788,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "of a sequence literal (no join blowup), the global prefix rides " +
       "the key-range blocked form, no corpus-wide window, no cartesian, " +
       "no sort-merge") {
-    val plan = finalPlan(
-      SparkEntry.queries("q141_repetition_shards")(
-        spark, "/root/testdata/sf0.01"))
+    val plan = finalPlan(graft.operators.TextOps.repetitionShardsPlan(
+      spark, "/root/testdata/sf0.01", graft.operators.TextOps.PackBlockDocs,
+      ckpt = false))
     assert(plan.contains("Generate explode(sequence("),
       s"epoch replication must be a per-row sequence explode:\n$plan")
     assert(plan.contains("windowspecdefinition(blk#"),
@@ -806,9 +812,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "broadcast over the checkpointed stream, the manifest is one " +
       "map-side-combinable per-source aggregate, every window is " +
       "partitioned (no corpus-wide window), no cartesian/SMJ") {
-    val plan = finalPlan(
-      SparkEntry.queries("q142_resume_manifest")(
-        spark, "/root/testdata/sf0.01"))
+    val plan = finalPlan(graft.operators.TextOps.resumeManifestPlan(
+      spark, "/root/testdata/sf0.01", graft.operators.TextOps.PackBlockDocs,
+      ckpt = false))
     val wins = plan.split("windowspecdefinition\\(").drop(1)
     assert(wins.forall(w0 =>
       w0.startsWith("blk#") || w0.startsWith("source#") ||
@@ -826,9 +832,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q143 interleave runs: run detection windows partition on " +
       "shard_id (shard-sized partitions, one shared sort), the stream " +
       "prefix rides the blocked form, no corpus-wide window, no SMJ") {
-    val plan = finalPlan(
-      SparkEntry.queries("q143_interleave_runs")(
-        spark, "/root/testdata/sf0.01"))
+    val plan = finalPlan(graft.operators.TextOps.interleaveRunsPlan(
+      spark, "/root/testdata/sf0.01", graft.operators.TextOps.PackBlockDocs,
+      ckpt = false))
     assert(plan.contains("windowspecdefinition(shard_id#"),
       s"run detection must window per shard:\n$plan")
     assert(plan.contains("windowspecdefinition(blk#"),
