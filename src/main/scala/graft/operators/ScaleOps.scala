@@ -161,10 +161,13 @@ object ScaleOps {
     val approx = cents.groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("c"), lit(0.5),
         lit(QuantileAccuracy)).as("approx_c"))
-    // rank the sketch's answer against the data: guarantee is on rank
-    val rank = cents.join(broadcast(approx), "l_returnflag")
+    // rank the sketch's answer against the data: guarantee is on rank.
+    // Σ_{rows: c ≤ a} 1 ≡ Σ_{distinct c ≤ a} count(c), so the re-rank
+    // consumes the (flag, cents, count) aggregate the exact twin
+    // already built — one corpus scan fewer, identical integer
+    val rank = cnt.join(broadcast(approx), "l_returnflag")
       .groupBy(col("l_returnflag"))
-      .agg(sum(when(col("c") <= col("approx_c"), 1L).otherwise(0L))
+      .agg(sum(when(col("c") <= col("approx_c"), col("k")).otherwise(0L))
         .as("rank_of_approx"))
     exact.join(broadcast(rank), "l_returnflag")
       .select(col("l_returnflag"), col("exact_median_cents"), col("n"),
