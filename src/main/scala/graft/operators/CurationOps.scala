@@ -520,7 +520,7 @@ object CurationOps {
     val sl = documents(s, d)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("nd"),
-        sum(size(toks(col("text")))).cast("long").as("nt"))
+        sum(graft.functions.TokenCount.tokenCount(col("text"))).cast("long").as("nt"))
     val wSrc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
     val perSrc = sl
@@ -603,7 +603,7 @@ object CurationOps {
     val w = Window.orderBy(col("cap"), col("source"))
     val tok = documents(s, d)
       .groupBy(col("source"))
-      .agg(sum(size(toks(col("text")))).cast("long").as("t"))
+      .agg(sum(graft.functions.TokenCount.tokenCount(col("text"))).cast("long").as("t"))
     val tot = tok.agg((lit(2) * sum(col("t"))).cast("long").as("b"),
       count(lit(1)).as("ns"))
     val o = tok.withColumn("cap", lit(3) * col("t"))
@@ -671,7 +671,7 @@ object CurationOps {
     val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
     val wTot = Window.partitionBy(col("source"))
     documents(s, d)
-      .select(col("source"), size(toks(col("text"))).cast("long").as("v"))
+      .select(col("source"), graft.functions.TokenCount.tokenCount(col("text")).cast("long").as("v"))
       .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("tot", sum(col("c")).over(wTot))
@@ -726,7 +726,7 @@ object CurationOps {
       |GROUP BY sc.source ORDER BY sc.source""") { (s, d) =>
     val sc = documents(s, d).select(col("doc_id"), col("source"),
       floor(lit(1000000.0) * size(array_distinct(toks(col("text"))))
-        / size(toks(col("text")))).cast("long").as("ppm"))
+        / graft.functions.TokenCount.tokenCount(col("text"))).cast("long").as("ppm"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("ppm"))
     val wTot = Window.partitionBy(col("source"))
     val th = sc.groupBy(col("source"), col("ppm"))

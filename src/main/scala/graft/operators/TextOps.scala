@@ -1044,7 +1044,7 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(toks(col("text")))).cast("long").as("sum_ws_tokens"),
+        sum(graft.functions.TokenCount.tokenCount(col("text"))).cast("long").as("sum_ws_tokens"),
         sum(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))))
           .cast("long").as("sum_re_tokens"),
         sum(length(col("text"))).cast("long").as("sum_chars"),
@@ -1610,7 +1610,7 @@ object TextOps {
       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
       |FROM r ORDER BY cluster, doc_id""") { (s, d) =>
     val toklen = documents(s, d)
-      .select(col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      .select(col("doc_id"), graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("n_tok").desc, col("doc_id"))
     dedupLabels(s, d)
@@ -1649,7 +1649,7 @@ object TextOps {
       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
       |GROUP BY source ORDER BY source""") { (s, d) =>
     val toklen = documents(s, d)
-      .select(col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      .select(col("doc_id"), graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("n_tok").desc, col("doc_id"))
     val drops = dedupLabels(s, d)
@@ -1662,7 +1662,7 @@ object TextOps {
       .join(broadcast(drops), Seq("doc_id"), "left_anti")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(toks(col("text")))).cast("long").as("kept_tokens"))
+        sum(graft.functions.TokenCount.tokenCount(col("text"))).cast("long").as("kept_tokens"))
       .orderBy(col("source"))
   }
 
@@ -2258,7 +2258,7 @@ object TextOps {
       s: SparkSession, d: String, blockDocs: Long): DataFrame =
     packOffsetsFrom(
       documents(s, d).select(col("source"), col("doc_id"),
-        size(toks(col("text"))).as("n_tok")),
+        graft.functions.TokenCount.tokenCount(col("text")).as("n_tok")),
       blockDocs)
 
   /** [[packOffsets]] over an arbitrary (source, doc_id, n_tok) relation —
@@ -2336,7 +2336,7 @@ object TextOps {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     documents(s, d)
-      .select(col("source"), col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      .select(col("source"), col("doc_id"), graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"))
       .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0)))
       .withColumn("seq_id", floor(col("off") / 256.0).cast("int"))
       .groupBy(col("source"), col("seq_id"))
@@ -2864,7 +2864,7 @@ object TextOps {
   private[graft] def incrementalShardPlan(
       s: SparkSession, d: String, blockDocs: Long): DataFrame = {
     val docsAll = documents(s, d)
-      .select(col("source"), col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      .select(col("source"), col("doc_id"), graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"))
     val cutoff =
       docsAll.agg(max(col("doc_id")).cast("long")).first().getLong(0) * 9L / 10L
     // per-snapshot cached artifacts (q127/q134 convention)
@@ -3424,7 +3424,7 @@ object TextOps {
   private[graft] def packIncrementalPlan(
       s: SparkSession, d: String, blockDocs: Long): DataFrame = {
     val docsAll = documents(s, d)
-      .select(col("source"), col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      .select(col("source"), col("doc_id"), graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"))
     // one driver scalar, the snapshot boundary (bench convention; a real
     // pipeline knows its previous high-water mark)
     val cutoff =
@@ -3627,7 +3627,7 @@ object TextOps {
       |FROM n JOIN q ON n.lang = q.lang
       |GROUP BY 1, 2, 3 ORDER BY 1""") { (s, d) =>
     val n = documents(s, d)
-      .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("n_tok"))
+      .select(col("doc_id"), col("lang"), graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"))
     val q = n.groupBy(col("lang")).agg(
       expr("percentile(n_tok, 0.05)").as("p05"),
       expr("percentile(n_tok, 0.95)").as("p95"))
@@ -4023,7 +4023,7 @@ object TextOps {
       |FROM k ORDER BY doc_id, epoch""") { (s, d) =>
     val docs = documents(s, d)
       .select(col("doc_id"), col("lang"),
-        size(toks(col("text"))).cast("long").as("n_toks"))
+        graft.functions.TokenCount.tokenCount(col("text")).cast("long").as("n_toks"))
     val pct = when(col("lang") === "en", 40).when(col("lang") === "fr", 20)
       .when(col("lang") === "de", 15).when(col("lang") === "es", 15)
       .otherwise(10).cast("long").as("pct")
